@@ -1,0 +1,16 @@
+"""Named query plans — the engine's demonstrable operator surface.
+
+Every operator from SURVEY.md §2 (and each north-star extension) is
+registered here as a named ``Query``: a PySpark builder plus, when
+SQL-expressible, a DuckDB oracle that must hash-match it. The driver
+contract (``__spark_entry__.py``) is a thin view over this registry.
+"""
+
+from gcd_etl_spark.plans.registry import QUERIES, Query, query
+
+# Importing the plan modules populates the registry.
+from gcd_etl_spark.plans import flagship  # noqa: E402,F401
+from gcd_etl_spark.plans import relational  # noqa: E402,F401
+from gcd_etl_spark.plans import scalars  # noqa: E402,F401
+
+__all__ = ["QUERIES", "Query", "query"]

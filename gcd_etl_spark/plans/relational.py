@@ -1,0 +1,388 @@
+"""Relational operator coverage (SURVEY.md §2.3, §2.4, §2.5-2.7).
+
+One named query per join/agg/window/setop shape the engine supports,
+each with a DuckDB oracle. These double as the bench suite's body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.functions.numeric import as_money, exact_avg, exact_sum
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table
+
+
+# ---------------------------------------------------------------- q1
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+                * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)    AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> hash agg.
+
+    Partial aggregation happens map-side (HashAggregate x2 around the
+    exchange); only |groups| rows shuffle — scale-independent.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = as_money("l_extendedprice") * (one - as_money("l_discount"))
+    charge = disc_price.cast("decimal(18,4)") * (one + as_money("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------- inner join chain
+@query(
+    "join_inner_chain",
+    oracle="""
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def join_inner_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 shape: fact -> dim -> dim -> dim inner chain.
+
+    nation/region broadcast (no shuffle); the orders⋈customer join is
+    the only exchange, keyed on custkey.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_revenue"),
+        )
+    )
+
+
+# ------------------------------------------------- left-outer fanout
+@query(
+    "join_left_fanout",
+    oracle="""
+SELECT o.o_orderkey,
+       COUNT(l.l_orderkey)               AS n_lines,
+       COALESCE(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_qty
+FROM orders o
+LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+""",
+)
+def join_left_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 shape: 1:N left fan-out then re-aggregate; preserves
+    zero-child parents (count=0, qty=0)."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(lineitem, lineitem.l_orderkey == orders.o_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.coalesce(exact_sum("l_quantity"), F.lit(0.0)).alias("total_qty"),
+        )
+    )
+
+
+# ------------------------------------------------------ semi / anti
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = customer.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — no fan-out, build side never output."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 300000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS)."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 300000)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ------------------------------------------- sort-agg collect_list
+@query(
+    "agg_collect_list",
+    oracle="""
+SELECT l_orderkey,
+       STRING_AGG(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS part_keys
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 shape (reference GcdStoryCredit.java:113-137): group ->
+    collect_list. Sorted numerically then stringified so the value is
+    deterministic regardless of shuffle arrival order."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("l_partkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("part_keys")
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ------------------------------------------------------ rollup/cube
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; NULL group keys coalesced to 'ALL'
+    (source columns are non-null, so no ambiguity)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(exact_sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------- windows
+@query(
+    "window_topk_per_group",
+    oracle="""
+SELECT c_custkey, o_orderkey, rn FROM (
+  SELECT c.c_custkey, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+) WHERE rn <= 3
+""",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via ranked window; orderkey tie-break keeps
+    row_number deterministic."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+       LAG(l_orderkey) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_orderkey
+FROM lineitem
+""",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running sum + lag with a total deterministic
+    ordering inside each partition."""
+    li = read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(as_money("l_quantity"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_qty"),
+        F.lag("l_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+# ----------------------------------------------------- sort / limit
+@query(
+    "sort_limit_topk",
+    oracle="""
+SELECT o_orderkey, o_totalprice AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-K: Spark runs TakeOrderedAndProject — per-partition
+    heaps, only K rows reach the driver stage, no global sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").alias("total_price"))
+    )
+
+
+# --------------------------------------------------------- set ops
+@query(
+    "set_ops",
+    oracle="""
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o)
+UNION ALL
+SELECT 'f_only' AS tag, o_custkey FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+UNION ALL
+SELECT 'o_only' AS tag, o_custkey FROM (SELECT o_custkey FROM o EXCEPT SELECT o_custkey FROM f)
+""",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one tagged result."""
+    orders = read_table(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both = f.intersect(o).select(F.lit("both").alias("tag"), "o_custkey")
+    f_only = f.exceptAll(o).select(F.lit("f_only").alias("tag"), "o_custkey")
+    o_only = o.exceptAll(f).select(F.lit("o_only").alias("tag"), "o_custkey")
+    return both.unionByName(f_only).unionByName(o_only)
+
+
+# ------------------------------------------------------------ pivot
+@query(
+    "pivot_status",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS qty_finished
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a closed column set — explicit conditional aggs for
+    stable schema (SURVEY.md §7.5: prefer fixed columns over pivot())."""
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def qty(status: str):
+        zero = F.lit(0).cast("decimal(18,2)")
+        return F.sum(
+            F.when(F.col("l_linestatus") == status, as_money("l_quantity")).otherwise(zero)
+        ).cast("double")
+
+    return li.groupBy("l_returnflag").agg(
+        qty("O").alias("qty_open"), qty("F").alias("qty_finished")
+    )

@@ -1,0 +1,79 @@
+"""SparkSession construction with engine-wide defaults.
+
+Design notes (100 TB posture):
+
+* AQE on — runtime coalescing, skew-join splitting, and join-strategy
+  re-planning replace any hand-scheduling the reference did (it had
+  none: one thread, one JDBC cursor — reference Main.java:50-94).
+* Session timezone pinned to UTC so epoch<->date conversions are
+  deterministic and match the DuckDB oracle (the reference mixed
+  GMT-06:00 run-date parsing with JVM-default-TZ formatting —
+  reference Main.java:59,642 — we deliberately normalize to UTC).
+* ANSI off: the reference's try-cast semantics are "parse failure ->
+  null/absent" (reference Main.java:253-258), which matches Spark's
+  non-ANSI cast. We still prefer explicit ``try_cast``-style helpers.
+* Shuffle partitions default to the local core count; on a real
+  cluster this is overridden (AQE coalesces anyway).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Rough per-file split target for scans; 128 MiB is the Spark default
+# and the right order of magnitude for 100 TB / ~1e6 tasks.
+_MAX_PARTITION_BYTES = str(128 * 1024 * 1024)
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "gcd_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    On a cluster, ``master`` comes from spark-submit; locally we
+    default to ``local[N]`` with N = SPARK_GRAFT_CPUS or all cores.
+    """
+    n = default_parallelism()
+    if master is None:
+        master = f"local[{n}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = n
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", _MAX_PARTITION_BYTES)
+        # Reference rotated parquet parts at 2M rows (Main.java:505-509);
+        # we honor the same output-file sizing contract declaratively.
+        .config("spark.sql.files.maxRecordsPerFile", "2000000")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

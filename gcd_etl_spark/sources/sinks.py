@@ -1,0 +1,82 @@
+"""Snapshot sinks: partitioned parquet + table registration.
+
+Capability parity with the reference's two sinks:
+
+* S5 parquet sink — hive-partitioned ``snapshot=YYYYMMDD`` dirs,
+  snappy, parts rotated every 2M rows (reference Main.java:96-105,
+  505-509). Here: ``partitionBy("snapshot")`` + the session-level
+  ``spark.sql.files.maxRecordsPerFile=2000000``.
+* S8 external-table DDL (reference gcdissuesnapshot.sql:1-95) —
+  ``register_snapshot_table`` creates the partitioned table over the
+  written location so SQL consumers get partition pruning.
+
+The Flamdex/sqar sinks (S6/S7, reference Main.java:107-126) are
+binary index formats out of Spark scope; their *capability* (term
+lookup) is preserved as the exploded term table below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_snapshot(
+    df: DataFrame,
+    out_path: str,
+    snapshot: int,
+    mode: str = "append",
+    max_records_per_file: int = 2_000_000,
+) -> None:
+    """Write one snapshot partition of the output table.
+
+    ``snapshot`` is the int ``yyyymmdd`` partition value (reference
+    Main.java:383 — ``date.replaceAll("-","")``).
+    """
+    (
+        df.withColumn("snapshot", F.lit(snapshot))
+        .write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .option("compression", "snappy")
+        .partitionBy("snapshot")
+        .parquet(out_path)
+    )
+
+
+def register_snapshot_table(spark: SparkSession, name: str, location: str) -> None:
+    """CREATE TABLE ... USING PARQUET over the snapshot location.
+
+    Spark equivalent of the Athena external table + MSCK REPAIR
+    (reference gcdissuesnapshot.sql:90-95): partition discovery makes
+    ``WHERE snapshot = N`` prune at the file listing level.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} USING PARQUET OPTIONS (path '{location}')"
+    )
+
+
+def to_term_table(df: DataFrame, doc_id_col: str, term_cols: dict[str, str]) -> DataFrame:
+    """Inverted-index capability as a DataFrame (Flamdex S6 analog).
+
+    ``term_cols`` maps field name -> column expression name; array
+    columns explode to one row per term, scalars pass through. Output:
+    ``(doc_id, field, term)`` — the relational shape of an inverted
+    index, bucketable/partitionable by ``field, term`` at scale.
+    """
+    parts = []
+    for field_name, col_name in term_cols.items():
+        col = df[col_name]
+        dtype = dict(df.dtypes)[col_name]
+        terms = F.explode(col) if dtype.startswith("array") else col.cast("string")
+        parts.append(
+            df.select(
+                F.col(doc_id_col).alias("doc_id"),
+                F.lit(field_name).alias("field"),
+                terms.cast("string").alias("term"),
+            ).where(F.col("term").isNotNull())
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
