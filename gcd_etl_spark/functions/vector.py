@@ -21,10 +21,13 @@ from pyspark.sql import types as T
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product in double precision (float32 inputs are widened
+    BEFORE multiplying — float-precision products drift from any
+    double-precision oracle)."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
-        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -32,7 +35,9 @@ def dot(a: Column | str, b: Column | str) -> Column:
 
 def norm(a: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
-    return F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(
+        F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:

@@ -1,0 +1,258 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Four tiers, all expressed as shuffle-disciplined DataFrame plans (no
+driver-side materialization, no Python in the hot path):
+
+* exact        — normalize -> hash -> groupBy(hash) -> keep min id.
+                 One shuffle on a 128-bit key; scale-optimal.
+* minhash_lsh  — shingle -> k minhashes -> b bands -> shuffle only on
+                 (band, band_hash) buckets -> verify candidates with
+                 exact Jaccard. The classic sub-quadratic near-dup.
+* simhash      — 64-bit sign-summed token-hash fingerprint; near-dups
+                 collide on rotated prefix buckets (hamming-ball
+                 probing is a verify-stage filter).
+* ngram_jaccard— exact all-pairs Jaccard *within LSH buckets* (the
+                 verify stage exposed standalone; on tiny fixtures it
+                 can run bucket-free as ground truth).
+
+Scale notes: every operator shuffles on a hash/bucket key with
+near-uniform distribution — no skew by construction (heavy buckets
+only appear when the corpus truly contains massive duplicate
+clusters; the LSH band width bounds the verify fan-out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.functions.text import shingles, ws_tokens
+
+#: Large Mersenne prime for the minhash permutation family
+#: (standard (a*x + b) mod p construction; see Broder '97).
+_MERSENNE_P = (1 << 61) - 1
+
+
+def normalized(col) -> F.Column:
+    """Dedup-canonical text: trimmed, lowercased, whitespace-collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one output row per distinct normalized
+    text — the surviving (min) id, the duplicate count, and the hash.
+
+    Plan shape: project(md5) -> partial agg -> exchange(hash) -> agg.
+    At 100 TB only (hash, partial-min, partial-count) rows shuffle.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalized(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def minhash_signature(text_col: str, num_hashes: int = 32, k_shingle: int = 3) -> F.Column:
+    """array<long> minhash signature, fully JVM-side.
+
+    Each hash_i(s) = (a_i * xxhash64(s) + b_i) mod p; a_i/b_i are
+    deterministic constants derived from the permutation index, so
+    signatures are reproducible across runs and engines.
+    """
+    grams = shingles(text_col, k=k_shingle)
+    # 32-bit base hash so (a*h + b) never overflows a signed long.
+    base = F.transform(grams, lambda s: F.abs(F.xxhash64(s) % F.lit(1 << 32)))
+    sig = []
+    for i in range(num_hashes):
+        a = 2 * i + 1  # odd multipliers
+        b = 1_000_003 * (i + 1)
+        hashed = F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P))
+        sig.append(F.array_min(hashed))
+    return F.array(*sig)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    rows_per_band = num_hashes/bands; two docs become a candidate pair
+    iff some band of their signatures is identical. Output: distinct
+    (id_a < id_b) pairs. The only shuffles are the groupBy on
+    (band_idx, band_hash) — bucket keys, not document keys.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, num_hashes, k_shingle).alias("sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_idx", "band.band_hash")
+    # Pair generation inside buckets: self-join on the bucket key.
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Verify stage: exact shingle-Jaccard for candidate pairs.
+
+    Joins the (id_a, id_b) candidates back to shingle sets and keeps
+    pairs with J >= threshold. Join keys are document ids — candidates
+    are a tiny fraction of n^2, so this stays cheap.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("_sid"), shingles(text_col, k=k_shingle).alias("_shingles")
+    )
+    a = sets_df.alias("a")
+    b = sets_df.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._shingles"), F.col("b._shingles")))
+    union = F.size(F.array_union(F.col("a._shingles"), F.col("b._shingles")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        pairs.join(a, pairs.id_a == F.col("a._sid"))
+        .join(b, pairs.id_b == F.col("b._sid"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pairs: LSH candidates -> Jaccard verify."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k_shingle)
+    return jaccard_pairs(df, cands, text_col, id_col, k_shingle, threshold)
+
+
+def simhash64(text_col: str) -> F.Column:
+    """64-bit SimHash of whitespace tokens, as a signed long.
+
+    Each token votes ±1 per bit position of its xxhash64; the
+    fingerprint takes the sign of each bit's sum. Near-identical
+    documents differ in few bits (small hamming distance). Pure
+    expression: aggregate over a 64-slot int array.
+    """
+    toks = ws_tokens(text_col)
+    zero64 = F.array_repeat(F.lit(0), 64)
+
+    def token_bits(t):
+        return F.array(
+            *[
+                F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for b in range(64)
+            ]
+        )
+
+    bit_votes = F.aggregate(
+        toks, zero64, lambda acc, t: F.zip_with(acc, token_bits(t), lambda x, y: x + y)
+    )
+    # Pack sign bits into one signed long (bit 63 is the sign bit).
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(bit_votes, b + 1) > 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return packed
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with rotated-block bucketing.
+
+    The fingerprint splits into ``n_tables`` 16-bit blocks; by the
+    pigeonhole principle two fingerprints within hamming distance
+    ``n_tables - 1`` share at least one exact block, so bucketing on
+    (block_idx, block_value) finds all such pairs with no n^2 scan.
+    Verify stage computes the exact hamming distance.
+    """
+    bits_per_block = 64 // n_tables
+    mask = (1 << bits_per_block) - 1
+    fp = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("fp"))
+    blocks = fp.select(
+        "_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        F.shiftrightunsigned(F.col("fp"), i * bits_per_block)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("block_val"),
+                    )
+                    for i in range(n_tables)
+                ]
+            )
+        ).alias("blk"),
+    ).select("_id", "fp", "blk.block_idx", "blk.block_val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    hamming = F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp")))
+    return (
+        l.join(
+            r,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,204 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k of every query row against
+  the full corpus: broadcast the (small) query set, score corpus-side
+  with JVM expressions, per-query top-k via window. The correctness
+  baseline and the right plan when queries are few.
+* ``lsh_topk`` — sign-random-projection (SRP) bucketed ANN: corpus and
+  queries hash to ``n_planes``-bit buckets; only same-bucket (and
+  optionally neighboring-probe) pairs are scored. Sub-linear scoring
+  cost at 100 TB; recall tunable by planes/probes.
+* ``ivf_topk`` — IVF-style coarse quantizer: k-means-ish centroids
+  sampled deterministically, corpus assigned to nearest centroid
+  (broadcast centroids), queries scored only against their ``nprobe``
+  nearest cells. The classic billion-vector layout.
+
+All plans keep vectors in executor space — nothing collects to the
+driver except the final top-k rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.functions.vector import cosine, random_hyperplane_signs
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    # Rank on the ROUNDED cosine (6 dp) with id tie-break: last-ulp FP
+    # noise must never reorder neighbors across engines or runs.
+    scored = scored.withColumn("cosine", F.round("cosine", 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus
+    is scanned once, scoring stays in whole-stage codegen, and the
+    per-query top-k heap is a window over (query_id).
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("query_vec", "corpus_vec").alias("cosine"),
+        )
+    )
+    return _rank_topk(scored, k)
+
+
+def srp_bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Pack sign-random-projection bits into one long bucket id."""
+    bits = random_hyperplane_signs(vec_col, planes)
+    packed = F.lit(0).cast("long")
+    for i in range(len(planes)):
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(bits, i + 1) == 1, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return packed
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-based, no numpy
+    RNG state) so Spark plans and oracles can share them as literals."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to [-1, 1)
+            row.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    n_tables: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table SRP-LSH ANN top-k (OR-amplification).
+
+    ``planes`` is split into ``n_tables`` hash tables of
+    ``len(planes)/n_tables`` bits each; a corpus row is scored for a
+    query iff they share a bucket in ANY table. Recall for neighbors
+    at angle θ: 1 - (1 - (1-θ/π)^b)^L — tune b (selectivity) against
+    L (recall). At scale the corpus's (table, bucket) index is written
+    once and reused; the shuffle key is the bucket, never the vector.
+    """
+    bits = len(planes) // n_tables
+
+    def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        table_buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_idx"),
+                    srp_bucket(vec_col, planes[t * bits : (t + 1) * bits]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.explode(table_buckets).alias("tb"),
+        ).select(out_id, out_vec, "tb.table_idx", "tb.bucket")
+
+    c = with_buckets(corpus, "neighbor_id", "corpus_vec")
+    q = with_buckets(queries, "query_id", "query_vec")
+    scored = (
+        c.join(F.broadcast(q), on=["table_idx", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_vec", "corpus_vec")
+        .distinct()  # a pair may collide in several tables; score once
+        .select("query_id", "neighbor_id", cosine("query_vec", "corpus_vec").alias("cosine"))
+    )
+    return _rank_topk(scored, k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse-quantized ANN.
+
+    Centroids = deterministic corpus sample (every id ≡ 0 mod step),
+    broadcast everywhere. Corpus rows attach to their nearest centroid
+    (one broadcast join + argmax, no shuffle of the corpus); queries
+    fan out to their ``nprobe`` nearest cells only.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .where(F.col("cent_id") % F.lit(max(1, 1000 // n_cells)) == 0)
+        .limit(n_cells)
+    )
+
+    def nearest_cells(df: DataFrame, side_id: str, side_vec: str, n_keep: int) -> DataFrame:
+        w = Window.partitionBy(side_id).orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
+        return (
+            df.join(F.broadcast(cents))
+            .select(
+                F.col(side_id),
+                F.col(side_vec),
+                F.col("cent_id"),
+                cosine(side_vec, "cent_vec").alias("cent_cos"),
+            )
+            .withColumn("cell_rank", F.row_number().over(w))
+            .where(F.col("cell_rank") <= n_keep)
+            .drop("cent_cos", "cell_rank")
+        )
+
+    c_cells = nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")),
+        "neighbor_id",
+        "corpus_vec",
+        1,
+    )
+    q_cells = nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")),
+        "query_id",
+        "query_vec",
+        nprobe,
+    )
+    scored = (
+        c_cells.join(F.broadcast(q_cells), on="cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("query_vec", "corpus_vec").alias("cosine"))
+        .distinct()
+    )
+    return _rank_topk(scored, k)

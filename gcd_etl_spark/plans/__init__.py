@@ -12,5 +12,10 @@ from gcd_etl_spark.plans.registry import QUERIES, Query, query
 from gcd_etl_spark.plans import flagship  # noqa: E402,F401
 from gcd_etl_spark.plans import relational  # noqa: E402,F401
 from gcd_etl_spark.plans import scalars  # noqa: E402,F401
+from gcd_etl_spark.plans import text  # noqa: E402,F401
+from gcd_etl_spark.plans import dedup  # noqa: E402,F401
+from gcd_etl_spark.plans import similarity  # noqa: E402,F401
+from gcd_etl_spark.plans import windows  # noqa: E402,F401
+from gcd_etl_spark.plans import multimodal  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]

@@ -1,0 +1,116 @@
+"""Deduplication query plans over the ``documents`` table.
+
+Four dedup families (SURVEY.md north-star): exact, MinHash-LSH,
+SimHash, and n-gram Jaccard ground truth. Exact and Jaccard carry
+DuckDB oracles; the hash-family operators (xxhash64-based) have no
+DuckDB equivalent and use the driver's rows-only check — their
+*semantics* are pinned by tests/test_dedup.py instead (LSH candidates
+⊇ high-Jaccard pairs, etc.).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.operators import dedup as D
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table
+
+_DUCK_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_DUCK_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))"
+    " ELSE [] END"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+SELECT md5({_DUCK_NORM}) AS content_hash,
+       min(doc_id)       AS keep_id,
+       count(*)          AS n_dups
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: normalize -> md5 -> groupBy(hash)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth near-dup pairs: exact word-3-shingle Jaccard >= 0.5
+    over all pairs. Quadratic by construction — the correctness anchor
+    the LSH operators are validated against, not the scale path."""
+    docs = read_table(spark, sf_dir, "documents")
+    from gcd_etl_spark.functions.text import shingles
+
+    s = docs.select(F.col("doc_id").alias("_sid"), shingles("text", 3).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(F.broadcast(b), F.col("a._sid") < F.col("b._sid"))
+        .where((union > 0) & (jac >= 0.5))
+        .select(
+            F.col("a._sid").alias("id_a"),
+            F.col("b._sid").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (32 hashes, 8 bands) verified with
+    exact Jaccard >= 0.5. The sub-quadratic scale path; xxhash64-based
+    so no SQL oracle — validated against dedup_ngram_jaccard in
+    tests/test_dedup.py."""
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit fingerprint, 4-block pigeonhole
+    bucketing, hamming <= 3)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return D.simhash_dedup_pairs(docs, max_hamming=3)
+
+
+@query("dedup_fingerprints", oracle=None)
+def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit engine fingerprints: xxhash64 content hash
+    + simhash (rows-only: DuckDB lacks xxhash64)."""
+    from gcd_etl_spark.functions.text import fingerprint64
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint64("text").alias("content_fp"),
+        D.simhash64("text").alias("simhash_fp"),
+    )

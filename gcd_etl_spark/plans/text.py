@@ -1,0 +1,158 @@
+"""Text-analysis query plans over the ``documents`` table.
+
+North-star extension surface (BASELINE.json): token counting,
+quality heuristics, language ID, fingerprinting — every one a pure
+Catalyst-expression plan with a DuckDB oracle restating the
+computation independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.functions import text as TX
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table
+
+#: DuckDB fragment: whitespace tokens of ``text`` (empty-safe).
+_DUCK_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       length(text)                                   AS n_chars,
+       len({_DUCK_TOKENS})                            AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+(?:''[A-Za-z]+)?|\\d+|[^ \\tA-Za-z\\d]')) AS n_bpe_tokens,
+       CAST(list_sum(list_transform({_DUCK_TOKENS}, t -> length(t))) AS DOUBLE)
+         / len({_DUCK_TOKENS})                        AS mean_word_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char/token counts (whitespace + BPE-ish regex) and mean word
+    length — all codegen'd expressions, no UDFs."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = TX.ws_tokens("text")
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        "doc_id",
+        TX.char_count("text").alias("n_chars"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        (total_len.cast("double") / F.size(toks)).alias("mean_word_len"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         {_DUCK_TOKENS} AS toks,
+         length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, n, toks, n_punct,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','in','is','that','it','was','for'], lower(x)))) AS DOUBLE)
+           / len(toks) ELSE 0.0 END AS sr,
+         CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE) / n ELSE 1.0 END AS pr,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl
+  FROM t
+)
+SELECT doc_id,
+       ROUND((
+         (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2.5) END)
+         + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE sr / 0.05 END)
+         + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.4 END)
+       ) / 4.0, 4) AS quality
+FROM s
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / punctuation / stopword /
+    word-length bands) — C4/Gopher-style curation prefilter."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score("text").alias("quality"))
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+                        x -> lower(x)) AS toks
+  FROM documents
+), v AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','las','por'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS s_fr,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','von','den','mit','für','auf'], x))) AS s_de
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) < 1 THEN 'und'
+            WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+            WHEN s_fr >= s_de THEN 'fr'
+            ELSE 'de' END AS lang_guess
+FROM v
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language heuristic; first-listed language wins
+    ties (en > es > fr > de), 'und' when nothing scores."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id("text").alias("lang_guess"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_md5,
+       substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp_prefix
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 for the cross-engine
+    oracle; the engine also exposes xxhash64 via
+    ``functions.text.fingerprint64`` for cheaper 64-bit identity)."""
+    docs = read_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("content_md5"),
+        F.substring(F.md5(normalized), 1, 16).alias("fp_prefix"),
+    )
+
+
+@query(
+    "text_shingle_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       CASE WHEN len(toks) >= 3
+            THEN len(list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> array_to_string(toks[i:i+2], ' '))))
+            ELSE 0 END AS n_shingles
+FROM t
+""",
+)
+def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-shingle count per document (the MinHash input
+    cardinality)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.size(TX.shingles("text", k=3)).alias("n_shingles"))

@@ -1,0 +1,99 @@
+"""Event-time window query plans over the ``events`` table.
+
+Tumbling / sliding / session windows in batch form (SURVEY.md §2.9 —
+the reference has none; this is engine surface). Oracles restate the
+window algebra in portable SQL: epoch bucketing for fixed windows,
+gaps-and-islands for sessions. Window bounds are epoch seconds.
+
+``events.ts`` is TIMESTAMP(NANOS) in parquet; the engine reads it as
+microsecond-truncated timestamp (see sources/catalog.py), and oracles
+compute on ``epoch_us(ts)`` integer arithmetic to match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.operators import windows as W
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table
+
+#: DuckDB: exact value sum as decimal -> double (matches exact_sum).
+_V = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+@query(
+    "win_tumbling",
+    oracle=f"""
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {_V} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type."""
+    return W.tumbling_agg(read_table(spark, sf_dir, "events"), "1 hour")
+
+
+@query(
+    "win_sliding",
+    oracle=f"""
+WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, value FROM events),
+     x AS (
+  SELECT (sec // 1800) * 1800 - k * 1800 AS window_start, value
+  FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+  WHERE sec >= (sec // 1800) * 1800 - k * 1800
+    AND sec < (sec // 1800) * 1800 - k * 1800 + 3600
+)
+SELECT window_start, COUNT(*) AS n_events, {_V} AS total_value
+FROM x GROUP BY 1
+""",
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes (each event lands in
+    exactly 2 windows)."""
+    return W.sliding_agg(read_table(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query(
+    "win_session",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   >= 600000000
+              OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), g AS (
+  SELECT user_id, us, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e
+)
+SELECT user_id,
+       MIN(us) // 1000000 AS session_start_sec,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM g GROUP BY user_id, sess
+""",
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (10-minute inactivity gap).
+
+    The oracle is the classic gaps-and-islands formulation; Spark uses
+    the native ``session_window``. Session start is floor'd to seconds
+    for comparison (event timestamps are microsecond-precise).
+    """
+    events = read_table(spark, sf_dir, "events")
+    out = W.session_agg(events, "10 minutes")
+    return out.select(
+        "user_id",
+        F.col("session_start").alias("session_start_sec"),
+        "n_events",
+        "total_value",
+    )

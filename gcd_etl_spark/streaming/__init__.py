@@ -1,0 +1,7 @@
+from gcd_etl_spark.streaming.jobs import (
+    run_streaming_sessions,
+    run_streaming_tumbling,
+    streaming_events,
+)
+
+__all__ = ["streaming_events", "run_streaming_tumbling", "run_streaming_sessions"]

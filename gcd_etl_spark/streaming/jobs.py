@@ -1,0 +1,97 @@
+"""Structured Streaming variants of the window operators.
+
+The batch operators in ``operators/windows.py`` are expressed so the
+identical aggregation logic runs over an unbounded stream: same
+``F.window``/``F.session_window`` calls, plus a watermark for state
+eviction. These jobs exist to prove that property — the micro-batch
+smoke drives a bounded parquet directory through ``readStream`` to a
+memory sink and must equal the batch answer.
+
+Scale notes: watermark bounds state store growth (late rows beyond
+the watermark are dropped); sessions use the same merging state store
+the batch path uses at agg time. At production scale the source is
+Kafka/files and the sink is a partitioned parquet/foreachBatch writer
+— both are config, not new logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of the staged events stream (ts already micro-truncated —
+#: produced by sources.catalog.read_table("events") written back out).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def streaming_events(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """File-source stream over a staged events directory."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .load(staged_dir)
+    )
+
+
+def _run_to_memory(agg: DataFrame, spark: SparkSession, name: str) -> DataFrame:
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_streaming_tumbling(
+    spark: SparkSession,
+    staged_dir: str,
+    size: str = "1 hour",
+    watermark: str = "1 hour",
+    name: str = "stream_tumbling",
+) -> DataFrame:
+    """Tumbling count/sum over a stream; returns the memory-sink view."""
+    events = streaming_events(spark, staged_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "event_type", "n_events")
+    )
+    return _run_to_memory(agg, spark, name)
+
+
+def run_streaming_sessions(
+    spark: SparkSession,
+    staged_dir: str,
+    gap: str = "10 minutes",
+    watermark: str = "1 hour",
+    name: str = "stream_sessions",
+) -> DataFrame:
+    """Session windows over a stream (stateful merging aggregation)."""
+    events = streaming_events(spark, staged_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start_sec"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, spark, name)
