@@ -51,14 +51,15 @@ def multi_split(col: Column | str) -> Column:
 def date_str_to_int(col: Column | str, sentinel: int | None = INT_SENTINEL) -> Column:
     """F3 — ``YYYY-MM-DD``-shaped string -> yyyymmdd int.
 
-    Regex match ``(\\d{4})-(\\d\\d)-(\\d\\d)`` (reference
-    Main.java:46,619-635); no calendar validation ("1987-00-00" is a
+    Full-string regex match ``(\\d{4})-(\\d\\d)-(\\d\\d)`` (reference
+    Main.java:46,619-635 uses ``Matcher.matches()`` — FULL match, so
+    trailing garbage fails); no calendar validation ("1987-00-00" is a
     *match* in the reference and becomes 19870000 — we preserve that).
     Non-match / null -> ``sentinel`` (-1 on the index path, None for
     nullable parquet semantics).
     """
     c = F.col(col) if isinstance(col, str) else col
-    matched = c.rlike(r"^\d{4}-\d{2}-\d{2}")
+    matched = c.rlike(r"^\d{4}-\d{2}-\d{2}$")
     as_int = F.regexp_replace(F.substring(c, 1, 10), "-", "").cast("int")
     fallback = F.lit(sentinel).cast("int") if sentinel is not None else F.lit(None).cast("int")
     return F.when(matched, as_int).otherwise(fallback)

@@ -1,0 +1,294 @@
+"""The flagship GCD ETL: denormalized snapshot build, Spark-first.
+
+Replaces the reference's whole execution stack — MySQL-planned
+6-table join (reference Main.java:134-216), single-threaded JDBC
+cursor + per-row Java transforms (Main.java:369-519), RAM-resident
+credit map (GcdStoryCredit.java:113-137) — with ONE declarative
+DataFrame plan:
+
+    issue ⋈ series ⋈ publisher ⟕ indicia ⟕ brand ⟕ story
+          ⟕ credits_agg(story_id)           [no RAM ceiling]
+    -> 89-column select of pure Column expressions
+    -> partitionBy(snapshot) parquet sink
+
+Semantics preserved bit-for-bit, including the reference's quirky
+JDBC null handling (``ResultSet.getInt/getLong`` turn SQL NULL into
+0 with no wasNull() check — so e.g. a missed left join writes
+``indicia_publisher_id = 0``, not null), the ``-1`` date sentinels,
+the '' string defaults, and the credit-source preference (F12).
+
+Scale notes: dimension sides (publisher, indicia, brand, dict
+tables) broadcast; the two big exchanges are issue⋈series⟕story
+(keyed on series_id / issue_id) and the credit groupBy (story_id).
+At 100 TB, bucket gcd_story and gcd_story_credit by their join keys
+at staging time and both exchanges disappear.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.functions import scalar
+from gcd_etl_spark.gcd.credits import ATOMIC_FIELDS, aggregate_story_credits
+from gcd_etl_spark.gcd.schema import GCD_SNAPSHOT_SCHEMA, GcdSchemaFlags
+from gcd_etl_spark.sources.sinks import register_snapshot_table, write_snapshot
+
+
+def run_epoch_seconds(run_date: str) -> int:
+    """F5 — run date at GMT-06:00 midnight -> epoch seconds
+    (reference Main.java:59-60)."""
+    y, m, d = (int(x) for x in run_date.split("-"))
+    tz = _dt.timezone(_dt.timedelta(hours=-6))
+    return int(_dt.datetime(y, m, d, tzinfo=tz).timestamp())
+
+
+def _jdbc_int(col: Column) -> Column:
+    """``ResultSet.getInt``: SQL NULL -> 0 (reference Main.java:602-607,
+    no wasNull check)."""
+    return F.coalesce(col.cast("int"), F.lit(0))
+
+
+def _jdbc_long(col: Column) -> Column:
+    """``ResultSet.getLong``: SQL NULL -> 0 (reference Main.java:611-616)."""
+    return F.coalesce(col.cast("long"), F.lit(0).cast("long"))
+
+
+def _jdbc_bool(col: Column) -> Column:
+    """``getInt(...) == 1`` with NULL -> 0 -> false (reference
+    Main.java:410 etc.)."""
+    return _jdbc_int(col) == 1
+
+
+def _epoch_date(col: Column) -> Column:
+    """Timestamp column -> epoch secs -> yyyymmdd int, -1 on null/<=0
+    (F1 + F4: UNIX_TIMESTAMP in the query, Main.java:637-650 helper)."""
+    return scalar.epoch_to_date_int(F.unix_timestamp(col))
+
+
+def build_snapshot(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    run_date: str,
+    flags: GcdSchemaFlags = GcdSchemaFlags(),
+) -> DataFrame:
+    """Build the denormalized issue-story snapshot DataFrame.
+
+    ``tables`` maps GCD table names to DataFrames (parquet staging at
+    scale; see sources/jdbc.py for the dump->staging path).
+    """
+    unix_time = run_epoch_seconds(run_date)
+
+    issue = tables["gcd_issue"].alias("issue")
+    series = tables["gcd_series"].alias("series")
+    publisher = tables["gcd_publisher"].alias("publisher")
+    indicia = tables["gcd_indicia_publisher"].alias("indicia")
+    brand = tables["gcd_brand"].alias("brand")
+    story = tables["gcd_story"].alias("story")
+
+    # Dictionary dimensions -> literal maps (tiny: country/language/
+    # publication-type/story-type, reference GcdMetadata.java:58-86).
+    # collect() of a <10^3-row dim is a deliberate driver-side step;
+    # the decode itself stays codegen'd via a literal map.
+    def dict_map(name: str) -> dict[int, str]:
+        key_col, val_col = {
+            "stddata_country": ("id", "code"),
+            "stddata_language": ("id", "code"),
+            "gcd_series_publication_type": ("id", "name"),
+            "gcd_story_type": ("id", "name"),
+        }[name]
+        return {int(r[0]): r[1] for r in tables[name].select(key_col, val_col).collect()}
+
+    country = dict_map("stddata_country")
+    language = dict_map("stddata_language")
+    pubtype = dict_map("gcd_series_publication_type") if flags.publication_type else {}
+    storytype = dict_map("gcd_story_type")
+
+    # Credits subpipeline (J6/J7 + F10 + A1 + F11), left-joined by
+    # story_id — replaces the reference's in-RAM Map<Long, ...> probe.
+    if flags.story_credit:
+        credits = aggregate_story_credits(
+            spark,
+            tables["gcd_story_credit"],
+            tables["gcd_creator_name_detail"],
+            tables["gcd_creator"],
+        ).alias("credit")
+    else:
+        credits = None
+
+    joined = (
+        issue.join(series, F.col("issue.series_id") == F.col("series.id"), "inner")
+        .join(F.broadcast(publisher), F.col("series.publisher_id") == F.col("publisher.id"), "inner")
+        .join(
+            F.broadcast(indicia),
+            F.col("issue.indicia_publisher_id") == F.col("indicia.id"),
+            "left",
+        )
+        .join(F.broadcast(brand), F.col("issue.brand_id") == F.col("brand.id"), "left")
+        .join(story, F.col("story.issue_id") == F.col("issue.id"), "left")
+    )
+    if credits is not None:
+        joined = joined.join(credits, F.col("story.id") == F.col("credit.story_id"), "left")
+
+    story_present = F.col("story.id").isNotNull()
+    credit_present = (
+        (F.col("credit.story_id").isNotNull() & story_present)
+        if credits is not None
+        else F.lit(False)
+    )
+
+    def story_gate(col: Column) -> Column:
+        """P3 — story_* fields only set on story rows (Main.java:459)."""
+        return F.when(story_present, col)
+
+    def credit_cols() -> list[Column]:
+        """F12 — curated credits win; legacy semicolon fields are the
+        fallback for 6 of 8 types (painting/ids have no legacy source,
+        reference Main.java:467-493)."""
+        out: list[Column] = []
+        legacy_fields = {"script", "pencils", "inks", "colors", "letters", "editing"}
+        for field in ATOMIC_FIELDS:
+            if credits is not None:
+                curated_names = F.col(f"credit.credit_{field}")
+                curated_ids = F.col(f"credit.credit_{field}_creator_id")
+            else:
+                curated_names = F.lit(None).cast("array<string>")
+                curated_ids = F.lit(None).cast("array<long>")
+            legacy_names = (
+                scalar.multi_split(F.col(f"story.{field}"))
+                if field in legacy_fields
+                else F.lit(None).cast("array<string>")
+            )
+            names = F.when(credit_present, curated_names).otherwise(story_gate(legacy_names))
+            ids = F.when(credit_present, curated_ids).otherwise(F.lit(None).cast("array<long>"))
+            out.append(names.alias(f"story_{field}"))
+            out.append(ids.alias(f"story_{field}_creator_id"))
+        return out
+
+    cols: list[Column] = [
+        F.lit(unix_time).cast("long").alias("unix_time"),  # F13
+        _jdbc_long(F.col("issue.id")).alias("issue_id"),
+        scalar.string_with_default(F.col("issue.number")).alias("issue_number_raw"),
+        scalar.try_int(F.col("issue.number")).alias("issue_number"),  # F7
+        scalar.date_str_to_int(F.col("issue.key_date")).alias("publication_date"),  # F3
+        scalar.string_with_default(F.col("issue.price")).alias("price_raw"),
+        scalar.multi_split(F.col("issue.price")).alias("price"),  # F2
+        _jdbc_int(F.col("issue.page_count")).alias("page_count"),
+        F.col("issue.indicia_frequency").alias("indicia_frequency"),
+        F.col("issue.isbn").alias("isbn"),
+        F.col("issue.variant_name").alias("variant_name"),
+        _jdbc_long(F.col("issue.variant_of_id")).alias("variant_of_issue_id"),
+        F.col("issue.barcode").alias("barcode"),
+        F.col("issue.title").alias("title"),
+        scalar.date_str_to_int(F.col("issue.on_sale_date")).alias("on_sale_date"),
+        F.col("issue.rating").alias("rating"),
+        (
+            _jdbc_bool(F.col("issue.volume_not_printed"))
+            if flags.volume_not_printed
+            else F.lit(None).cast("boolean")
+        ).alias("volume_not_printed"),
+        scalar.multi_split(F.col("issue.editing")).alias("editing"),
+        F.col("issue.notes").alias("notes"),
+        _epoch_date(F.col("issue.created")).alias("created"),
+        _epoch_date(F.col("issue.modified")).alias("modified"),
+        _jdbc_long(F.col("series.id")).alias("series_id"),
+        F.col("series.name").alias("series_name"),
+        _jdbc_int(F.col("series.year_began")).alias("series_year_began"),
+        _jdbc_int(F.col("series.year_ended")).alias("series_year_ended"),
+        _jdbc_bool(F.col("series.is_current")).alias("series_is_current"),
+        scalar.dict_decode(_jdbc_int(F.col("series.country_id")), country).alias(
+            "series_country_code"
+        ),  # F9
+        scalar.dict_decode(_jdbc_int(F.col("series.language_id")), language).alias(
+            "series_language_code"
+        ),
+        _jdbc_bool(F.col("series.has_gallery")).alias("series_has_gallery"),
+        _jdbc_bool(F.col("series.is_comics_publication")).alias("series_is_comics_publication"),
+        F.col("series.color").alias("series_color"),
+        F.col("series.dimensions").alias("series_dimensions"),
+        F.col("series.paper_stock").alias("series_paper_stock"),
+        scalar.multi_split(F.col("series.binding")).alias("series_binding"),
+        F.col("series.publishing_format").alias("series_publishing_format"),
+        (
+            scalar.dict_decode(_jdbc_int(F.col("series.publication_type_id")), pubtype)
+            if flags.publication_type
+            else F.lit(None).cast("string")
+        ).alias("series_publishing_type"),
+        (
+            _jdbc_bool(F.col("series.is_singleton"))
+            if flags.series_is_singleton
+            else F.lit(None).cast("boolean")
+        ).alias("series_is_singleton"),
+        _epoch_date(F.col("series.created")).alias("series_created"),
+        _epoch_date(F.col("series.modified")).alias("series_modified"),
+        _jdbc_long(F.col("publisher.id")).alias("publisher_id"),
+        F.col("publisher.name").alias("publisher_name"),
+        scalar.dict_decode(_jdbc_int(F.col("publisher.country_id")), country).alias(
+            "publisher_country_code"
+        ),
+        _epoch_date(F.col("publisher.created")).alias("publisher_created"),
+        _epoch_date(F.col("publisher.modified")).alias("publisher_modified"),
+        F.col("publisher.url").alias("publisher_url"),
+        _jdbc_long(F.col("indicia.id")).alias("indicia_publisher_id"),
+        F.col("indicia.name").alias("indicia_publisher_name"),
+        scalar.dict_decode(_jdbc_int(F.col("indicia.country_id")), country).alias(
+            "indicia_publisher_country_code"
+        ),
+        _jdbc_long(F.col("indicia.parent_id")).alias("indicia_publisher_parent_id"),
+        _jdbc_int(F.col("indicia.year_began")).alias("indicia_publisher_year_began"),
+        _jdbc_int(F.col("indicia.year_ended")).alias("indicia_publisher_year_ended"),
+        _jdbc_bool(F.col("indicia.is_surrogate")).alias("indicia_publisher_is_surrogate"),
+        F.col("indicia.url").alias("indicia_publisher_url"),
+        _epoch_date(F.col("indicia.created")).alias("indicia_publisher_created"),
+        _epoch_date(F.col("indicia.modified")).alias("indicia_publisher_modified"),
+        _jdbc_long(F.col("brand.id")).alias("brand_id"),
+        F.col("brand.name").alias("brand_name"),
+        F.col("brand.url").alias("brand_url"),
+        _epoch_date(F.col("brand.created")).alias("brand_created"),
+        _epoch_date(F.col("brand.modified")).alias("brand_modified"),
+        F.col("story.id").alias("story_id"),
+        story_gate(F.col("story.title")).alias("story_title"),
+        story_gate(F.col("story.feature")).alias("story_feature"),
+        story_gate(_jdbc_int(F.col("story.sequence_number"))).alias("story_sequence_number"),
+        story_gate(_jdbc_int(F.col("story.page_count"))).alias("story_page_count"),
+        *credit_cols(),
+        F.when(credit_present, F.lit("gcd_story_credit"))
+        .otherwise(story_gate(F.lit("gcd_story")))
+        .alias("story_credit_source"),
+        story_gate(scalar.multi_split(F.col("story.genre"))).alias("story_genre"),
+        story_gate(scalar.multi_split(F.col("story.characters"))).alias("story_characters"),
+        story_gate(scalar.dict_decode(_jdbc_int(F.col("story.type_id")), storytype)).alias(
+            "story_type"
+        ),
+        story_gate(F.col("story.job_number")).alias("story_job_number"),
+        (
+            story_gate(F.col("story.first_line"))
+            if flags.story_first_line
+            else F.lit(None).cast("string")
+        ).alias("story_first_line"),
+        story_gate(_epoch_date(F.col("story.created"))).alias("story_created"),
+        story_gate(_epoch_date(F.col("story.modified"))).alias("story_modified"),
+    ]
+
+    out = joined.select(*cols)
+    assert [f.name for f in out.schema.fields] == [f.name for f in GCD_SNAPSHOT_SCHEMA.fields]
+    return out
+
+
+def write_gcd_snapshot(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    run_date: str,
+    out_path: str,
+    table_name: str | None = None,
+    flags: GcdSchemaFlags = GcdSchemaFlags(),
+) -> DataFrame:
+    """Build + write one snapshot partition; optionally register the
+    SQL-queryable table over it (S5 + S8)."""
+    df = build_snapshot(spark, tables, run_date, flags)
+    write_snapshot(df, out_path, snapshot=scalar.snapshot_int(run_date))
+    if table_name:
+        register_snapshot_table(spark, table_name, out_path)
+    return df

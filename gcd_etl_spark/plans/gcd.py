@@ -1,0 +1,30 @@
+"""The GCD flagship ETL as a driver-checked query.
+
+Wires the full snapshot pipeline (gcd/pipeline.py — the Spark
+restatement of reference Main.java:134-216,385-503 plus the
+GcdStoryCredit subpipeline) into the correctness gate by deriving its
+13 input tables from the TPC-H fixtures (gcd/fixtures_adapter.py,
+identical arithmetic in both dialects) and restating the whole
+pipeline in DuckDB SQL (gcd/oracle.py). Every output column of the
+89-field snapshot record is hash-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcd_etl_spark.gcd.fixtures_adapter import gcd_fixture_ctes, gcd_tables_from_fixtures
+from gcd_etl_spark.gcd.oracle import snapshot_oracle_sql
+from gcd_etl_spark.gcd.pipeline import build_snapshot
+from gcd_etl_spark.plans.registry import query
+
+#: Fixed run date -> deterministic unix_time/snapshot on both sides.
+RUN_DATE = "2024-01-15"
+
+
+@query("gcd_snapshot", oracle=snapshot_oracle_sql(RUN_DATE, gcd_fixture_ctes()))
+def gcd_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the denormalized issue-story snapshot build, end to
+    end — J1-J9 joins, F1-F13 scalars, F10 credit expansion, A1
+    collect-list aggregation, F12 source preference."""
+    return build_snapshot(spark, gcd_tables_from_fixtures(spark, sf_dir), RUN_DATE)

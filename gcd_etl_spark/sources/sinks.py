@@ -51,9 +51,10 @@ def register_snapshot_table(spark: SparkSession, name: str, location: str) -> No
     ``WHERE snapshot = N`` prune at the file listing level.
     """
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    spark.sql(
-        f"CREATE TABLE {name} USING PARQUET OPTIONS (path '{location}')"
-    )
+    spark.sql(f"CREATE TABLE {name} USING PARQUET LOCATION '{location}'")
+    # Partition discovery — the MSCK REPAIR step of the reference's
+    # Athena flow (gcdissuesnapshot.sql:95); no-op for unpartitioned.
+    spark.sql(f"MSCK REPAIR TABLE {name}")
 
 
 def to_term_table(df: DataFrame, doc_id_col: str, term_cols: dict[str, str]) -> DataFrame:

@@ -85,11 +85,18 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "query"):
     order and column order (column-name keyed, like the driver)."""
     con = oracle_con(sf_dir)
     try:
-        oracle = con.execute(sql)
-        o_cols = [d[0] for d in oracle.description]
-        o_rows = oracle.fetchall()
+        assert_df_matches_con(spark_df, con, sql, name)
     finally:
         con.close()
+
+
+def assert_df_matches_con(spark_df, con, sql: str, name: str = "query"):
+    """Same differential check against an already-prepared DuckDB
+    connection (used by the GCD golden test, whose views aren't the
+    fixture tables)."""
+    oracle = con.execute(sql)
+    o_cols = [d[0] for d in oracle.description]
+    o_rows = oracle.fetchall()
 
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
