@@ -28,6 +28,7 @@ from gcd_etl_spark.session import get_spark  # noqa: E402
 #: (shuffle-heavy joins/aggs, window fns, LSH dedup, ANN similarity,
 #: text analysis, event-time windows).
 HEADLINE = [
+    "gcd_snapshot",
     "snapshot_denorm",
     "q1_pricing_summary",
     "join_left_fanout",
@@ -51,8 +52,11 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark(app_name="gcd_etl_spark_bench")
 
-    # Warmup: JVM + codegen + parquet footer caches.
+    # Warmup: JVM + codegen + parquet footer caches. Both flagship
+    # plans run once so measured numbers are steady-state throughput,
+    # not one-time plan compilation.
     _materialize(QUERIES["snapshot_denorm"].build(spark, sf_dir))
+    _materialize(QUERIES["gcd_snapshot"].build(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -57,22 +57,68 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signature(text_col: str, num_hashes: int = 32, k_shingle: int = 3) -> F.Column:
-    """array<long> minhash signature, fully JVM-side.
+    """array<long> minhash signature, fully JVM-side; NULL when the
+    document has no shingles (too short to near-dup by definition).
 
     Each hash_i(s) = (a_i * xxhash64(s) + b_i) mod p; a_i/b_i are
     deterministic constants derived from the permutation index, so
     signatures are reproducible across runs and engines.
+
+    Single fold over the shingle array: acc_i = min(acc_i, h_i(s)).
+    (A per-permutation ``transform`` + ``array_min`` would duplicate
+    the whole shingle subtree ``num_hashes`` times in the expression
+    tree — measured ~60x slower at sf0.1.)
     """
     grams = shingles(text_col, k=k_shingle)
     # 32-bit base hash so (a*h + b) never overflows a signed long.
     base = F.transform(grams, lambda s: F.abs(F.xxhash64(s) % F.lit(1 << 32)))
-    sig = []
-    for i in range(num_hashes):
-        a = 2 * i + 1  # odd multipliers
-        b = 1_000_003 * (i + 1)
-        hashed = F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_P))
-        sig.append(F.array_min(hashed))
-    return F.array(*sig)
+    coeff_a = F.array(*[F.lit(2 * i + 1).cast("long") for i in range(num_hashes)])
+    coeff_b = F.array(*[F.lit(1_000_003 * (i + 1)).cast("long") for i in range(num_hashes)])
+    init = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
+    sig = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(coeff_a, coeff_b, lambda a, b: (a * h + b) % F.lit(_MERSENNE_P)),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    return F.when(F.size(grams) > 0, sig)
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """(_id, sig) via explode + codegen'd min-aggregation.
+
+    The relational formulation of minhash: one row per (doc, shingle),
+    then ``groupBy(doc).agg(min(h_i))`` for each permutation. Unlike
+    the array-fold expression (``minhash_signature``), every operator
+    here is whole-stage-codegen'd with map-side partial aggregation —
+    at 100 TB only (doc_id, 32 partial minima) rows shuffle, and the
+    identical subplan is exchange-reusable on both sides of the
+    LSH self-join. Shingle-less docs drop out via the explode (they
+    cannot near-dup; keeping a degenerate signature would funnel every
+    short doc into one LSH bucket -> quadratic pair explosion).
+    """
+    grams = shingles(text_col, k=k_shingle)
+    exploded = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+    h = F.abs(F.xxhash64("_g") % F.lit(1 << 32))
+    aggs = [
+        F.min((F.lit(2 * i + 1) * h + F.lit(1_000_003 * (i + 1))) % F.lit(_MERSENNE_P)).alias(
+            f"_m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    mins = exploded.groupBy("_id").agg(*aggs)
+    return mins.select(
+        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -87,14 +133,12 @@ def minhash_lsh_candidates(
 
     rows_per_band = num_hashes/bands; two docs become a candidate pair
     iff some band of their signatures is identical. Output: distinct
-    (id_a < id_b) pairs. The only shuffles are the groupBy on
-    (band_idx, band_hash) — bucket keys, not document keys.
+    (id_a < id_b) pairs. The only shuffles are the signature groupBy
+    and the join on (band_idx, band_hash) — bucket keys, not document
+    keys.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature(text_col, num_hashes, k_shingle).alias("sig"),
-    )
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k_shingle)
     banded = sig.select(
         "_id",
         F.explode(
@@ -204,6 +248,39 @@ def simhash64(text_col: str) -> F.Column:
     return packed
 
 
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(_id, fp) SimHash via explode + codegen'd sum-aggregation.
+
+    Relational formulation of ``simhash64``: one row per (doc, token),
+    64 ``sum(±1)`` bit votes per doc, then sign-pack. Same output,
+    but whole-stage codegen + map-side partial aggregation instead of
+    an interpreted array fold (~10x at sf0.1), and only
+    (doc_id, 64 partial sums) rows shuffle at 100 TB. Token-less docs
+    drop out (they'd otherwise all share fingerprint 0 and pairwise-
+    collide in the bucketing stage).
+    """
+    exploded = df.select(F.col(id_col).alias("_id"), F.explode(ws_tokens(text_col)).alias("_t"))
+    h = F.xxhash64("_t")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    votes = exploded.groupBy("_id").agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(64):
+        weight = (1 << b) if b < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"_b{b}") > 0, F.lit(weight).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("_id", packed.alias("fp"))
+
+
 def simhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -221,7 +298,7 @@ def simhash_dedup_pairs(
     """
     bits_per_block = 64 // n_tables
     mask = (1 << bits_per_block) - 1
-    fp = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("fp"))
+    fp = simhash_table(df, text_col, id_col)
     blocks = fp.select(
         "_id",
         "fp",

@@ -19,10 +19,19 @@ driver except the final top-k rows.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from gcd_etl_spark.functions.vector import cosine, random_hyperplane_signs
+from gcd_etl_spark.functions.vector import cosine, cosine_fixed, random_hyperplane_signs
+
+
+def _cos(a: str, b: str, dim: int | None):
+    """cosine_fixed (flat codegen) when the dimension is known,
+    else the generic fold."""
+    return cosine_fixed(a, b, dim) if dim else cosine(a, b)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -45,6 +54,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
@@ -64,7 +74,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine("query_vec", "corpus_vec").alias("cosine"),
+            _cos("query_vec", "corpus_vec", dim).alias("cosine"),
         )
     )
     return _rank_topk(scored, k)
@@ -81,6 +91,33 @@ def srp_bucket(vec_col: str, planes: list[list[float]]) -> F.Column:
             )
         )
     return packed
+
+
+def srp_buckets_udf(planes: list[list[float]], n_tables: int):
+    """Pandas-UDF: all ``n_tables`` SRP bucket ids per vector in one
+    NumPy matmul (vectors x all planes), Arrow-batched.
+
+    Bit/bucket layout is identical to ``srp_bucket`` over
+    ``planes[t*b:(t+1)*b]`` — but computing 32 projections as one
+    BLAS matmul per batch beats 32 per-row JVM expressions by ~10x,
+    and keeps the expression tree small (a 2048-term unrolled
+    projection expression measurably chokes the optimizer when it is
+    duplicated across bucket structs).
+    """
+    P = np.asarray(planes, dtype=np.float64)
+    bits_per = len(planes) // n_tables
+    weights = 1 << np.arange(bits_per, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray(embs.tolist(), dtype=np.float64)
+        signs = (mat @ P.T) >= 0
+        cols = [signs[:, t * bits_per : (t + 1) * bits_per] @ weights for t in range(n_tables)]
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return _buckets
 
 
 def make_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
@@ -106,6 +143,7 @@ def lsh_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-table SRP-LSH ANN top-k (OR-amplification).
 
@@ -116,23 +154,14 @@ def lsh_topk(
     L (recall). At scale the corpus's (table, bucket) index is written
     once and reused; the shuffle key is the bucket, never the vector.
     """
-    bits = len(planes) // n_tables
+    buckets_udf = srp_buckets_udf(planes, n_tables)
 
     def with_buckets(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        table_buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_idx"),
-                    srp_bucket(vec_col, planes[t * bits : (t + 1) * bits]).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
-            F.explode(table_buckets).alias("tb"),
-        ).select(out_id, out_vec, "tb.table_idx", "tb.bucket")
+            F.posexplode(buckets_udf(F.col(vec_col))).alias("table_idx", "bucket"),
+        )
 
     c = with_buckets(corpus, "neighbor_id", "corpus_vec")
     q = with_buckets(queries, "query_id", "query_vec")
@@ -141,7 +170,7 @@ def lsh_topk(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "query_vec", "corpus_vec")
         .distinct()  # a pair may collide in several tables; score once
-        .select("query_id", "neighbor_id", cosine("query_vec", "corpus_vec").alias("cosine"))
+        .select("query_id", "neighbor_id", _cos("query_vec", "corpus_vec", dim).alias("cosine"))
     )
     return _rank_topk(scored, k)
 
@@ -154,6 +183,7 @@ def ivf_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF coarse-quantized ANN.
 
@@ -176,7 +206,7 @@ def ivf_topk(
                 F.col(side_id),
                 F.col(side_vec),
                 F.col("cent_id"),
-                cosine(side_vec, "cent_vec").alias("cent_cos"),
+                _cos(side_vec, "cent_vec", dim).alias("cent_cos"),
             )
             .withColumn("cell_rank", F.row_number().over(w))
             .where(F.col("cell_rank") <= n_keep)
@@ -198,7 +228,7 @@ def ivf_topk(
     scored = (
         c_cells.join(F.broadcast(q_cells), on="cent_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine("query_vec", "corpus_vec").alias("cosine"))
+        .select("query_id", "neighbor_id", _cos("query_vec", "corpus_vec", dim).alias("cosine"))
         .distinct()
     )
     return _rank_topk(scored, k)

@@ -109,8 +109,10 @@ def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcd_etl_spark.functions.text import fingerprint64
 
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        fingerprint64("text").alias("content_fp"),
-        D.simhash64("text").alias("simhash_fp"),
+    sim = D.simhash_table(docs)
+    return (
+        docs.select("doc_id", fingerprint64("text").alias("content_fp"))
+        .join(sim, F.col("doc_id") == F.col("_id"), "left")
+        # token-less docs: fingerprint 0, matching simhash64's fold
+        .select("doc_id", "content_fp", F.coalesce("fp", F.lit(0)).alias("simhash_fp"))
     )

@@ -16,6 +16,8 @@ from gcd_etl_spark.sources.catalog import read_table
 
 N_QUERIES = 5
 TOP_K = 10
+#: Fixture embedding dimensionality (FIXTURES.md: array<float> x 64).
+EMB_DIM = 64
 
 
 def _query_set(emb: DataFrame) -> DataFrame:
@@ -48,7 +50,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle schedules.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    out = S.brute_force_topk(emb, _query_set(emb), k=TOP_K)
+    out = S.brute_force_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
     return out
 
 
@@ -58,15 +60,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic hyperplanes). Recall vs brute force is asserted in
     tests/test_similarity.py."""
     emb = read_table(spark, sf_dir, "embeddings")
-    planes = S.make_planes(dim=64, n_planes=32)
-    return S.lsh_topk(emb, _query_set(emb), planes, n_tables=8, k=TOP_K)
+    planes = S.make_planes(dim=EMB_DIM, n_planes=32)
+    return S.lsh_topk(emb, _query_set(emb), planes, n_tables=8, k=TOP_K, dim=EMB_DIM)
 
 
 @query("sim_ann_ivf", oracle=None)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN top-k (16 cells, nprobe=4)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, _query_set(emb), n_cells=16, nprobe=4, k=TOP_K)
+    return S.ivf_topk(emb, _query_set(emb), n_cells=16, nprobe=4, k=TOP_K, dim=EMB_DIM)
 
 
 @query(
@@ -84,12 +86,23 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.98), the
     embedding-space analog of text near-dup. All-pairs form — the
     correctness anchor; the ANN operators are its scale path."""
-    from gcd_etl_spark.functions.vector import cosine
+    from gcd_etl_spark.functions.vector import dot_fixed, norm_fixed
 
     emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = cosine("va", "vb")
+    # Norms once per side (n rows), unrolled dot per pair (n^2) —
+    # flat codegen'd arithmetic, same summation order as the fold.
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        norm_fixed("embedding", EMB_DIM).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        norm_fixed("embedding", EMB_DIM).alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom > 0, dot_fixed("va", "vb", EMB_DIM) / denom)
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .where(cos >= 0.98)
