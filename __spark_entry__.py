@@ -16,16 +16,17 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gcd_etl_spark.plans import QUERIES  # noqa: E402
-from gcd_etl_spark.plans.flagship import build_snapshot_denorm  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    The denormalized snapshot build — the Spark restatement of the
-    reference's core pipeline (reference Main.java:134-216,385-503).
+    The full GCD snapshot build — the Spark restatement of the
+    reference's core pipeline (reference Main.java:134-216,385-503):
+    6-table join tree + credit subpipeline + all scalar transforms,
+    over GCD-shaped tables derived from the fixtures.
     """
-    return build_snapshot_denorm(spark, "/root/testdata/sf0.001")
+    return QUERIES["gcd_snapshot"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -248,6 +248,47 @@ def simhash64(text_col: str) -> F.Column:
     return packed
 
 
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: min-label propagation
+    until fixpoint. Output: (id_col, cluster_id) — cluster_id is the
+    smallest member id, singletons keep their own id.
+
+    The iterative-algorithm shape Spark handles with a driver loop:
+    each round is one join + one min-aggregate; ``localCheckpoint``
+    cuts lineage so plans don't grow with iterations. Fixture-scale
+    clusters converge in <5 rounds; at 100 TB swap the propagation for
+    the large-star/small-star variant (same join primitives, provably
+    O(log n) rounds) — the driver loop structure is unchanged.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("_nid"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels._nid).select(
+            F.col("dst").alias("_nid"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("_nid").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "_nid")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("_nid").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

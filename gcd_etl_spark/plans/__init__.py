@@ -18,5 +18,7 @@ from gcd_etl_spark.plans import similarity  # noqa: E402,F401
 from gcd_etl_spark.plans import windows  # noqa: E402,F401
 from gcd_etl_spark.plans import multimodal  # noqa: E402,F401
 from gcd_etl_spark.plans import gcd  # noqa: E402,F401
+from gcd_etl_spark.plans import sqlapi  # noqa: E402,F401
+from gcd_etl_spark.plans import terms  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]

@@ -83,6 +83,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the >=0.5-Jaccard
+    near-dup graph (min-label propagation; the oracle states the same
+    components via a recursive CTE). The step after pair finding in a
+    real corpus-curation pipeline — keep one doc per cluster_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    from gcd_etl_spark.functions.text import shingles
+
+    s = docs.select(F.col("doc_id").alias("_sid"), shingles("text", 3).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    pairs = (
+        a.join(F.broadcast(b), F.col("a._sid") < F.col("b._sid"))
+        .where((union > 0) & (jac >= 0.5))
+        .select(F.col("a._sid").alias("id_a"), F.col("b._sid").alias("id_b"))
+    )
+    return D.connected_components(pairs, docs, id_col="doc_id")
+
+
 @query("dedup_minhash_lsh", oracle=None)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (32 hashes, 8 bands) verified with

@@ -1,0 +1,102 @@
+"""ANSI-SQL query surface (SURVEY.md §3.4).
+
+The reference's read side is "SQL over the partitioned snapshot
+table" (Athena external table, reference gcdissuesnapshot.sql:1-95).
+These plans exercise the engine's equivalent — ``spark.sql`` over
+registered views — with classic TPC-H-shaped analytics, so the SQL
+entry point is a tested first-class citizen, not just the DataFrame
+API. DuckDB runs near-identical text as the oracle; the point is that
+BOTH engines accept the same ANSI subset.
+
+Scale notes: these are pure declarative statements — Catalyst picks
+broadcast vs shuffle joins and AQE re-plans at runtime; the SQL
+surface adds zero physical-plan risk over the DataFrame surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table
+
+_Q3 = """
+SELECT l.l_orderkey AS orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(date_format(o.o_orderdate, 'yyyyMMdd') AS INT) AS orderdate_int,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 20
+"""
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey AS orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS orderdate_int,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 20
+"""
+
+_Q5 = """
+SELECT n.n_name AS nation,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+_Q14 = """
+SELECT ROUND(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def _views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> None:
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query("sql_q3_shipping_priority", oracle=_Q3_ORACLE)
+def sql_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through the spark.sql entry point: 3-way join,
+    grouped revenue, deterministic top-20."""
+    _views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q3)
+
+
+@query("sql_q5_local_supplier", oracle=_Q5)
+def sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join incl. a compound join predicate
+    (supplier and customer in the same nation), region filter."""
+    _views(spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region"))
+    return spark.sql(_Q5)
+
+
+@query("sql_q14_promo_revenue", oracle=_Q14)
+def sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation ratio over
+    lineitem ⋈ part (LIKE predicate inside a CASE)."""
+    _views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q14)

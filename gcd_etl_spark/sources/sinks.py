@@ -69,13 +69,23 @@ def to_term_table(df: DataFrame, doc_id_col: str, term_cols: dict[str, str]) -> 
     for field_name, col_name in term_cols.items():
         col = df[col_name]
         dtype = dict(df.dtypes)[col_name]
-        terms = F.explode(col) if dtype.startswith("array") else col.cast("string")
-        parts.append(
-            df.select(
+        if dtype.startswith("array"):
+            # explode first — a generator cannot nest inside a cast
+            p = df.select(
                 F.col(doc_id_col).alias("doc_id"),
                 F.lit(field_name).alias("field"),
-                terms.cast("string").alias("term"),
-            ).where(F.col("term").isNotNull())
+                F.explode(col).alias("_term"),
+            )
+        else:
+            p = df.select(
+                F.col(doc_id_col).alias("doc_id"),
+                F.lit(field_name).alias("field"),
+                col.alias("_term"),
+            )
+        parts.append(
+            p.select("doc_id", "field", F.col("_term").cast("string").alias("term")).where(
+                F.col("term").isNotNull()
+            )
         )
     out = parts[0]
     for p in parts[1:]:
