@@ -386,3 +386,24 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         qty("O").alias("qty_open"), qty("F").alias("qty_finished")
     )
+
+
+# --------------------------------------------------- grouping sets
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers — the general
+    form rollup/cube specialize (SURVEY.md §2.4 builtin surface);
+    identical ANSI text runs on both engines."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -120,6 +120,28 @@ def scalar_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+       json_extract_string(props, '$.k') AS k_str
+FROM events
+""",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events ``props`` column —
+    engine-surface extension (the reference has no JSON functions;
+    SURVEY.md §2.8 'engine exposes Spark builtins')."""
+    events = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return events.select(
+        "event_id",
+        k.cast("int").alias("k_int"),
+        k.alias("k_str"),
+    )
+
+
+@query(
     "scalar_defaults",
     oracle="""
 SELECT c_custkey,

@@ -1,0 +1,43 @@
+"""Structured Streaming parity as a hash-checked query.
+
+The streaming jobs (streaming/jobs.py) run the SAME window algebra as
+the batch operators; this plan proves it under the driver's oracle:
+stage the events table to a parquet directory, drive it through
+``readStream`` (one file per micro-batch) into a memory sink, and
+hash-compare the final state against the batch tumbling-window SQL.
+A streaming pipeline whose converged answer equals the batch answer
+is the Spark-first statement of batch/stream unification.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table
+from gcd_etl_spark.streaming.jobs import run_streaming_tumbling
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling counts computed BY THE STREAMING ENGINE
+    (file-source micro-batches, watermarked state store, memory sink),
+    hash-matched against the batch oracle."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_stream_stage_{tag}"
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").parquet(staged)
+    return run_streaming_tumbling(spark, staged, name=f"stream_tumbling_{tag}")

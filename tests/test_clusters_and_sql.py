@@ -53,3 +53,13 @@ def test_sql_surface_oracles(spark):
 def test_term_table_oracle(spark):
     q = QUERIES["term_table"]
     assert_matches_oracle(q.build(spark, SF_SMOKE), q.oracle, SF_SMOKE, q.name)
+
+def test_scalar_json_and_grouping_sets_oracles(spark):
+    for name in ("scalar_json", "agg_grouping_sets"):
+        q = QUERIES[name]
+        assert_matches_oracle(q.build(spark, SF_SMOKE), q.oracle, SF_SMOKE, name)
+
+
+def test_stream_tumbling_parity_oracle(spark):
+    q = QUERIES["stream_tumbling"]
+    assert_matches_oracle(q.build(spark, SF_SMOKE), q.oracle, SF_SMOKE, q.name)
