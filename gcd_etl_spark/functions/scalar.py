@@ -74,7 +74,10 @@ def epoch_to_date_int(col: Column | str, sentinel: int | None = INT_SENTINEL) ->
     (session TZ) and document the delta. <=0 / null -> sentinel.
     """
     c = F.col(col) if isinstance(col, str) else col
-    formatted = F.date_format(F.from_unixtime(c), "yyyyMMdd").cast("int")
+    # Integer date math instead of date_format: no per-row string
+    # round-trip (the flagship stamps 14 of these per output row).
+    ts = F.timestamp_seconds(c)
+    formatted = (F.year(ts) * 10000 + F.month(ts) * 100 + F.dayofmonth(ts)).cast("int")
     fallback = F.lit(sentinel).cast("int") if sentinel is not None else F.lit(None).cast("int")
     return F.when(c > 0, formatted).otherwise(fallback)
 

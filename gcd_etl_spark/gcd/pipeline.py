@@ -64,8 +64,11 @@ def _jdbc_bool(col: Column) -> Column:
 
 def _epoch_date(col: Column) -> Column:
     """Timestamp column -> epoch secs -> yyyymmdd int, -1 on null/<=0
-    (F1 + F4: UNIX_TIMESTAMP in the query, Main.java:637-650 helper)."""
-    return scalar.epoch_to_date_int(F.unix_timestamp(col))
+    (F1 + F4: UNIX_TIMESTAMP in the query, Main.java:637-650 helper).
+    Integer date math — no per-row string formatting (14 of these
+    stamp every output row)."""
+    formatted = (F.year(col) * 10000 + F.month(col) * 100 + F.dayofmonth(col)).cast("int")
+    return F.when(F.unix_timestamp(col) > 0, formatted).otherwise(F.lit(-1))
 
 
 def build_snapshot(
