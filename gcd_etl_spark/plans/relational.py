@@ -407,3 +407,56 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical ANSI text runs on both engines."""
     read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# ------------------------------------------------------ skew salting
+@query(
+    "skew_salted_join",
+    oracle="""
+SELECT o.o_orderstatus AS orderstatus,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-side join (operators/skew.py): the lineitem shuffle
+    key is (l_orderkey, salt) so a hot order spreads across buckets;
+    orders replicates per salt. The oracle is the PLAIN join — salting
+    is a rewrite and must not change a single row."""
+    from gcd_etl_spark.operators.skew import salted_join
+
+    li = read_table(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, orders, key="o_orderkey", salt_from="l_linenumber", buckets=8)
+    return joined.groupBy(F.col("o_orderstatus").alias("orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(
+                as_money("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - as_money("l_discount"))
+            ),
+            2,
+        ).cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "skew_salted_distinct",
+    oracle="""
+SELECT l_orderkey AS orderkey, COUNT(DISTINCT l_partkey) AS n_distinct
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted distinct count (operators/skew.py): per-key
+    distinct state splits across value-salt slices before summing.
+    Oracle is the direct COUNT(DISTINCT) — must match exactly."""
+    from gcd_etl_spark.operators.skew import salted_distinct_count
+
+    li = read_table(spark, sf_dir, "lineitem")
+    out = salted_distinct_count(li, key="l_orderkey", value="l_partkey", buckets=8)
+    return out.select(F.col("l_orderkey").alias("orderkey"), "n_distinct")

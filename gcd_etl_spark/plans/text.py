@@ -156,3 +156,77 @@ def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality)."""
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.size(TX.shingles("text", k=3)).alias("n_shingles"))
+
+
+@query(
+    "corpus_curation",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n,
+         {_DUCK_TOKENS} AS toks,
+         length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS n_punct,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+), s AS (
+  SELECT doc_id, n, toks, content_hash,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','in','is','that','it','was','for'], lower(x)))) AS DOUBLE)
+           / len(toks) ELSE 0.0 END AS sr,
+         CASE WHEN n > 0 THEN CAST(n_punct AS DOUBLE) / n ELSE 1.0 END AS pr,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+             x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS s_en,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+             x -> list_contains(['el','la','de','que','y','en','los','del','las','por'], x))) AS s_es,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+             x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS s_fr,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+             x -> list_contains(['der','die','und','das','ist','von','den','mit','für','auf'], x))) AS s_de
+  FROM t
+), q AS (
+  SELECT doc_id, content_hash, len(toks) AS n_tokens,
+         ROUND((
+           (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 WHEN n > 0 THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE greatest(0.0, 1.0 - (pr - 0.2) * 2.5) END)
+           + (CASE WHEN sr >= 0.05 THEN 1.0 ELSE sr / 0.05 END)
+           + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.4 END)
+         ) / 4.0, 4) AS quality,
+         CASE WHEN greatest(s_en, s_es, s_fr, s_de) < 1 THEN 'und'
+              WHEN s_en >= greatest(s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es >= greatest(s_fr, s_de) THEN 'es'
+              WHEN s_fr >= s_de THEN 'fr'
+              ELSE 'de' END AS lang_guess
+  FROM s
+), k AS (
+  SELECT content_hash, min(doc_id) AS keep_id FROM q GROUP BY 1
+)
+SELECT q.doc_id, q.quality, q.lang_guess, q.n_tokens
+FROM q JOIN k ON q.doc_id = k.keep_id
+WHERE q.quality >= 0.6 AND q.lang_guess = 'en'
+""",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite — the operators a training-data
+    pipeline chains: exact-dedup survivorship (min doc per normalized
+    content hash) + quality floor + language filter, one declarative
+    plan. One scan, one groupBy(hash) exchange, one broadcast-able
+    keep-id join."""
+    docs = read_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    enriched = docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_guess"),
+        TX.token_count("text").alias("n_tokens"),
+        F.md5(normalized).alias("content_hash"),
+    )
+    keep = enriched.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        enriched.join(keep, enriched.doc_id == keep.keep_id)
+        .where((F.col("quality") >= 0.6) & (F.col("lang_guess") == "en"))
+        .select("doc_id", "quality", "lang_guess", "n_tokens")
+    )
