@@ -165,14 +165,46 @@ def lsh_topk(
 
     c = with_buckets(corpus, "neighbor_id", "corpus_vec")
     q = with_buckets(queries, "query_id", "query_vec")
+    # A pair may collide in several tables. Score every collision in
+    # the join stage (cheap codegen'd arithmetic, no data movement)
+    # and dedup on the (id, id, score) triple afterwards — shuffling
+    # 16 bytes of ids per candidate instead of two full vectors.
     scored = (
         c.join(F.broadcast(q), on=["table_idx", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_vec", "corpus_vec")
-        .distinct()  # a pair may collide in several tables; score once
         .select("query_id", "neighbor_id", _cos("query_vec", "corpus_vec", dim).alias("cosine"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     return _rank_topk(scored, k)
+
+
+def ivf_cells_udf(centroids: np.ndarray, n_keep: int):
+    """Pandas-UDF: the ``n_keep`` nearest centroid indices per vector.
+
+    Centroids are L2-normalized once at closure build, so per-row
+    cosine argmax reduces to one BLAS matmul against the unit
+    centroids (the row's own norm is constant across cells and cannot
+    change the ranking). One Arrow batch of N vectors costs a single
+    (N x dim) @ (dim x n_cells) product — no per-row JVM expression
+    tree, no row blowup, no shuffle.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1)
+    norms[norms == 0] = 1.0
+    Cn = (C / norms[:, None]).T  # dim x n_cells
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _cells(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray(embs.tolist(), dtype=np.float64)
+        sims = mat @ Cn
+        # argsort descending, stable; slice the n_keep nearest cells
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_keep].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _cells
 
 
 def ivf_topk(
@@ -187,48 +219,37 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF coarse-quantized ANN.
 
-    Centroids = deterministic corpus sample (every id ≡ 0 mod step),
-    broadcast everywhere. Corpus rows attach to their nearest centroid
-    (one broadcast join + argmax, no shuffle of the corpus); queries
-    fan out to their ``nprobe`` nearest cells only.
+    Centroids = deterministic corpus sample (every id ≡ 0 mod step,
+    lowest ids first) — tiny, so they live driver-side like any
+    trained coarse quantizer and ship to executors inside the UDF
+    closure. Corpus rows attach to their single nearest cell and
+    queries fan out to their ``nprobe`` nearest cells in one
+    Arrow-batched matmul each; the only shuffle key is the cell id.
+    A (query, corpus) pair meets in at most one cell (the corpus
+    row's), so candidate scoring needs no dedup.
     """
-    cents = (
+    cent_rows = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .where(F.col("cent_id") % F.lit(max(1, 1000 // n_cells)) == 0)
+        .orderBy("cent_id")
         .limit(n_cells)
+        .collect()
     )
+    centroids = np.asarray([r["cent_vec"] for r in cent_rows], dtype=np.float64)
 
-    def nearest_cells(df: DataFrame, side_id: str, side_vec: str, n_keep: int) -> DataFrame:
-        w = Window.partitionBy(side_id).orderBy(F.col("cent_cos").desc(), F.col("cent_id"))
-        return (
-            df.join(F.broadcast(cents))
-            .select(
-                F.col(side_id),
-                F.col(side_vec),
-                F.col("cent_id"),
-                _cos(side_vec, "cent_vec", dim).alias("cent_cos"),
-            )
-            .withColumn("cell_rank", F.row_number().over(w))
-            .where(F.col("cell_rank") <= n_keep)
-            .drop("cent_cos", "cell_rank")
-        )
-
-    c_cells = nearest_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")),
-        "neighbor_id",
-        "corpus_vec",
-        1,
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        F.element_at(ivf_cells_udf(centroids, 1)(F.col(vec_col)), 1).alias("cell"),
     )
-    q_cells = nearest_cells(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")),
-        "query_id",
-        "query_vec",
-        nprobe,
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.explode(ivf_cells_udf(centroids, nprobe)(F.col(vec_col))).alias("cell"),
     )
     scored = (
-        c_cells.join(F.broadcast(q_cells), on="cent_id")
+        c.join(F.broadcast(q), on="cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", _cos("query_vec", "corpus_vec", dim).alias("cosine"))
-        .distinct()
     )
     return _rank_topk(scored, k)

@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame, SparkSession
 from gcd_etl_spark.plans.registry import query
 from gcd_etl_spark.sources.catalog import read_table
 from gcd_etl_spark.streaming.jobs import run_streaming_tumbling
+from gcd_etl_spark.streaming.stateful import run_streaming_stateful_totals
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, prefix: str) -> tuple[str, str]:
+    """Write the events table to a parquet dir usable as a file-source
+    stream; returns (staged_dir, per-sf tag for sink names)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_stream_{prefix}_{tag}"
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").parquet(staged)
+    return staged, tag
 
 
 @query(
@@ -34,10 +47,27 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling counts computed BY THE STREAMING ENGINE
     (file-source micro-batches, watermarked state store, memory sink),
     hash-matched against the batch oracle."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    staged = f"/tmp/gcd_etl_stream_stage_{tag}"
-    events = read_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-    events.write.mode("overwrite").parquet(staged)
+    staged, tag = _stage_events(spark, sf_dir, "stage")
     return run_streaming_tumbling(spark, staged, name=f"stream_tumbling_{tag}")
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MAX(value) AS max_value,
+       MAX(epoch_us(ts) // 1000000) AS last_event_sec
+FROM events
+GROUP BY user_id
+""",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals computed by a CUSTOM stateful operator
+    (``applyInPandasWithState``: Arrow-fed python fold over a per-key
+    state store, streaming/stateful.py), converged over file-source
+    micro-batches and hash-matched against the batch GROUP BY. The
+    tracked stats (count, max, last-seen) are associative and
+    FP-exact, so stream/batch equality is exact, not approximate."""
+    staged, tag = _stage_events(spark, sf_dir, "stateful")
+    return run_streaming_stateful_totals(spark, staged, name=f"stream_stateful_{tag}")

@@ -61,3 +61,21 @@ def test_windows_batch_shapes(spark, sf_smoke):
     assert sli.agg(F.sum("n_events")).first()[0] == 2 * n  # each event in 2 windows
     ses = W.session_agg(events)
     assert ses.agg(F.sum("n_events")).first()[0] == n
+
+
+def test_streaming_stateful_totals_equals_batch(spark, sf_smoke, staged_events):
+    from gcd_etl_spark.streaming import run_streaming_stateful_totals
+
+    stream_out = run_streaming_stateful_totals(spark, staged_events, name="t_stateful")
+    batch = (
+        read_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("value").alias("max_value"),
+            F.max(F.col("ts").cast("long")).alias("last_event_sec"),
+        )
+    )
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
