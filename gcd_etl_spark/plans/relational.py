@@ -460,3 +460,61 @@ def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     out = salted_distinct_count(li, key="l_orderkey", value="l_partkey", buckets=8)
     return out.select(F.col("l_orderkey").alias("orderkey"), "n_distinct")
+
+
+# ------------------------------------------- bucketed co-located join
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+SELECT o.o_orderkey AS orderkey,
+       o.o_orderstatus AS orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+""",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + per-key agg over two tables bucketed on the join key
+    (sources/sinks.write_bucketed_table): storage layout satisfies the
+    join's and the agg's required distribution, so the physical plan
+    has ZERO shuffle exchanges (asserted in tests/test_bucketing.py)
+    — the co-location discipline that removes the flagship's two big
+    exchanges at 100 TB. The oracle is the plain join: bucketing is
+    layout, never semantics."""
+    import os as _os
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+
+    def _ensure(name: str, table: str, cols: list[str], key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # a dir left by a previous session (in-memory catalog forgot
+        # the table) blocks saveAsTable — clear it first
+        _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+        write_bucketed_table(
+            read_table(spark, sf_dir, table).select(*cols),
+            name,
+            [key],
+            n_buckets=16,
+            sort_cols=[key],
+        )
+
+    _ensure(lt, "lineitem", ["l_orderkey", "l_quantity"], "l_orderkey")
+    _ensure(ot, "orders", ["o_orderkey", "o_orderstatus"], "o_orderkey")
+    li, orders = spark.table(lt), spark.table(ot)
+    joined = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+    return joined.groupBy(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderstatus").alias("orderstatus"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        exact_sum("l_quantity").alias("sum_qty"),
+    )

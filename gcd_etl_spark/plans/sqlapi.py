@@ -100,3 +100,51 @@ def sql_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem ⋈ part (LIKE predicate inside a CASE)."""
     _views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_Q14)
+
+
+_Q6 = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+_Q10 = """
+SELECT c.c_custkey AS custkey,
+       c.c_name AS name,
+       n.n_name AS nation,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, custkey
+LIMIT 20
+"""
+
+
+@query("sql_q6_forecast_revenue", oracle=_Q6)
+def sql_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan-only predicate aggregate — the filter
+    (date range + discount band + quantity cap) must reach the parquet
+    scan as pushed filters; decimal-exact revenue."""
+    _views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q6)
+
+
+@query("sql_q10_returned_items", oracle=_Q10)
+def sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join with a selective fact-side filter
+    (returned lines in a quarter), grouped revenue, deterministic
+    top-20."""
+    _views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(_Q10)

@@ -57,6 +57,31 @@ def register_snapshot_table(spark: SparkSession, name: str, location: str) -> No
     spark.sql(f"MSCK REPAIR TABLE {name}")
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by the
+    join/agg key.
+
+    This is the 100 TB co-location play: two tables bucketed by the
+    same key into the same bucket count join with NO shuffle exchange
+    on either side (and no sort, if ``sort_cols`` covers the key) —
+    the exchange the reference pushed onto MySQL's optimizer becomes
+    a static storage-layout property. Bucket count should be chosen
+    so one bucket of the larger table fits an executor's memory
+    comfortably at target scale.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
+
+
 def to_term_table(df: DataFrame, doc_id_col: str, term_cols: dict[str, str]) -> DataFrame:
     """Inverted-index capability as a DataFrame (Flamdex S6 analog).
 
