@@ -518,3 +518,43 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         exact_sum("l_quantity").alias("sum_qty"),
     )
+
+
+# ------------------------------------------------------- as-of join
+@query(
+    "asof_join_events",
+    oracle="""
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts, MAX(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts) // 1000000 AS ts_sec,
+       epoch_us(r.ts) // 1000000 AS asof_sec,
+       r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (operators/asof.py): each click picks up the
+    user's most recent purchase at-or-before it — computed as a
+    union + per-key sort + last-carry-forward, one shuffle, no range
+    explosion. The oracle is DuckDB's NATIVE ASOF JOIN, so the
+    hand-built composition is held to the real operator's semantics
+    (including ties and no-prior-match nulls)."""
+    from gcd_etl_spark.operators.asof import asof_join
+
+    events = read_table(spark, sf_dir, "events")
+    left = events.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, key="user_id", ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        F.col("asof_ts").cast("long").alias("asof_sec"),
+        "purchase_value",
+    )
