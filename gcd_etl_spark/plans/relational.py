@@ -558,3 +558,50 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_ts").cast("long").alias("asof_sec"),
         "purchase_value",
     )
+
+
+# -------------------------------------------------------- range join
+@query(
+    "range_join_events",
+    oracle="""
+WITH i AS (SELECT event_id AS interval_id, user_id, ts AS start_ts,
+                  ts + INTERVAL 1 HOUR AS end_ts
+           FROM events WHERE event_type = 'error'),
+     p AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+SELECT i.interval_id, p.click_id, i.user_id,
+       epoch_us(p.click_ts) // 1000000 AS click_sec
+FROM i JOIN p ON i.user_id = p.user_id
+               AND p.click_ts BETWEEN i.start_ts AND i.end_ts
+""",
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators/rangejoin.py): clicks
+    within an hour of each error, same user. Executed as a binned
+    equi-join on (user, hour-bin) — a plain shuffled join, NOT the
+    BroadcastNestedLoopJoin a bare inequality predicate produces. The
+    oracle is the naive inequality join, so binning is held to be a
+    pure rewrite."""
+    from gcd_etl_spark.operators.rangejoin import point_in_interval_join
+
+    events = read_table(spark, sf_dir, "events")
+    intervals = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    points = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    out = point_in_interval_join(
+        intervals, points, key="user_id", start="start_ts", end="end_ts", ts="click_ts"
+    )
+    return out.select(
+        "interval_id",
+        "click_id",
+        "user_id",
+        F.col("click_ts").cast("long").alias("click_sec"),
+    )

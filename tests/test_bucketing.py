@@ -26,3 +26,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_smoke):
     # and the result is still the plain join's answer (row spot check)
     n = df.count()
     assert n > 0
+
+
+def test_range_join_is_not_nested_loop(spark, sf_smoke):
+    """The binned rewrite must plan as an equi-join on (key, bin) —
+    never the O(L x R) BroadcastNestedLoopJoin a bare inequality
+    predicate produces."""
+    df = QUERIES["range_join_events"].build(spark, sf_smoke)
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Join" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_smoke):
+    """The as-of composition shuffles on the key once (the window
+    sort); no range-join candidate explosion, no nested loop."""
+    df = QUERIES["asof_join_events"].build(spark, sf_smoke)
+    plan = _formatted_plan(df)
+    assert "BroadcastNestedLoop" not in plan, plan
