@@ -605,3 +605,19 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("click_ts").cast("long").alias("click_sec"),
     )
+
+
+# ------------------------------------------------ approx aggregates
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB path where exact
+    distinct/percentile state is too big: HLL++ distinct counts and
+    GK approximate percentiles, fixed-size state, map-side partials.
+    No SQL oracle (sketches are engine-specific by definition);
+    tests/test_approx.py bounds them against the exact answers."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_quantity", [0.5, 0.95], 10000).alias("qty_p50_p95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

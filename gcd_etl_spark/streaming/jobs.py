@@ -95,3 +95,30 @@ def run_streaming_sessions(
         )
     )
     return _run_to_memory(agg, spark, name)
+
+
+def run_streaming_to_parquet(
+    spark: SparkSession,
+    staged_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Stream -> partitioned parquet sink (the S5 sink contract under
+    Structured Streaming): date-partitioned append with exactly-once
+    file commits via the checkpoint log. ``availableNow`` drains the
+    bounded source then stops — the batch-parity harness shape; a
+    live deployment just drops that trigger. Returns a batch reader
+    over what was committed."""
+    events = streaming_events(spark, staged_dir)
+    q = (
+        events.withColumn("event_date", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .partitionBy("event_date")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

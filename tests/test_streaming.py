@@ -79,3 +79,18 @@ def test_streaming_stateful_totals_equals_batch(spark, sf_smoke, staged_events):
     got = {tuple(r) for r in stream_out.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_parquet_sink_equals_batch(spark, sf_smoke, staged_events, tmp_path):
+    from gcd_etl_spark.streaming.jobs import run_streaming_to_parquet
+
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    written = run_streaming_to_parquet(spark, staged_events, out, ckpt)
+    batch = read_table(spark, sf_smoke, "events")
+    assert written.count() == batch.count()
+    # partition layout is date-hive dirs, and values round-trip
+    assert written.where(F.col("event_date").isNull()).count() == 0
+    got = written.agg(F.sum("value"), F.count_distinct("user_id")).first()
+    want = batch.agg(F.sum("value"), F.count_distinct("user_id")).first()
+    assert abs(got[0] - want[0]) < 1e-6 and got[1] == want[1]
