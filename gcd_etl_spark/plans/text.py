@@ -230,3 +230,35 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("quality") >= 0.6) & (F.col("lang_guess") == "en"))
         .select("doc_id", "quality", "lang_guess", "n_tokens")
     )
+
+
+@query(
+    "data_split_deterministic",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h * 100 // 4294967296 AS INT) AS bucket,
+       CASE WHEN h * 100 // 4294967296 < 80 THEN 'train'
+            WHEN h * 100 // 4294967296 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def data_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment: a Knuth multiplicative
+    hash of the stable id -> percentile bucket -> 80/10/10 split.
+    Pure integer arithmetic, so the SAME rows land in the SAME split
+    on every engine, every run, every scale — the property a training
+    pipeline needs from its split (no rand(), no shuffle, no state).
+    Runs entirely in the scan's projection; partition-local."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    bucket = F.floor(h * 100 / F.lit(4294967296)).cast("int")
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
