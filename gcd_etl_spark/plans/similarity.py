@@ -108,3 +108,14 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cos >= 0.98)
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+@query("sim_embedding_neardup_blas", oracle=None)
+def sim_embedding_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-vectorized all-pairs near-dup (mapInPandas + one BLAS
+    matmul per task against the broadcast normalized corpus): the
+    mid-scale path between the expression-tree anchor and the LSH/IVF
+    operators. Pair-set equality with the anchor is asserted in
+    tests/test_similarity.py."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return S.neardup_pairs_blas(emb, threshold=0.98)

@@ -61,3 +61,23 @@ def test_ann_cosines_are_exact(emb, queries, exact_topk):
     }
     for pair, cos in ann.items():
         assert abs(exact_all[pair] - cos) < 1e-9
+
+
+def test_blas_neardup_matches_anchor(spark, sf_smoke, emb):
+    """The BLAS block path finds exactly the anchor's pairs (modulo
+    pairs sitting within FP noise of the threshold)."""
+    from gcd_etl_spark.plans import QUERIES
+
+    anchor = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in QUERIES["sim_embedding_neardup"].build(spark, sf_smoke).collect()
+    }
+    blas = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in S.neardup_pairs_blas(emb, threshold=0.98).collect()
+    }
+    for pair in set(anchor) ^ set(blas):
+        cos = anchor.get(pair, blas.get(pair))
+        assert abs(cos - 0.98) < 1e-6, f"non-boundary disagreement: {pair} {cos}"
+    for pair in set(anchor) & set(blas):
+        assert abs(anchor[pair] - blas[pair]) < 1e-6
