@@ -621,3 +621,45 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", [0.5, 0.95], 10000).alias("qty_p50_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ----------------------------------------------------- snapshot diff
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+              OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+""",
+)
+def snapshot_diff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot change classification (operators/snapshot_diff):
+    two simulated nightly snapshots of orders (some keys absent from
+    the old one = added, some from the new one = removed, every 5th
+    status mutated = changed), keys + xxhash64 fingerprints joined
+    full-outer so the 89-column flagship rows never shuffle. The
+    oracle is the direct column-compare FULL OUTER JOIN."""
+    from gcd_etl_spark.operators.snapshot_diff import snapshot_diff
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.where(F.col("o_orderkey") % 13 != 0)
+    new = orders.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    return snapshot_diff(old, new, key_cols=["o_orderkey"])

@@ -71,3 +71,40 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     FP-exact, so stream/batch equality is exact, not approximate."""
     staged, tag = _stage_events(spark, sf_dir, "stateful")
     return run_streaming_stateful_totals(spark, staged, name=f"stream_stateful_{tag}")
+
+
+@query(
+    "stream_sessions",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   >= 600000000
+              OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), g AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM e
+)
+SELECT user_id,
+       MIN(us) // 1000000 AS session_start_sec,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sess
+""",
+)
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed BY THE STREAMING ENGINE (merging
+    session state store over file-source micro-batches), hash-matched
+    against the batch gaps-and-islands SQL. The staged files are not
+    time-ordered, so the watermark spans the whole event range —
+    correct for the bounded-parity contract; a live deployment sets it
+    to its real lateness bound."""
+    from gcd_etl_spark.streaming.jobs import run_streaming_sessions
+
+    staged, tag = _stage_events(spark, sf_dir, "sessions")
+    return run_streaming_sessions(
+        spark, staged, watermark="100000 hours", name=f"stream_sessions_{tag}"
+    )
