@@ -663,3 +663,33 @@ def snapshot_diff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderkey") % 5 == 0, "X").otherwise(F.col("o_orderstatus")),
     )
     return snapshot_diff(old, new, key_cols=["o_orderkey"])
+
+
+# --------------------------------------------- analytic fn breadth
+@query(
+    "window_analytics",
+    oracle="""
+SELECT o_orderkey,
+       o_custkey,
+       LAG(o_orderkey) OVER w AS prev_order,
+       LEAD(o_orderkey) OVER w AS next_order,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+""",
+)
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function surface in one plan: lag/lead neighbors,
+    ntile quartiles, percent_rank — all over a single per-customer
+    ordered window, so one shuffle serves every function."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

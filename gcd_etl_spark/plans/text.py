@@ -262,3 +262,29 @@ def data_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         (doc_id * 2654435761) % 4294967296 AS hv
+  FROM documents
+)
+SELECT doc_id, lang
+FROM h
+WHERE hv < CASE lang WHEN 'en' THEN 429496730 ELSE 2147483648 END
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: each class keeps its own
+    hash-threshold fraction (10% of 'en', 50% of everything else) —
+    the class-rebalancing primitive of corpus construction, with the
+    same reproducibility contract as data_split_deterministic (pure
+    integer arithmetic, no rand(), no shuffle; a row's fate depends
+    only on its id). Runs inside the scan's filter."""
+    docs = read_table(spark, sf_dir, "documents")
+    hv = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    frac = F.when(F.col("lang") == "en", F.lit(429496730)).otherwise(F.lit(2147483648))
+    return docs.where(hv < frac).select("doc_id", "lang")
