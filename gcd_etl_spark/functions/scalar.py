@@ -37,14 +37,18 @@ def multi_split(col: Column | str) -> Column:
     # regex + split — codegen'd (an aggregate-fold version of the
     # trim was interpreted per element and ~5x slower in the 10-way
     # multi_split projection of the snapshot build).
-    stripped = F.regexp_replace(c, r"(\s*;\s*)+$", "")
+    # \z anchors, not $: Java-regex $ also matches BEFORE a final line
+    # terminator, so "^...$" would misclassify "\r" as all-separator
+    # (Java split("\r") keeps ["\r"]). Found by hypothesis
+    # (tests/test_properties.py).
+    stripped = F.regexp_replace(c, r"(\s*;\s*)+\z", "")
     arr = F.split(stripped, MULTI_VALUE_PATTERN)
     return (
         # Java `"".split(p)` returns [""], not [] — preserve that corner.
         F.when(c == "", F.array(F.lit("")))
         # All-separator input (";", ";;"): every element is a trailing
         # empty in Java -> empty array.
-        .when(c.rlike(r"^(\s*;\s*)*$"), F.array().cast("array<string>"))
+        .when(c.rlike(r"\A(\s*;\s*)*\z"), F.array().cast("array<string>"))
         .otherwise(arr)
     )
 
