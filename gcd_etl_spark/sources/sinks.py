@@ -17,6 +17,8 @@ lookup) is preserved as the exploded term table below.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -55,6 +57,41 @@ def register_snapshot_table(spark: SparkSession, name: str, location: str) -> No
     # Partition discovery — the MSCK REPAIR step of the reference's
     # Athena flow (gcdissuesnapshot.sql:95); no-op for unpartitioned.
     spark.sql(f"MSCK REPAIR TABLE {name}")
+
+
+def compact_snapshot_partition(
+    spark: SparkSession,
+    table_path: str,
+    snapshot: int,
+    target_files: int = 1,
+) -> int:
+    """Rewrite one ``snapshot=N`` partition into ``target_files``
+    parquet files; returns the row count.
+
+    Small-file buildup is the operational tax of frequent appends; at
+    scale a compaction pass keeps scans at ~one task per 128 MB
+    instead of one per straggler file. Rewrite goes through a temp dir
+    then an atomic-enough swap (rename) so a concurrent reader never
+    sees a half-written partition; on object stores this step maps to
+    the table format's commit (Iceberg/Delta rewrite_data_files).
+    """
+    import shutil
+
+    part_dir = os.path.join(table_path, f"snapshot={snapshot}")
+    tmp_dir = part_dir + "._compact_tmp"
+    df = spark.read.parquet(part_dir)
+    n = df.count()
+    df.repartition(target_files).write.mode("overwrite").option(
+        "compression", "snappy"
+    ).parquet(tmp_dir)
+    old_dir = part_dir + "._compact_old"
+    os.rename(part_dir, old_dir)
+    os.rename(tmp_dir, part_dir)
+    shutil.rmtree(old_dir)
+    # drop cached file listings that still point at the old part files
+    spark.catalog.refreshByPath(table_path)
+    spark.catalog.refreshByPath(part_dir)
+    return n
 
 
 def write_bucketed_table(
