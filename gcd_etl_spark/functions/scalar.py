@@ -64,7 +64,11 @@ def date_str_to_int(col: Column | str, sentinel: int | None = INT_SENTINEL) -> C
     nullable parquet semantics).
     """
     c = F.col(col) if isinstance(col, str) else col
-    matched = c.rlike(r"^\d{4}-\d{2}-\d{2}$")
+    # \A...\z, not ^...$: Java-regex $ matches BEFORE a final line
+    # terminator, so "1987-03-01\n" would wrongly parse; the
+    # reference's Matcher.matches() is whole-input. Same bug class as
+    # multi_split's trailing-separator trim above.
+    matched = c.rlike(r"\A\d{4}-\d{2}-\d{2}\z")
     as_int = F.regexp_replace(F.substring(c, 1, 10), "-", "").cast("int")
     fallback = F.lit(sentinel).cast("int") if sentinel is not None else F.lit(None).cast("int")
     return F.when(matched, as_int).otherwise(fallback)

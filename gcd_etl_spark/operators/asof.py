@@ -71,19 +71,21 @@ def asof_join(
         .orderBy(F.col(ts).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}") for c in payload],
+    # Carry ONE struct that is non-null exactly on right rows, not one
+    # last(ignorenulls) per payload column: per-column carry would skip
+    # a legitimate NULL in the matched (latest) right row and surface a
+    # stale value from an older right row, while asof_ts points at the
+    # newer one — DuckDB ASOF JOIN returns the matched row's NULLs.
+    right_row = F.when(
+        F.col("_side") == 0, F.struct(F.col("_r_ts").alias("_ts"), *payload)
     )
+    carried = unioned.select("*", F.last(right_row, ignorenulls=True).over(w).alias("_m"))
     out = carried.where(F.col("_side") == 1)
     if tolerance_sec is not None:
-        in_tol = (F.col(ts).cast("long") - F.col("asof_ts").cast("long")) <= tolerance_sec
-        out = out.withColumn("asof_ts", F.when(in_tol, F.col("asof_ts")))
-        for c in payload:
-            out = out.withColumn(f"_c_{c}", F.when(in_tol, F.col(f"_c_{c}")))
+        in_tol = (F.col(ts).cast("long") - F.col("_m._ts").cast("long")) <= tolerance_sec
+        out = out.withColumn("_m", F.when(in_tol, F.col("_m")))
     return out.select(
         *left.columns,
-        "asof_ts",
-        *[F.col(f"_c_{c}").alias(c) for c in payload],
+        F.col("_m._ts").alias("asof_ts"),
+        *[F.col(f"_m.{c}").alias(c) for c in payload],
     )

@@ -269,6 +269,7 @@ def connected_components(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
     labels = nodes.select(F.col(id_col).alias("_nid"), F.col(id_col).alias("label"))
+    changed = 1
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels._nid).select(
             F.col("dst").alias("_nid"), "label"
@@ -286,6 +287,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A component with diameter > max_iter would return partially
+        # merged cluster ids SILENTLY — that mismatches any transitive-
+        # closure oracle and is exactly the failure mode real dup-chain
+        # corpora hit. Fail loudly; callers with huge-diameter graphs
+        # should raise max_iter or switch to large-star/small-star.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels are partially propagated"
+        )
     return labels.select(F.col("_nid").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -42,6 +42,13 @@ def point_in_interval_join(
     overlap = (set(intervals.columns) & set(points.columns)) - {key}
     if overlap:
         raise ValueError(f"column collision between sides: {sorted(overlap)}")
+    if how not in ("inner", "left"):
+        # An outer binned join is structurally wrong: the exploded
+        # interval would null-extend once PER BIN, and a post-join
+        # .where() on the exact predicate silently drops null-extended
+        # rows (degrading outer to inner). 'left' (interval-preserving)
+        # is built as inner + anti add-back below instead.
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
     w = F.lit(bin_width_sec).cast("long")
     i_binned = intervals.withColumn(
@@ -54,8 +61,26 @@ def point_in_interval_join(
         ),
     )
     p_binned = points.withColumn("_bin", F.floor(F.col(ts).cast("long") / w))
-    return (
-        i_binned.join(p_binned, on=[key, "_bin"], how=how)
+    matched = (
+        i_binned.join(p_binned, on=[key, "_bin"], how="inner")
         .where(F.col(ts).between(F.col(start), F.col(end)))
         .drop("_bin")
     )
+    if how == "inner":
+        return matched
+    # left: add back intervals with no containing point, null-extended
+    # once (not once per bin — the anti join must run at interval
+    # granularity, since a multi-bin interval matched in one bin would
+    # otherwise resurface null-extended from its other bins).
+    matched_intervals = matched.select(*intervals.columns).distinct()
+    unmatched = intervals.join(
+        matched_intervals,
+        on=[
+            intervals[c].eqNullSafe(matched_intervals[c]) for c in intervals.columns
+        ],
+        how="left_anti",
+    )
+    point_cols = [c for c in points.columns if c != key]
+    for c in point_cols:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(points.schema[c].dataType))
+    return matched.unionByName(unmatched.select(*matched.columns))

@@ -415,7 +415,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o.o_orderstatus AS orderstatus,
        COUNT(*) AS n_lines,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus
@@ -616,9 +618,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     No SQL oracle (sketches are engine-specific by definition);
     tests/test_approx.py bounds them against the exact answers."""
     li = read_table(spark, sf_dir, "lineitem")
+    # Scalar columns only: the driver's canonicalizer sorts result
+    # columns and an array<double> cell is unhashable there (r01 crash)
+    # — split the percentile pair into two doubles.
+    pcts = F.percentile_approx("l_quantity", [0.5, 0.95], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_quantity", [0.5, 0.95], 10000).alias("qty_p50_p95"),
+        pcts.getItem(0).alias("qty_p50"),
+        pcts.getItem(1).alias("qty_p95"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

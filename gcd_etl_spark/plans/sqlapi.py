@@ -20,9 +20,19 @@ from pyspark.sql import DataFrame, SparkSession
 from gcd_etl_spark.plans.registry import query
 from gcd_etl_spark.sources.catalog import read_table
 
-_Q3 = """
+# Decimal-exact money math on BOTH engines (functions/numeric.py
+# discipline): SUM over doubles is order-dependent, and Spark's task
+# order differs from DuckDB's scan order — ROUND(SUM(double),2) drifts
+# at half-cent boundaries as data grows. DECIMAL sums are exact, so
+# ROUND then CAST to double hashes identically.
+_REV = (
+    "ROUND(CAST(SUM(CAST({p} AS DECIMAL(18,2))"
+    " * (1 - CAST({d} AS DECIMAL(18,2)))) AS DOUBLE), 2)"
+)
+
+_Q3 = f"""
 SELECT l.l_orderkey AS orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {_REV.format(p='l.l_extendedprice', d='l.l_discount')} AS revenue,
        CAST(date_format(o.o_orderdate, 'yyyyMMdd') AS INT) AS orderdate_int,
        o.o_orderpriority AS orderpriority
 FROM customer c
@@ -34,9 +44,9 @@ ORDER BY revenue DESC, orderkey
 LIMIT 20
 """
 
-_Q3_ORACLE = """
+_Q3_ORACLE = f"""
 SELECT l.l_orderkey AS orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {_REV.format(p='l.l_extendedprice', d='l.l_discount')} AS revenue,
        CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS orderdate_int,
        o.o_orderpriority AS orderpriority
 FROM customer c
@@ -48,9 +58,9 @@ ORDER BY revenue DESC, orderkey
 LIMIT 20
 """
 
-_Q5 = """
+_Q5 = f"""
 SELECT n.n_name AS nation,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_REV.format(p='l.l_extendedprice', d='l.l_discount')} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -62,11 +72,17 @@ GROUP BY n.n_name
 ORDER BY revenue DESC, nation
 """
 
+# Sums are decimal-exact, then CAST to double BEFORE dividing: both
+# engines see bit-identical IEEE operands, so quotient and ROUND(.,4)
+# agree (decimal/decimal division rounds at engine-specific scales).
 _Q14 = """
-SELECT ROUND(100.00 * SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                               THEN l.l_extendedprice * (1 - l.l_discount)
-                               ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct,
+SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                               ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4)
+         AS promo_revenue_pct,
        COUNT(*) AS n_lines
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey

@@ -65,6 +65,10 @@ def test_multi_split_matches_java_semantics(spark, values):
             _texts,
             st.dates().map(lambda d: d.isoformat()),
             st.from_regex(r"[0-9]{4}-[0-9][0-9]-[0-9][0-9]", fullmatch=True),
+            # trailing line terminator: Java-regex $ would still match
+            # here, \z must not (the date_str_to_int $-anchor bug)
+            st.dates().map(lambda d: d.isoformat() + "\n"),
+            st.dates().map(lambda d: d.isoformat() + "\r\n"),
         ),
         min_size=1,
         max_size=40,
