@@ -46,9 +46,12 @@ def multi_split(col: Column | str) -> Column:
     return (
         # Java `"".split(p)` returns [""], not [] — preserve that corner.
         F.when(c == "", F.array(F.lit("")))
-        # All-separator input (";", ";;"): every element is a trailing
-        # empty in Java -> empty array.
-        .when(c.rlike(r"\A(\s*;\s*)*\z"), F.array().cast("array<string>"))
+        # All-separator input (";", " ; ", ";;"): every element is a
+        # trailing empty in Java -> empty array. Exactly these inputs
+        # strip to "" (non-empty inputs with no separator tail strip to
+        # themselves), so an equality on `stripped` replaces a third
+        # regex execution per row; codegen CSEs the regexp_replace.
+        .when(stripped == "", F.array().cast("array<string>"))
         .otherwise(arr)
     )
 

@@ -97,38 +97,54 @@ def aggregate_story_credits(
             F.col("cr.id").alias("creator_id"),
         )
     )
-    expanded = joined.join(F.broadcast(expansion_df(spark)), "credit_type_id").select(
-        "story_id",
-        "credit_row_id",
-        "creator_name",
-        "creator_id",
-        F.explode("atomic_fields").alias("atomic"),
-    )
-
-    aggs = []
-    for field in ATOMIC_FIELDS:
-        # Pairwise alignment: one list of (row_id, name, id) structs,
-        # sorted on row_id, THEN unzipped — two independent
-        # collect_lists could see different shuffle arrival orders
-        # (SURVEY.md §7.5).
-        structs = F.array_sort(
+    # ONE collect_list of (rid, type, name, id) per story — no explode
+    # (which multiplied agg input ~2.3x) and no per-field CASE aggs
+    # (7 object aggs -> 1). The F10 expansion happens AFTER grouping as
+    # codegen'd array filters: field X's list is the rid-sorted structs
+    # whose type expands to X. Pairwise name/id alignment: single sort
+    # on the unique credit_row_id, then per-field filter preserves it
+    # (SURVEY.md §7.5).
+    # Struct field order IS the sort order (array_sort compares
+    # lexicographically): rid, then name/cid to break rid ties the
+    # same way the oracle's ORDER BY rid, nm, cid does — tid goes
+    # LAST so it never outranks the name tie-break (credit_row_id is
+    # only unique per source row, not per (row, type)).
+    agg = joined.groupBy("story_id").agg(
+        F.array_sort(
             F.collect_list(
-                F.when(
-                    F.col("atomic") == field,
-                    F.struct(
-                        F.col("credit_row_id").alias("rid"),
-                        F.col("creator_name").alias("name"),
-                        F.col("creator_id").alias("cid"),
-                    ),
+                F.struct(
+                    F.col("credit_row_id").alias("rid"),
+                    F.col("creator_name").alias("name"),
+                    F.col("creator_id").alias("cid"),
+                    F.col("credit_type_id").alias("tid"),
                 )
             )
-        )
-        aggs.append(structs.alias(f"_{field}_structs"))
+        ).alias("_structs")
+    )
 
-    agg = expanded.groupBy("story_id").agg(*aggs)
+    # field -> credit_type_ids whose expansion contains it (data from
+    # the same CREDIT_TYPE_EXPANSION table the explode used)
+    field_tids = {
+        field: sorted(tid for tid, fields in CREDIT_TYPE_EXPANSION.items() if field in fields)
+        for field in ATOMIC_FIELDS
+    }
+    # two-step select so each field's filter runs once, not once per
+    # unzip (higher-order exprs are not CSE'd by Catalyst). NB: the
+    # lambda must take exactly one positional arg (PySpark introspects
+    # the signature), hence the closure factory.
+    def _tid_match(tids: list[int]):
+        return lambda x: x["tid"].isin(*tids)
+
+    filtered = agg.select(
+        "story_id",
+        *[
+            F.filter(F.col("_structs"), _tid_match(field_tids[f])).alias(f"_f_{f}")
+            for f in ATOMIC_FIELDS
+        ],
+    )
     out_cols = [F.col("story_id")]
     for field in ATOMIC_FIELDS:
-        s = F.col(f"_{field}_structs")
+        s = F.col(f"_f_{field}")
         out_cols.append(F.transform(s, lambda x: x["name"]).alias(f"credit_{field}"))
         out_cols.append(F.transform(s, lambda x: x["cid"]).alias(f"credit_{field}_creator_id"))
-    return agg.select(*out_cols)
+    return filtered.select(*out_cols)

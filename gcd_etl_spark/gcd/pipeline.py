@@ -121,6 +121,17 @@ def build_snapshot(
     else:
         credits = None
 
+    # Join credits into the NARROW story side first: the credits agg
+    # meets ~20 story columns instead of the 80+-column issue⋈story
+    # result, so the widest rows shuffle exactly once (on issue.id for
+    # the story join) rather than re-exchanging on story.id. At 100 TB
+    # the removed exchange is the full denormalized width.
+    story_side = story
+    if credits is not None:
+        story_side = story.join(
+            credits, F.col("story.id") == F.col("credit.story_id"), "left"
+        )
+
     joined = (
         issue.join(series, F.col("issue.series_id") == F.col("series.id"), "inner")
         .join(F.broadcast(publisher), F.col("series.publisher_id") == F.col("publisher.id"), "inner")
@@ -130,10 +141,8 @@ def build_snapshot(
             "left",
         )
         .join(F.broadcast(brand), F.col("issue.brand_id") == F.col("brand.id"), "left")
-        .join(story, F.col("story.issue_id") == F.col("issue.id"), "left")
+        .join(story_side, F.col("story.issue_id") == F.col("issue.id"), "left")
     )
-    if credits is not None:
-        joined = joined.join(credits, F.col("story.id") == F.col("credit.story_id"), "left")
 
     story_present = F.col("story.id").isNotNull()
     credit_present = (

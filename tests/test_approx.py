@@ -30,5 +30,5 @@ def test_approx_distinct_within_bound(spark, sf_smoke):
         assert a["n_rows"] == e["n_rows"]
         # HLL++ rsd=0.02 -> allow 3 sigma
         assert abs(a["approx_parts"] - e["parts"]) <= max(2, 0.06 * e["parts"])
-        for got, want in zip(a["qty_p50_p95"], e["qs"]):
+        for got, want in zip((a["qty_p50"], a["qty_p95"]), e["qs"]):
             assert abs(got - want) <= max(1.0, 0.05 * want)
