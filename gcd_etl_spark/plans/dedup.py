@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from gcd_etl_spark.operators import dedup as D
 from gcd_etl_spark.plans.registry import query
-from gcd_etl_spark.sources.catalog import read_table
+from gcd_etl_spark.sources.catalog import read_table, read_table_spread
 
 _DUCK_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _DUCK_SHINGLES = (
@@ -37,7 +37,7 @@ GROUP BY 1
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: normalize -> md5 -> groupBy(hash)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return D.exact_dedup(docs)
 
 
@@ -64,7 +64,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ground-truth near-dup pairs: exact word-3-shingle Jaccard >= 0.5
     over all pairs. Quadratic by construction — the correctness anchor
     the LSH operators are validated against, not the scale path."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     from gcd_etl_spark.functions.text import shingles
 
     s = docs.select(F.col("doc_id").alias("_sid"), shingles("text", 3).alias("sh"))
@@ -114,7 +114,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graph (min-label propagation; the oracle states the same
     components via a recursive CTE). The step after pair finding in a
     real corpus-curation pipeline — keep one doc per cluster_id."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     from gcd_etl_spark.functions.text import shingles
 
     s = docs.select(F.col("doc_id").alias("_sid"), shingles("text", 3).alias("sh"))
@@ -136,7 +136,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard >= 0.5. The sub-quadratic scale path; xxhash64-based
     so no SQL oracle — validated against dedup_ngram_jaccard in
     tests/test_dedup.py."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
@@ -145,7 +145,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit fingerprint, 4-block pigeonhole
     bucketing, hamming <= 3)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return D.simhash_dedup_pairs(docs, max_hamming=3)
 
 
@@ -155,7 +155,7 @@ def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     + simhash (rows-only: DuckDB lacks xxhash64)."""
     from gcd_etl_spark.functions.text import fingerprint64
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     sim = D.simhash_table(docs)
     return (
         docs.select("doc_id", fingerprint64("text").alias("content_fp"))

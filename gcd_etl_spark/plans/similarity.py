@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from gcd_etl_spark.operators import similarity as S
 from gcd_etl_spark.plans.registry import query
-from gcd_etl_spark.sources.catalog import read_table
+from gcd_etl_spark.sources.catalog import read_table, read_table_spread
 
 N_QUERIES = 5
 TOP_K = 10
@@ -49,7 +49,7 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor-id tie-break) so rank order is stable across engines and
     shuffle schedules.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_spread(spark, sf_dir, "embeddings")
     out = S.brute_force_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
     return out
 
@@ -59,7 +59,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN top-k: 8 tables x 4 sign bits (32
     deterministic hyperplanes). Recall vs brute force is asserted in
     tests/test_similarity.py."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_spread(spark, sf_dir, "embeddings")
     planes = S.make_planes(dim=EMB_DIM, n_planes=32)
     return S.lsh_topk(emb, _query_set(emb), planes, n_tables=8, k=TOP_K, dim=EMB_DIM)
 
@@ -67,7 +67,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_ann_ivf", oracle=None)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantized ANN top-k (16 cells, nprobe=4)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_spread(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, _query_set(emb), n_cells=16, nprobe=4, k=TOP_K, dim=EMB_DIM)
 
 
@@ -88,7 +88,7 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness anchor; the ANN operators are its scale path."""
     from gcd_etl_spark.functions.vector import dot_fixed, norm_fixed
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_spread(spark, sf_dir, "embeddings")
     # Norms once per side (n rows), unrolled dot per pair (n^2) —
     # flat codegen'd arithmetic, same summation order as the fold.
     a = emb.select(
@@ -117,5 +117,5 @@ def sim_embedding_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid-scale path between the expression-tree anchor and the LSH/IVF
     operators. Pair-set equality with the anchor is asserted in
     tests/test_similarity.py."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table_spread(spark, sf_dir, "embeddings")
     return S.neardup_pairs_blas(emb, threshold=0.98)

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from gcd_etl_spark.functions.text import ws_tokens
 from gcd_etl_spark.plans.registry import query
-from gcd_etl_spark.sources.catalog import read_table
+from gcd_etl_spark.sources.catalog import read_table, read_table_spread
 from gcd_etl_spark.sources.sinks import to_term_table
 
 
@@ -35,7 +35,7 @@ def term_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, field, term) exploded index over documents: scalar
     fields pass through, the token array explodes — multi-valued terms
     exactly like ``addStringTerms`` (reference Main.java:344-352)."""
-    docs = read_table(spark, sf_dir, "documents").select(
+    docs = read_table_spread(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", ws_tokens("text").alias("tokens")
     )
     return to_term_table(

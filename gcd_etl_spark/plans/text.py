@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from gcd_etl_spark.functions import text as TX
 from gcd_etl_spark.plans.registry import query
-from gcd_etl_spark.sources.catalog import read_table
+from gcd_etl_spark.sources.catalog import read_table, read_table_spread
 
 #: DuckDB fragment: whitespace tokens of ``text`` (empty-safe).
 _DUCK_TOKENS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
@@ -34,7 +34,7 @@ FROM documents
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char/token counts (whitespace + BPE-ish regex) and mean word
     length — all codegen'd expressions, no UDFs."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     toks = TX.ws_tokens("text")
     total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return docs.select(
@@ -80,7 +80,7 @@ FROM s
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score (length / punctuation / stopword /
     word-length bands) — C4/Gopher-style curation prefilter."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.quality_score("text").alias("quality"))
 
 
@@ -112,7 +112,7 @@ FROM v
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language heuristic; first-listed language wins
     ties (en > es > fr > de), 'und' when nothing scores."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.lang_id("text").alias("lang_guess"))
 
 
@@ -129,7 +129,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized content fingerprint (md5 for the cross-engine
     oracle; the engine also exposes xxhash64 via
     ``functions.text.fingerprint64`` for cheaper 64-bit identity)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return docs.select(
         "doc_id",
@@ -154,7 +154,7 @@ FROM t
 def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-shingle count per document (the MinHash input
     cardinality)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", F.size(TX.shingles("text", k=3)).alias("n_shingles"))
 
 
@@ -215,7 +215,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     content hash) + quality floor + language filter, one declarative
     plan. One scan, one groupBy(hash) exchange, one broadcast-able
     keep-id join."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     normalized = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     enriched = docs.select(
         "doc_id",
@@ -254,7 +254,7 @@ def data_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every engine, every run, every scale — the property a training
     pipeline needs from its split (no rand(), no shuffle, no state).
     Runs entirely in the scan's projection; partition-local."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
     bucket = F.floor(h * 100 / F.lit(4294967296)).cast("int")
     return docs.select(
@@ -284,7 +284,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     same reproducibility contract as data_split_deterministic (pure
     integer arithmetic, no rand(), no shuffle; a row's fate depends
     only on its id). Runs inside the scan's filter."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table_spread(spark, sf_dir, "documents")
     hv = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
     frac = F.when(F.col("lang") == "en", F.lit(429496730)).otherwise(F.lit(2147483648))
     return docs.where(hv < frac).select("doc_id", "lang")

@@ -64,6 +64,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", _MAX_PARTITION_BYTES)
+        # A small single-file table must still fan out across cores:
+        # without a floor on scan splits, a 5 MB parquet file becomes
+        # ONE task and every expression downstream of it (shingling,
+        # minhash, UDFs) runs single-threaded. At cluster scale the
+        # same floor keeps tiny dimension scans from serializing
+        # expression-heavy pipelines; 128 MiB splits still govern big
+        # inputs.
+        .config("spark.sql.files.minPartitionNum", str(n))
         # Reference rotated parquet parts at 2M rows (Main.java:505-509);
         # we honor the same output-file sizing contract declaratively.
         .config("spark.sql.files.maxRecordsPerFile", "2000000")
