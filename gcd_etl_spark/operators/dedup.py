@@ -87,12 +87,27 @@ def minhash_signature(text_col: str, num_hashes: int = 32, k_shingle: int = 3) -
     return F.when(F.size(grams) > 0, sig)
 
 
+def portable_hash64(col) -> F.Column:
+    """Engine-portable 60-bit string hash: ``int(md5(s)[:15], 16)``.
+
+    md5 is bit-identical everywhere, and 15 hex digits fit a signed
+    long, so minhash built on THIS base hash produces the same
+    signatures in Spark (``conv``) and DuckDB (``('0x'||h)::BIGINT``)
+    — which is what lets the full LSH pipeline be held to an exact
+    value-hash oracle instead of a rows-only check. ~2x the cost of
+    xxhash64; the default pipeline keeps xxhash64 for production.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signature_table(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
     k_shingle: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(_id, sig) via explode + codegen'd min-aggregation.
 
@@ -108,7 +123,8 @@ def minhash_signature_table(
     """
     grams = shingles(text_col, k=k_shingle)
     exploded = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
-    h = F.abs(F.xxhash64("_g") % F.lit(1 << 32))
+    base = portable_hash64("_g") if portable else F.abs(F.xxhash64("_g"))
+    h = base % F.lit(1 << 32)
     aggs = [
         F.min((F.lit(2 * i + 1) * h + F.lit(1_000_003 * (i + 1))) % F.lit(_MERSENNE_P)).alias(
             f"_m{i}"
@@ -128,6 +144,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     k_shingle: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -135,10 +152,22 @@ def minhash_lsh_candidates(
     iff some band of their signatures is identical. Output: distinct
     (id_a < id_b) pairs. The only shuffles are the signature groupBy
     and the join on (band_idx, band_hash) — bucket keys, not document
-    keys.
+    keys. ``portable=True`` swaps both the base hash and the band
+    hash to md5-derived forms DuckDB reproduces bit-for-bit (the
+    oracle-checked configuration; see ``portable_hash64``).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k_shingle)
+
+    def band_hash(b: int) -> F.Column:
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        if portable:
+            # md5 of the comma-joined decimal minima — same string
+            # DuckDB's array_to_string produces
+            joined = F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+            return F.md5(joined)
+        return F.xxhash64(sl.cast("string")).cast("string")
+
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k_shingle, portable)
     banded = sig.select(
         "_id",
         F.explode(
@@ -146,9 +175,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band).cast("string")
-                        ).alias("band_hash"),
+                        band_hash(b).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
@@ -208,9 +235,10 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     k_shingle: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup pairs: LSH candidates -> Jaccard verify."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k_shingle)
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k_shingle, portable)
     return jaccard_pairs(df, cands, text_col, id_col, k_shingle, threshold)
 
 

@@ -141,6 +141,69 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _portable_minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """The ENTIRE MinHash-LSH pipeline restated in DuckDB SQL: same
+    md5-derived base hash, same (a*h+b) mod p permutation family, same
+    banding and Jaccard verify — exact value parity, not a smoke
+    check."""
+    p = (1 << 61) - 1
+    rpb = num_hashes // bands
+    sig_elems = ", ".join(
+        f"list_min(list_transform(hv, h -> ({2 * i + 1} * h + {1_000_003 * (i + 1)}) % {p}))"
+        for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        f"struct_pack(i := {b}, h := md5(array_to_string("
+        f"list_slice(sig, {b * rpb + 1}, {b * rpb + rpb}), ',')))"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM t
+), hv AS (
+  SELECT doc_id, sh,
+         list_transform(sh, g ->
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4294967296) AS hv
+  FROM s WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id, sh, [{sig_elems}] AS sig FROM hv
+), bands AS (
+  SELECT doc_id, band.i AS band_idx, band.h AS band_hash
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS band FROM sig)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+         AS jaccard
+FROM cand c
+JOIN s sa ON c.id_a = sa.doc_id
+JOIN s sb ON c.id_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+"""
+
+
+@query("dedup_minhash_portable", oracle=_portable_minhash_oracle())
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME MinHash-LSH pipeline as dedup_minhash_lsh but on the
+    engine-portable md5-derived hash family, which DuckDB restates
+    exactly — so banding, candidate generation, and the Jaccard verify
+    are all under the driver's value-hash oracle (the xxhash64 variant
+    keeps the cheaper hash for production and stays rows-only)."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, portable=True)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit fingerprint, 4-block pigeonhole

@@ -464,6 +464,56 @@ def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("l_orderkey").alias("orderkey"), "n_distinct")
 
 
+# ------------------------------------------ bloom-filter join pruning
+@query(
+    "join_bloom_pruned",
+    oracle="""
+SELECT o.o_orderpriority AS orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F' AND o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (operators/bloom.py): the
+    selective orders subset's key set becomes a ~1%-fp bloom filter
+    (built distributedly, shipped as one array literal) that drops
+    non-joining lineitem rows INSIDE the scan stage, before the join
+    shuffle — the explicit form of AQE's runtime bloom filter, for
+    dims too big to broadcast but whose key set fits bloom bits. The
+    oracle is the PLAIN join: pruning must not change one row (false
+    positives are removed by the join itself)."""
+    from gcd_etl_spark.operators.bloom import bloom_semi_reduce
+
+    dim = (
+        read_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderstatus") == "F") & (F.col("o_orderpriority") == "1-URGENT"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    fact = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = bloom_semi_reduce(fact, dim, "l_orderkey", "o_orderkey", n_bits=1 << 18)
+    joined = pruned.join(dim, pruned.l_orderkey == dim.o_orderkey)
+    return joined.groupBy(F.col("o_orderpriority").alias("orderpriority")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(
+                as_money("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - as_money("l_discount"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 # ------------------------------------------- bucketed co-located join
 @query(
     "bucketed_colocated_join",

@@ -108,3 +108,22 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_sessions(
         spark, staged, watermark="100000 hours", name=f"stream_sessions_{tag}"
     )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup computed BY THE STREAMING ENGINE: dropDuplicates
+    over the event stream's state store (first arrival per
+    (user_id, event_type) wins, later duplicates dropped per
+    micro-batch), append sink. The converged set must equal the batch
+    SELECT DISTINCT — dedup is the one operator whose stream/batch
+    parity is set-equality, independent of arrival order."""
+    from gcd_etl_spark.streaming.jobs import run_streaming_dedup
+
+    staged, tag = _stage_events(spark, sf_dir, "dedup")
+    return run_streaming_dedup(spark, staged, name=f"stream_dedup_{tag}")

@@ -288,3 +288,93 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
     frac = F.when(F.col("lang") == "en", F.lit(429496730)).otherwise(F.lit(2147483648))
     return docs.where(hv < frac).select("doc_id", "lang")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d{1,2} \d{3}-\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(t, '{_PII_IP}'))    AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS scrubbed
+FROM w
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the email/phone/IP scrub every training-data
+    pipeline runs before anything else. Deterministic synthetic PII is
+    appended per doc (the fixture corpus has none), then detected and
+    masked with the same regexes on both engines; counts come from the
+    pre-scrub text. Pure regexp expressions — codegen'd, pushdown-safe,
+    no UDF."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+        scrub.alias("scrubbed"),
+    )
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+SELECT doc_id, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 1000000
+      < least(n_chars, 2000) * 500
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED Bernoulli sample: keep probability
+    proportional to document length (p = min(n_chars, 2000)/2000),
+    decided by an engine-portable hash of the doc id — so the sample
+    is reproducible across runs, engines, and partitionings (integer
+    threshold compare, no float RNG). The length-weighted variant of
+    the hash-bucket train/val/test split: at 100 TB it is a pure scan
+    predicate — no shuffle, no state, embarrassingly parallel."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.pmod(
+        portable_hash64(F.concat(F.lit("w:"), F.col("doc_id").cast("string"))),
+        F.lit(1_000_000),
+    )
+    thresh = F.least(F.col("n_chars"), F.lit(2000)) * 500
+    return docs.where(h < thresh).select("doc_id", "n_chars")

@@ -97,6 +97,38 @@ def run_streaming_sessions(
     return _run_to_memory(agg, spark, name)
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    staged_dir: str,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+    name: str = "stream_dedup",
+) -> DataFrame:
+    """Streaming deduplication: first arrival per key wins, duplicates
+    dropped by the state store (``dropDuplicates``), append-mode sink.
+
+    The streaming face of the exact-dedup operator: over an unbounded
+    stream the state store holds one entry per key; with event-time
+    keys a ``dropDuplicatesWithinWatermark`` bounds that state at
+    scale (here keys are a small closed set, so plain dropDuplicates
+    keeps exactly-one semantics without eviction). The converged
+    output must equal batch ``SELECT DISTINCT`` — which is the oracle.
+    """
+    events = streaming_events(spark, staged_dir)
+    deduped = events.withWatermark("ts", watermark).dropDuplicates(list(keys)).select(*keys)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def run_streaming_to_parquet(
     spark: SparkSession,
     staged_dir: str,

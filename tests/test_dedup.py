@@ -78,3 +78,17 @@ def test_jaccard_matches_manual(planted):
     }
     if (1, 2) in out:
         assert out[(1, 2)] == 1.0
+
+
+def test_portable_minhash_same_pair_quality(planted):
+    """The portable (md5-based) hash family must find the same planted
+    near-dups the xxhash64 family does — only the hash constants
+    differ, not the pipeline."""
+    fast = {(r["id_a"], r["id_b"]) for r in D.minhash_dedup_pairs(planted).collect()}
+    port = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(planted, portable=True).collect()
+    }
+    # both must recover the exact-duplicate pair; verified pairs are
+    # Jaccard-checked so any difference is only LSH recall noise
+    assert (1, 2) in fast and (1, 2) in port
