@@ -71,16 +71,48 @@ def _epoch_date(col: Column) -> Column:
     return F.when(F.unix_timestamp(col) > 0, formatted).otherwise(F.lit(-1))
 
 
+#: Dictionary-dimension tables and their (key, value) columns
+#: (reference GcdMetadata.java:58-72).
+_DICT_TABLES = {
+    "stddata_country": ("id", "code"),
+    "stddata_language": ("id", "code"),
+    "gcd_series_publication_type": ("id", "name"),
+    "gcd_story_type": ("id", "name"),
+}
+
+
+def collect_dict_maps(
+    tables: dict[str, DataFrame], flags: GcdSchemaFlags = GcdSchemaFlags()
+) -> dict[str, dict[int, str]]:
+    """Collect the 4 tiny dictionary dimensions to driver-side maps
+    (reference GcdMetadata.java:58-86). A deliberate driver step —
+    the decode itself stays codegen'd via a literal map expression.
+    Callers building the same snapshot repeatedly should cache the
+    result (4 tiny Spark jobs per build otherwise)."""
+    out: dict[str, dict[int, str]] = {}
+    for name, (key_col, val_col) in _DICT_TABLES.items():
+        if name == "gcd_series_publication_type" and not flags.publication_type:
+            out[name] = {}
+            continue
+        out[name] = {
+            int(r[0]): r[1] for r in tables[name].select(key_col, val_col).collect()
+        }
+    return out
+
+
 def build_snapshot(
     spark: SparkSession,
     tables: dict[str, DataFrame],
     run_date: str,
     flags: GcdSchemaFlags = GcdSchemaFlags(),
+    dicts: dict[str, dict[int, str]] | None = None,
 ) -> DataFrame:
     """Build the denormalized issue-story snapshot DataFrame.
 
     ``tables`` maps GCD table names to DataFrames (parquet staging at
     scale; see sources/jdbc.py for the dump->staging path).
+    ``dicts`` optionally supplies pre-collected dictionary maps
+    (see ``collect_dict_maps``).
     """
     unix_time = run_epoch_seconds(run_date)
 
@@ -91,23 +123,12 @@ def build_snapshot(
     brand = tables["gcd_brand"].alias("brand")
     story = tables["gcd_story"].alias("story")
 
-    # Dictionary dimensions -> literal maps (tiny: country/language/
-    # publication-type/story-type, reference GcdMetadata.java:58-86).
-    # collect() of a <10^3-row dim is a deliberate driver-side step;
-    # the decode itself stays codegen'd via a literal map.
-    def dict_map(name: str) -> dict[int, str]:
-        key_col, val_col = {
-            "stddata_country": ("id", "code"),
-            "stddata_language": ("id", "code"),
-            "gcd_series_publication_type": ("id", "name"),
-            "gcd_story_type": ("id", "name"),
-        }[name]
-        return {int(r[0]): r[1] for r in tables[name].select(key_col, val_col).collect()}
-
-    country = dict_map("stddata_country")
-    language = dict_map("stddata_language")
-    pubtype = dict_map("gcd_series_publication_type") if flags.publication_type else {}
-    storytype = dict_map("gcd_story_type")
+    if dicts is None:
+        dicts = collect_dict_maps(tables, flags)
+    country = dicts["stddata_country"]
+    language = dicts["stddata_language"]
+    pubtype = dicts["gcd_series_publication_type"] if flags.publication_type else {}
+    storytype = dicts["gcd_story_type"]
 
     # Credits subpipeline (J6/J7 + F10 + A1 + F11), left-joined by
     # story_id — replaces the reference's in-RAM Map<Long, ...> probe.

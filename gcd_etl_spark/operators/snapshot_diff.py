@@ -57,3 +57,34 @@ def snapshot_diff(
         .otherwise("unchanged")
         .alias("change_type"),
     )
+
+
+def apply_cdc(
+    old: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """MERGE: apply a change feed to a snapshot, producing the next
+    snapshot — upserts ('added'/'changed' rows carry the new payload)
+    and deletes ('removed'), the write side of the ``snapshot_diff``
+    round trip: ``apply_cdc(old, diff_with_payload) == new``.
+
+    ``changes`` has the same payload columns as ``old`` plus
+    ``change_type``; payload values are ignored for 'removed'.
+
+    Plan shape (MERGE without a transaction log): one left_anti join
+    keyed on the business key drops old rows that were changed or
+    removed, then the surviving rows union the upsert payloads. Both
+    legs shuffle only on the key; with key-bucketed snapshot
+    partitions the anti join is exchange-free. At 100 TB this is the
+    standard periodic-compaction pattern: full snapshots stay
+    immutable (the reference's append-only ``snapshot=`` contract),
+    and the merge materializes the next partition.
+    """
+    payload = [c for c in old.columns]
+    upserts = changes.where(F.col("change_type").isin("added", "changed")).select(*payload)
+    touched = changes.where(
+        F.col("change_type").isin("changed", "removed")
+    ).select(*key_cols)
+    kept = old.join(touched, on=key_cols, how="left_anti")
+    return kept.unionByName(upserts)

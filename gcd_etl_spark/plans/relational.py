@@ -722,6 +722,39 @@ def snapshot_diff_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, key_cols=["o_orderkey"])
 
 
+@query(
+    "snapshot_apply_cdc",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       o_totalprice
+FROM orders WHERE o_orderkey % 11 <> 0
+""",
+)
+def snapshot_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE round trip (operators/snapshot_diff.apply_cdc): classify
+    changes between the two simulated snapshots, join the payloads on,
+    and APPLY them to the old snapshot — the result must be exactly
+    the new snapshot (the oracle), proving diff+apply is lossless.
+    Upserts and deletes run as one anti join + union keyed on the
+    business key; the full row width never shuffles twice."""
+    from gcd_etl_spark.operators.snapshot_diff import apply_cdc, snapshot_diff
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.where(F.col("o_orderkey") % 13 != 0)
+    new = orders.where(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, "X").otherwise(F.col("o_orderstatus")),
+    )
+    diff = snapshot_diff(old, new, key_cols=["o_orderkey"])
+    feed = diff.where(F.col("change_type") != "unchanged").join(
+        new, on="o_orderkey", how="left"
+    )
+    return apply_cdc(old, feed, key_cols=["o_orderkey"])
+
+
 # --------------------------------------------- analytic fn breadth
 @query(
     "window_analytics",

@@ -125,16 +125,21 @@ def test_partitioned_sink_and_table(spark, gcd_tables, tmp_path):
     gcdissuesnapshot.sql:90-95)."""
     out = str(tmp_path / "snap")
     write_gcd_snapshot(spark, gcd_tables, RUN_DATE, out, table_name="gcd_snapshot_test")
+    # a second nightly partition, so pruning has something to prune
+    write_gcd_snapshot(spark, gcd_tables, "2024-01-16", out)
     import os
 
     assert os.path.isdir(f"{out}/snapshot=20240115")
+    assert os.path.isdir(f"{out}/snapshot=20240116")
     n = spark.sql("SELECT count(*) FROM gcd_snapshot_test WHERE snapshot = 20240115").first()[0]
     assert n == build_snapshot(spark, gcd_tables, RUN_DATE).count()
-    plan = (
-        spark.sql("SELECT * FROM gcd_snapshot_test WHERE snapshot = 20240115")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "PartitionFilters" in plan or "snapshot" in plan
+    pruned = spark.sql("SELECT * FROM gcd_snapshot_test WHERE snapshot = 20240115")
+    # the filter must prune at the FILE level, not post-scan: every
+    # file the plan reads lives under the selected partition dir
+    files = pruned.inputFiles()
+    assert files and all("snapshot=20240115" in f for f in files)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
 
 
 def test_compact_snapshot_partition(spark, gcd_tables, tmp_path):
