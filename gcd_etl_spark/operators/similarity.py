@@ -301,8 +301,12 @@ def neardup_pairs_blas(
             bn[bn == 0] = 1.0
             S = (B / bn[:, None]) @ Mn_sorted.T
             # keep strictly-upper pairs (block id < corpus id) so each
-            # unordered pair is emitted exactly once across all tasks
-            hit_r, hit_c = np.nonzero((S >= threshold) & (bids[:, None] < ids_sorted[None, :]))
+            # unordered pair is emitted exactly once across all tasks;
+            # threshold the ROUNDED cosine like the expression anchor,
+            # so boundary pairs never hinge on BLAS-vs-codegen ulps
+            hit_r, hit_c = np.nonzero(
+                (np.round(S, 6) >= threshold) & (bids[:, None] < ids_sorted[None, :])
+            )
             if len(hit_r):
                 yield pd.DataFrame(
                     {

@@ -127,3 +127,30 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged, tag = _stage_events(spark, sf_dir, "dedup")
     return run_streaming_dedup(spark, staged, name=f"stream_dedup_{tag}")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec FROM events),
+     x AS (
+  SELECT (sec // 1800) * 1800 - k * 1800 AS window_start
+  FROM e CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+  WHERE sec >= (sec // 1800) * 1800 - k * 1800
+    AND sec < (sec // 1800) * 1800 - k * 1800 + 3600
+)
+SELECT window_start, COUNT(*) AS n_events
+FROM x GROUP BY 1
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes computed BY THE
+    STREAMING ENGINE (one open aggregate per overlapping window in the
+    state store), hash-matched against the batch window-expansion SQL
+    — the same oracle the batch win_sliding plan uses."""
+    from gcd_etl_spark.streaming.jobs import run_streaming_sliding
+
+    staged, tag = _stage_events(spark, sf_dir, "sliding")
+    return run_streaming_sliding(
+        spark, staged, watermark="100000 hours", name=f"stream_sliding_{tag}"
+    )

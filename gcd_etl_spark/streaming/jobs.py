@@ -75,6 +75,27 @@ def run_streaming_tumbling(
     return _run_to_memory(agg, spark, name)
 
 
+def run_streaming_sliding(
+    spark: SparkSession,
+    staged_dir: str,
+    size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+    name: str = "stream_sliding",
+) -> DataFrame:
+    """Sliding (hopping) windows over a stream: each event enters
+    size/slide overlapping windows; state store holds one aggregate
+    per open window."""
+    events = streaming_events(spark, staged_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "n_events")
+    )
+    return _run_to_memory(agg, spark, name)
+
+
 def run_streaming_sessions(
     spark: SparkSession,
     staged_dir: str,

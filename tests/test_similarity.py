@@ -67,6 +67,7 @@ def test_blas_neardup_matches_anchor(spark, sf_smoke, emb):
     """The BLAS block path finds exactly the anchor's pairs (modulo
     pairs sitting within FP noise of the threshold)."""
     from gcd_etl_spark.plans import QUERIES
+    from gcd_etl_spark.plans.similarity import NEARDUP_THRESHOLD
 
     anchor = {
         (r["id_a"], r["id_b"]): r["cosine"]
@@ -74,10 +75,10 @@ def test_blas_neardup_matches_anchor(spark, sf_smoke, emb):
     }
     blas = {
         (r["id_a"], r["id_b"]): r["cosine"]
-        for r in S.neardup_pairs_blas(emb, threshold=0.98).collect()
+        for r in S.neardup_pairs_blas(emb, threshold=NEARDUP_THRESHOLD).collect()
     }
     for pair in set(anchor) ^ set(blas):
         cos = anchor.get(pair, blas.get(pair))
-        assert abs(cos - 0.98) < 1e-6, f"non-boundary disagreement: {pair} {cos}"
+        assert abs(cos - NEARDUP_THRESHOLD) < 1e-6, f"non-boundary disagreement: {pair} {cos}"
     for pair in set(anchor) & set(blas):
         assert abs(anchor[pair] - blas[pair]) < 1e-6
