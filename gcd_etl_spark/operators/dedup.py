@@ -329,7 +329,7 @@ def connected_components(
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False
 ) -> DataFrame:
     """(_id, fp) SimHash via explode + codegen'd sum-aggregation.
 
@@ -340,18 +340,23 @@ def simhash_table(
     (doc_id, 64 partial sums) rows shuffle at 100 TB. Token-less docs
     drop out (they'd otherwise all share fingerprint 0 and pairwise-
     collide in the bucketing stage).
+
+    ``portable=True`` uses the md5-derived 60-bit hash family
+    (``portable_hash64``) so DuckDB can restate the fingerprints
+    exactly — 60 vote bits instead of 64, no sign bit.
     """
+    nbits = 60 if portable else 64
     exploded = df.select(F.col(id_col).alias("_id"), F.explode(ws_tokens(text_col)).alias("_t"))
-    h = F.xxhash64("_t")
+    h = portable_hash64("_t") if portable else F.xxhash64("_t")
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"_b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     votes = exploded.groupBy("_id").agg(*aggs)
     packed = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(nbits):
         weight = (1 << b) if b < 63 else -(1 << 63)
         packed = packed.bitwiseOR(
             F.when(F.col(f"_b{b}") > 0, F.lit(weight).cast("long")).otherwise(
@@ -367,18 +372,21 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_tables: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with rotated-block bucketing.
 
-    The fingerprint splits into ``n_tables`` 16-bit blocks; by the
-    pigeonhole principle two fingerprints within hamming distance
-    ``n_tables - 1`` share at least one exact block, so bucketing on
-    (block_idx, block_value) finds all such pairs with no n^2 scan.
-    Verify stage computes the exact hamming distance.
+    The fingerprint splits into ``n_tables`` 16-bit blocks (15-bit in
+    the 60-bit portable family); by the pigeonhole principle two
+    fingerprints within hamming distance ``n_tables - 1`` share at
+    least one exact block, so bucketing on (block_idx, block_value)
+    finds all such pairs with no n^2 scan. Verify stage computes the
+    exact hamming distance.
     """
-    bits_per_block = 64 // n_tables
+    nbits = 60 if portable else 64
+    bits_per_block = nbits // n_tables
     mask = (1 << bits_per_block) - 1
-    fp = simhash_table(df, text_col, id_col)
+    fp = simhash_table(df, text_col, id_col, portable)
     blocks = fp.select(
         "_id",
         "fp",

@@ -212,6 +212,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_dedup_pairs(docs, max_hamming=3)
 
 
+def _portable_simhash_oracle(n_tables: int = 4, max_hamming: int = 3) -> str:
+    """SimHash restated in DuckDB on the 60-bit md5-derived hash:
+    per-token bit votes, sign-pack, 15-bit pigeonhole blocks, exact
+    hamming verify — value parity with the Spark portable variant."""
+    nbits, bpb = 60, 60 // n_tables
+    mask = (1 << bpb) - 1
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nbits)
+    )
+    pack = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(nbits))
+    blocks = ", ".join(
+        f"struct_pack(i := {i}, v := (fp >> {i * bpb}) & {mask})" for i in range(n_tables)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM t
+), v AS (
+  SELECT doc_id, {votes} FROM h GROUP BY doc_id
+), f AS (
+  SELECT doc_id, CAST({pack} AS BIGINT) AS fp FROM v
+), blk AS (
+  SELECT doc_id, fp, unnest([{blocks}]) AS b FROM f
+), b2 AS (
+  SELECT doc_id, fp, b.i AS bi, b.v AS bv FROM blk
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+  FROM b2 a JOIN b2 b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+"""
+
+
+@query("dedup_simhash_portable", oracle=_portable_simhash_oracle())
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the engine-portable 60-bit hash
+    family — the whole pipeline (token bit votes, sign-pack, pigeonhole
+    block bucketing, hamming verify) value-checked against a DuckDB
+    restatement; the xxhash64 variant stays the production path."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    return D.simhash_dedup_pairs(docs, max_hamming=3, portable=True)
+
+
 @query("dedup_fingerprints", oracle=None)
 def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit engine fingerprints: xxhash64 content hash

@@ -37,7 +37,27 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_meta", oracle=None)
+# The stub codec is DETERMINISTIC (sha256-derived), so even the
+# Python mapInPandas stages get full value-hash oracles: DuckDB
+# restates the fake decoder's arithmetic exactly. What the oracle then
+# proves is the Spark-side contract — Arrow batch iteration, schema,
+# 1:N fan-out — not the codec itself (which is the part a real
+# deployment swaps).
+@query(
+    "mm_decode_meta",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(64 + CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 1920 AS INT)
+         AS width,
+       CAST(64 + (CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) // 256) % 1080
+            AS INT) AS height,
+       (['jpeg', 'png', 'webp'])[CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 3 + 1]
+         AS format
+FROM documents
+""",
+)
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode stage (deterministic stub codec): binary
     -> (n_bytes, sha256, width, height, format) via mapInPandas."""
@@ -45,7 +65,23 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media_meta(M.attach_binary_payload(docs))
 
 
-@query("mm_frame_sample", oracle=None)
+@query(
+    "mm_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id AS media_id,
+         -- fixture text is pure ASCII (asserted upstream), so VARCHAR
+         -- substring slices the same bytes Python's bytes[a:b] does
+         unnest(list_transform(
+             generate_series(0, octet_length(encode(text)) // 200),
+             i -> struct_pack(
+                 idx := i,
+                 sha := sha256(substring(text, i * 200 + 1, 200))))) AS fr
+  FROM documents
+)
+SELECT media_id, CAST(fr.idx AS INT) AS frame_idx, fr.sha AS frame_sha FROM f
+""",
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1:N frame-sampling fan-out via mapInPandas (stub demuxer)."""
     docs = read_table(spark, sf_dir, "documents")
