@@ -1,0 +1,48 @@
+"""Global physical-plan audit: no registered query may plan a
+BroadcastNestedLoopJoin or CartesianProduct unless it is one of the
+explicitly-intended quadratic correctness anchors. This is the
+repo-wide guard against a refactor silently turning a bucketed/binned
+join back into an O(n^2) scan — the class of regression that passes
+every value check at sf0.01 and then dies at 100 TB."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from gcd_etl_spark.plans import QUERIES
+
+#: Quadratic BY DESIGN — small-input exact baselines the sub-quadratic
+#: operators are validated against (plus their shared-derivation
+#: composites). Everything else must stay off nested loops.
+QUADRATIC_ANCHORS = {
+    "sim_bruteforce_topk",  # exact top-k baseline (broadcast q x corpus)
+    "sim_embedding_neardup",  # all-pairs cosine anchor
+    "dedup_ngram_jaccard",  # all-pairs Jaccard ground truth
+    "dedup_clusters",  # built on the ngram_jaccard pair derivation
+    "corpus_curation",  # composite that reuses the anchor pair stage
+}
+
+#: Streaming queries execute eagerly on build (memory-sink round
+#: trip); their returned plan is a trivial scan of the sink.
+_SKIP = {name for name in QUERIES if name.startswith("stream_")}
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in QUERIES if n not in _SKIP), ids=str
+)
+def test_no_accidental_nested_loop(spark, sf_smoke, name):
+    plan = _formatted_plan(QUERIES[name].build(spark, sf_smoke))
+    quadratic = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    if name in QUADRATIC_ANCHORS:
+        return  # allowed (and expected) to be quadratic
+    assert not quadratic, f"{name} plans a nested-loop/cartesian join:\n{plan}"
