@@ -783,3 +783,109 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# --------------------------------------- grouped pandas UDAF surface
+@query(
+    "pandas_grouped_stats",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       median(value) AS median_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+""",
+)
+def pandas_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Arrow-batched Python aggregation (applyInPandas) — the
+    UDAF face of SURVEY.md §2.10: each user's events arrive as ONE
+    pandas DataFrame, the kernel computes count/median/max with numpy.
+    Median is an order statistic ((a+b)/2 of the middle pair — one
+    IEEE op), so the Python kernel matches DuckDB's median() EXACTLY,
+    no rounding slack: the oracle checks the Arrow round trip
+    bit-for-bit. At scale this shuffles once on the group key, same as
+    a built-in agg; the kernel sees whole groups, so skewed users
+    bound task memory — salt first if a single key outgrows a task."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    events = read_table(spark, sf_dir, "events").select("user_id", "value")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("median_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+        ]
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(v)],
+                "median_value": [v.median()],
+                "max_value": [v.max()],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(stats, schema=schema)
+
+
+# ------------------------------------------------ subquery SQL shapes
+_Q18 = """
+SELECT c.c_custkey AS custkey,
+       o.o_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+)
+GROUP BY c.c_custkey, o.o_orderkey
+ORDER BY total_qty DESC, orderkey
+LIMIT 50
+"""
+
+
+@query("sql_q18_large_orders", oracle=_Q18)
+def sql_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN + grouped HAVING subquery — the uncorrelated
+    subquery face of the ANSI surface (Catalyst rewrites it to a
+    left-semi join; the HAVING side aggregates before joining, so the
+    fact scans twice but never fans out). Identical text runs on both
+    engines; decimal-exact quantities."""
+    _views_sub(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q18)
+
+
+_EXISTS = """
+SELECT s.s_suppkey AS suppkey, s.s_name AS name
+FROM supplier s
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+      AND l.l_quantity > 49
+)
+ORDER BY suppkey
+"""
+
+
+@query("sql_exists_correlated", oracle=_EXISTS)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (decorrelated by Catalyst into a
+    semi join on the correlation key) — same ANSI text on both
+    engines."""
+    _views_sub(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_EXISTS)
+
+
+def _views_sub(spark: SparkSession, sf_dir: str, tables) -> None:
+    for t in tables:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
