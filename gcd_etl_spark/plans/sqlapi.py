@@ -164,3 +164,282 @@ def sql_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20."""
     _views(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
     return spark.sql(_Q10)
+
+
+# --------------------------------------------------------------------
+# Wider TPC-H-shaped subset (adapted to the fixture columns: no
+# partsupp / commitdate / shipmode / phone — each query keeps the
+# original's *plan shape*, which is what we're testing: semi/anti
+# joins from EXISTS / NOT EXISTS, correlated scalar subqueries,
+# CTE reuse, disjunctive pushdown, distinct aggregation).
+# Spark and DuckDB run IDENTICAL text for all of these.
+
+_Q4 = """
+SELECT o.o_orderpriority AS orderpriority,
+       COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY orderpriority
+"""
+
+_Q7 = f"""
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(SUM(volume) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+_Q9 = """
+SELECT nation, o_year,
+       ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+_Q12 = """
+SELECT l.l_linestatus AS linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+ORDER BY linestatus
+"""
+
+_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey AS suppkey,
+       s.s_name AS name,
+       ROUND(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY suppkey
+"""
+
+_Q16 = """
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#23'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 7, 9, 10, 15, 23, 45)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, brand, type, size
+"""
+
+_Q17 = """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                               / COUNT(*)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+"""
+
+_Q19 = """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+         AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+_Q21 = """
+SELECT s.s_name AS name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, name
+"""
+
+_Q22 = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+FROM (
+  SELECT SUBSTRING(c.c_name, 16, 3) AS cntrycode, c.c_acctbal
+  FROM customer c
+  WHERE c.c_acctbal > (SELECT 0.5 * CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / COUNT(*)
+                       FROM customer c2 WHERE c2.c_acctbal > 0)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate < TIMESTAMP '1997-01-01')
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@query("sql_q4_priority_exists", oracle=_Q4)
+def sql_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then
+    grouped count. The semi join shuffles only (orderkey) pairs."""
+    _views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q4)
+
+
+@query("sql_q7_nation_volume", oracle=_Q7)
+def sql_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 6-way join with the nation dim joined twice
+    under a symmetric disjunctive pair predicate; per-year rollup."""
+    _views(spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation"))
+    return spark.sql(_Q7)
+
+
+@query("sql_q9_product_profit", oracle=_Q9)
+def sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 5-way join with a LIKE filter on the part dim
+    (pushed to the dim scan, prunes before the fact join)."""
+    _views(spark, sf_dir, ("part", "lineitem", "supplier", "orders", "nation"))
+    return spark.sql(_Q9)
+
+
+@query("sql_q12_priority_case", oracle=_Q12)
+def sql_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional (CASE) counts over a fact-dim
+    join with a pushed date-range filter."""
+    _views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_Q12)
+
+
+@query("sql_q13_cust_distribution", oracle=_Q13)
+def sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join with an ON-clause filter (kept
+    null-extending), two stacked aggregations — the histogram of
+    per-customer order counts."""
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q13)
+
+
+@query("sql_q15_top_supplier", oracle=_Q15)
+def sql_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: CTE computed once, reused as both join input
+    and scalar MAX subquery; decimal-exact revenue equality."""
+    _views(spark, sf_dir, ("supplier", "lineitem"))
+    return spark.sql(_Q15)
+
+
+@query("sql_q16_supplier_cnt", oracle=_Q16)
+def sql_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN decorrelated to a null-aware anti
+    join, COUNT(DISTINCT) over the surviving fact rows."""
+    _views(spark, sf_dir, ("lineitem", "part", "supplier"))
+    return spark.sql(_Q16)
+
+
+@query("sql_q17_small_qty", oracle=_Q17)
+def sql_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery
+    (per-part mean quantity) decorrelated by Catalyst into an
+    aggregate + join; double math on decimal-exact operands so both
+    engines compare bit-identical IEEE values."""
+    _views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q17)
+
+
+@query("sql_q19_disjunctive", oracle=_Q19)
+def sql_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: three-way disjunction of conjunctive
+    brand/size/quantity bands — tests OR-predicate pushdown and
+    common-subexpression extraction across the branches."""
+    _views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q19)
+
+
+@query("sql_q21_waiting_supplier", oracle=_Q21)
+def sql_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS on the same fact table
+    (left-semi and left-anti against lineitem re-reads) under a
+    4-way join; the classic multi-consumer self-join plan."""
+    _views(spark, sf_dir, ("supplier", "lineitem", "orders", "nation"))
+    return spark.sql(_Q21)
+
+
+@query("sql_q22_idle_customers", oracle=_Q22)
+def sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar average subquery threshold + NOT
+    EXISTS anti join + substring-derived group key."""
+    _views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_Q22)
