@@ -21,5 +21,6 @@ from gcd_etl_spark.plans import gcd  # noqa: E402,F401
 from gcd_etl_spark.plans import sqlapi  # noqa: E402,F401
 from gcd_etl_spark.plans import terms  # noqa: E402,F401
 from gcd_etl_spark.plans import streaming_plans  # noqa: E402,F401
+from gcd_etl_spark.plans import staging  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]
