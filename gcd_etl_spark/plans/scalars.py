@@ -161,3 +161,121 @@ def scalar_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
         scalar.string_with_default("c_name").alias("name_defaulted"),
         scalar.int_with_default((F.col("c_acctbal") < 0).cast("int")).alias("neg_flag_int"),
     )
+
+
+@query(
+    "scalar_higher_order",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(list_sum(list_transform(generate_series(1, l_linenumber),
+                                    x -> x * x)) AS BIGINT)        AS sq_sum,
+       CAST(len(list_filter(generate_series(1, l_linenumber),
+                            x -> x % 2 = 0)) AS INT)               AS n_even,
+       CAST(list_sum(list_transform(generate_series(1, l_linenumber),
+                     i -> i * (l_linenumber + 1 - i))) AS BIGINT)  AS dot_rev,
+       CAST(list_max(list_transform(generate_series(1, l_linenumber),
+                                    x -> x * 3)) AS INT)           AS max3,
+       list_contains(generate_series(1, l_linenumber), 3)          AS has3
+FROM lineitem
+WHERE l_orderkey % 7 = 0
+""",
+)
+def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — transform / filter / aggregate /
+    zip_with / array_max / array_contains — all whole-stage-codegen'd
+    lambda expressions, no UDFs. Integer math only, so both engines
+    are exact; DuckDB restates zip_with algebraically (the reversed
+    sequence dot product i·(n+1−i))."""
+    li = read_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 7 == 0)
+    n = F.col("l_linenumber")
+    seq = F.sequence(F.lit(1), n)
+    rev = F.sequence(n, F.lit(1), F.lit(-1))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.aggregate(
+            F.transform(seq, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sq_sum"),
+        F.size(F.filter(seq, lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.zip_with(seq, rev, lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_rev"),
+        F.array_max(F.transform(seq, lambda x: x * 3)).alias("max3"),
+        F.array_contains(seq, 3).alias("has3"),
+    )
+
+
+@query(
+    "scalar_strings",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name)                                  AS uname,
+       reverse(c_mktsegment)                          AS rseg,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0')      AS padded,
+       replace(c_name, 'Customer#', 'C')              AS short_name,
+       CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev_building,
+       md5(c_name)                                    AS name_md5,
+       CAST(strpos(c_name, '#') AS INT)               AS hash_pos,
+       substring(c_name, 10, 4)                       AS id4,
+       repeat(left(c_mktsegment, 2), 3)               AS seg2x3
+FROM customer
+""",
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: case, reverse, pad, replace,
+    levenshtein, md5, find, substring, repeat — every one a JVM
+    builtin with a DuckDB twin of identical semantics."""
+    c = read_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.regexp_replace("c_name", "Customer#", "C").alias("short_name"),
+        F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("lev_building"),
+        F.md5(F.col("c_name").cast("binary")).alias("name_md5"),
+        F.instr("c_name", "#").alias("hash_pos"),
+        F.substring("c_name", 10, 4).alias("id4"),
+        F.repeat(F.substring("c_mktsegment", 1, 2), 3).alias("seg2x3"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)        AS yr,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT)     AS qtr,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT)       AS mo,
+       CAST(EXTRACT(DAY FROM o_orderdate) AS INT)         AS dom,
+       CAST(isodow(o_orderdate) AS INT)                   AS iso_dow,
+       CAST(strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS INT) AS month_start,
+       CAST(strftime(last_day(CAST(o_orderdate AS DATE)), '%Y%m%d') AS INT) AS month_end,
+       CAST(strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y%m%d') AS INT) AS plus30,
+       CAST(date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_96
+FROM orders
+WHERE o_orderkey % 5 = 0
+""",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface: extract parts, ISO weekday, month trunc /
+    last_day, interval arithmetic, day diff — emitted as ints
+    (yyyymmdd discipline) so both engines hash identically."""
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 5 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.date_format(F.date_trunc("month", d), "yyyyMMdd").cast("int").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyyMMdd").cast("int").alias("month_end"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyyMMdd").cast("int").alias("plus30"),
+        F.datediff(d.cast("date"), F.lit("1996-01-01").cast("date")).alias("days_since_96"),
+    )
