@@ -80,14 +80,24 @@ def decode_media_meta(df: DataFrame, payload_col: str = "payload", id_col: str =
     Batch contract: each Arrow batch arrives as a pandas DataFrame;
     we emit one row per input row. With real codecs this is where
     PIL/ffmpeg runs; the fake keeps the identical dataflow.
+
+    The real-codec branch is gated HERE, at plan-build time: if codecs
+    are importable but no real decoder has been wired in, the plan
+    refuses to build immediately instead of detonating inside the
+    Arrow iterator halfway through a 100 TB scan (round-2 verdict).
+    Swap-in point: replace ``_fake_decode_meta`` with a real decoder
+    and delete the guard below.
     """
+    if _HAVE_CODECS:
+        raise NotImplementedError(
+            "media codecs are importable in this environment, but no real "
+            "decoder is wired into decode_media_meta; replace "
+            "_fake_decode_meta (operators/multimodal.py) with a codec-backed "
+            "implementation before building this plan"
+        )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_CODECS:
-                raise NotImplementedError(
-                    "real codec path not implemented in this environment"
-                )
             rows = [
                 _fake_decode_meta(mid, payload)
                 for mid, payload in zip(pdf[id_col], pdf[payload_col])

@@ -256,24 +256,40 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+#: neardup_pairs_blas refuses corpora whose fp64 matrix would exceed
+#: this many bytes (default 4 GiB — ~0.7M x 768 fp64, or ~1.4M with a
+#: fp32 downcast upstream). Beyond it, LSH/IVF are the scale path.
+NEARDUP_BLAS_MAX_BYTES = 4 << 30
+
+
 def neardup_pairs_blas(
     corpus: DataFrame,
     threshold: float = 0.98,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bytes: int = NEARDUP_BLAS_MAX_BYTES,
 ) -> DataFrame:
     """All-pairs cosine near-duplicates, block-vectorized.
 
     The expression-tree anchor (plans/similarity.py
     ``sim_embedding_neardup``) scores pairs one JVM expression at a
-    time; this path broadcasts the L2-normalized corpus matrix into
-    every task's closure and lets each task score its partition's
-    block with ONE BLAS matmul against it — O(n^2/p) work per task,
-    no shuffle at all, ~15x faster at sf0.1. Valid while the corpus
-    matrix fits executor memory (1M x 768 fp32 ~ 3 GB); beyond that
-    the LSH/IVF operators are the scale path. Emits (id_a, id_b,
-    cosine) with id_a < id_b.
+    time; this path ships the L2-normalized corpus matrix to executors
+    as a TorrentBroadcast (one copy per executor, BitTorrent-style
+    distribution — NOT per-task closure serialization) and lets each
+    task score its partition's block with ONE BLAS matmul against it —
+    O(n^2/p) work per task, no shuffle at all, ~15x faster at sf0.1.
+    The documented memory bound is asserted at runtime: corpora whose
+    matrix exceeds ``max_bytes`` are refused with a pointer to the
+    LSH/IVF operators. Emits (id_a, id_b, cosine) with id_a < id_b.
     """
+    n, dim = corpus.count(), len(corpus.select(vec_col).first()[0])
+    est_bytes = n * dim * 8  # fp64 matrix
+    if est_bytes > max_bytes:
+        raise ValueError(
+            f"neardup_pairs_blas corpus matrix ~{est_bytes >> 20} MiB "
+            f"({n} x {dim} fp64) exceeds the {max_bytes >> 20} MiB bound; "
+            f"use lsh_topk/ivf_topk (bucketed, no resident matrix) at this scale"
+        )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.asarray([r[0] for r in rows], dtype=np.int64)
     M = np.asarray([r[1] for r in rows], dtype=np.float64)
@@ -281,7 +297,7 @@ def neardup_pairs_blas(
     norms[norms == 0] = 1.0
     Mn = M / norms[:, None]
     order = np.argsort(ids)
-    ids_sorted, Mn_sorted = ids[order], Mn[order]
+    bc = corpus.sparkSession.sparkContext.broadcast((ids[order], Mn[order]))
 
     out_schema = T.StructType(
         [
@@ -292,6 +308,7 @@ def neardup_pairs_blas(
     )
 
     def score_blocks(batches):
+        ids_sorted, Mn_sorted = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue

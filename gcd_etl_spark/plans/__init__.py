@@ -4,6 +4,18 @@ Every operator from SURVEY.md §2 (and each north-star extension) is
 registered here as a named ``Query``: a PySpark builder plus, when
 SQL-expressible, a DuckDB oracle that must hash-match it. The driver
 contract (``__spark_entry__.py``) is a thin view over this registry.
+
+Registry ORDER is part of the contract: the driver's correctness
+harness samples the first ~50 entries, so after the modules register
+themselves the dict is reordered by ``_DRIVER_WINDOW`` — a curated
+window that puts the flagship, the dump-staging lineage, the SQL
+suite, streaming, the portable dedup/ANN families and the multimodal
+plumbing under the differential gate first (round-2 verdict: 41
+registered queries had never received a driver correctness row purely
+because of import order). Everything not in the window keeps its
+module-import order after it; every name in the window is verified to
+exist at import time so a rename cannot silently drop a query out of
+the gate.
 """
 
 from gcd_etl_spark.plans.registry import QUERIES, Query, query
@@ -22,5 +34,86 @@ from gcd_etl_spark.plans import sqlapi  # noqa: E402,F401
 from gcd_etl_spark.plans import terms  # noqa: E402,F401
 from gcd_etl_spark.plans import streaming_plans  # noqa: E402,F401
 from gcd_etl_spark.plans import staging  # noqa: E402,F401
+
+#: The first ~50 registry entries = the driver's correctness window.
+#: Composition: every query that had no driver row through round 2
+#: (flagship, dump lineage, term table, the 16-query SQL suite, the 5
+#: streaming jobs, portable dedup + clusters, similarity incl. the new
+#: recall/bounds-oracled forms, batch windows, multimodal) followed by
+#: re-verification slots for the highest-value round-2 greens. All 50
+#: carry DuckDB oracles — rows-only (no_oracle) variants sit outside
+#: the window; their semantics are covered inside it by the portable/
+#: recall-bound forms.
+_DRIVER_WINDOW = [
+    # flagship + dump-staging lineage (S1 -> S2)
+    "gcd_snapshot",
+    "gcd_snapshot_from_dump",
+    "dump_roundtrip",
+    # Flamdex capability mapping (S6 -> exploded term table)
+    "term_table",
+    # SQL analytics suite (the Athena read-side capability, §3.4)
+    "sql_q3_shipping_priority",
+    "sql_q4_priority_exists",
+    "sql_q5_local_supplier",
+    "sql_q6_forecast_revenue",
+    "sql_q7_nation_volume",
+    "sql_q9_product_profit",
+    "sql_q10_returned_items",
+    "sql_q12_priority_case",
+    "sql_q13_cust_distribution",
+    "sql_q14_promo_revenue",
+    "sql_q15_top_supplier",
+    "sql_q16_supplier_cnt",
+    "sql_q17_small_qty",
+    "sql_q19_disjunctive",
+    "sql_q21_waiting_supplier",
+    "sql_q22_idle_customers",
+    # Structured Streaming (batch-parity oracles)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_sessions",
+    "stream_dedup",
+    "stream_stateful_totals",
+    # dedup family (portable = exact cross-engine hash family)
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "dedup_clusters",
+    # similarity family (exact baseline + recall/bounds-oracled forms)
+    "sim_bruteforce_topk",
+    "sim_ann_lsh_recall",
+    "sim_ann_ivf_recall",
+    "sim_embedding_neardup_blas",
+    # batch event-time windows
+    "win_tumbling",
+    "win_sliding",
+    "win_session",
+    # multimodal plumbing (stubbed decode, real Spark contract)
+    "mm_binary_meta",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    # sketches held to exact bounds in-plan
+    "agg_approx_distinct",
+    # --- re-verification slots: round-2 greens with most semantics ---
+    "snapshot_denorm",
+    "q1_pricing_summary",
+    "join_inner_chain",
+    "join_left_fanout",
+    "agg_collect_list",
+    "agg_rollup",
+    "window_topk_per_group",
+    "sort_limit_topk",
+    "dedup_exact",
+    "corpus_curation",
+    "scalar_multi_split",
+]
+
+_missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+if _missing:  # fail loud at import: a rename must not shrink the gate
+    raise RuntimeError(f"_DRIVER_WINDOW names not in registry: {_missing}")
+
+_ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW}
+_ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})
+QUERIES.clear()
+QUERIES.update(_ordered)
 
 __all__ = ["QUERIES", "Query", "query"]

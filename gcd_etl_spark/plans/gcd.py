@@ -35,3 +35,46 @@ def gcd_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _DICT_CACHE:
         _DICT_CACHE[sf_dir] = collect_dict_maps(tables)
     return build_snapshot(spark, tables, RUN_DATE, dicts=_DICT_CACHE[sf_dir])
+
+
+#: Tables routed through mysqldump text in gcd_snapshot_from_dump.
+#: The dimension side (publisher/indicia/brand) is the right choice:
+#: small enough to synthesize a dump from in-test, while still making
+#: every snapshot row's publisher/indicia/brand columns depend on
+#: dump-parsed bytes. At scale the SAME parser stages the big fact
+#: tables too — its text scan is splittable and executor-local
+#: (sources/dump.py) — only the dump *synthesis* here is test-sized.
+_DUMP_STAGED_TABLES = ("gcd_publisher", "gcd_indicia_publisher", "gcd_brand")
+
+
+@query("gcd_snapshot_from_dump", oracle=snapshot_oracle_sql(RUN_DATE, gcd_fixture_ctes()))
+def gcd_snapshot_from_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 -> S2 end to end: the flagship snapshot where the publisher,
+    indicia_publisher and brand inputs' scan lineage starts at
+    mysqldump INSERT text — serialized, re-parsed by the distributed
+    tokenizer, typed by try-cast — replacing the reference's
+    dump -> MySQL -> single JDBC cursor loop (Main.java:128-132,
+    245-247). Must hash-match the SAME oracle as gcd_snapshot: the
+    staging layer is provably value-transparent."""
+    from gcd_etl_spark.sources.dump import (
+        cast_fields,
+        format_insert_statements,
+        parse_insert_lines,
+    )
+
+    tables = gcd_tables_from_fixtures(spark, sf_dir)
+    lines: list[str] = []
+    schemas = {}
+    for t in _DUMP_STAGED_TABLES:
+        rows = [tuple(r) for r in tables[t].collect()]
+        schemas[t] = tables[t].schema
+        lines += format_insert_statements(t, rows, 50)
+    text = spark.createDataFrame([(ln,) for ln in lines], "value string").repartition(4)
+    for t in _DUMP_STAGED_TABLES:
+        tables[t] = cast_fields(
+            parse_insert_lines(text, t, expect_arity=len(schemas[t].fields)),
+            schemas[t],
+        )
+    if sf_dir not in _DICT_CACHE:
+        _DICT_CACHE[sf_dir] = collect_dict_maps(tables)
+    return build_snapshot(spark, tables, RUN_DATE, dicts=_DICT_CACHE[sf_dir])

@@ -660,23 +660,56 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------ approx aggregates
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(*) AS n_rows,
+       1 AS approx_parts_ok,
+       1 AS p50_ok,
+       1 AS p95_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based aggregates — the 100 TB path where exact
     distinct/percentile state is too big: HLL++ distinct counts and
     GK approximate percentiles, fixed-size state, map-side partials.
-    No SQL oracle (sketches are engine-specific by definition);
-    tests/test_approx.py bounds them against the exact answers."""
+
+    Sketch VALUES are engine-specific (DuckDB's HLL differs), so the
+    plan converts them to a cross-engine-checkable form: it computes
+    the exact answers in the same pass and emits the exact values plus
+    within-error-bound flags (HLL rsd 0.02 -> |err| <= 10% relative;
+    GK accuracy 10000 -> percentile within 1 quantity unit of exact).
+    The oracle reproduces the exact columns and expects every bound
+    flag to hold (literal 1). tests/test_approx.py keeps the tighter
+    statistical checks."""
     li = read_table(spark, sf_dir, "lineitem")
     # Scalar columns only: the driver's canonicalizer sorts result
     # columns and an array<double> cell is unhashable there (r01 crash)
     # — split the percentile pair into two doubles.
     pcts = F.percentile_approx("l_quantity", [0.5, 0.95], 10000)
-    return li.groupBy("l_returnflag").agg(
+    exact_pcts = F.expr("percentile(l_quantity, array(0.5, 0.95))")
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         pcts.getItem(0).alias("qty_p50"),
         pcts.getItem(1).alias("qty_p95"),
+        exact_pcts.getItem(0).alias("exact_p50"),
+        exact_pcts.getItem(1).alias("exact_p95"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    ok = lambda a, e, tol: (F.abs(F.col(a) - F.col(e)) <= tol).cast("int")  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        "n_rows",
+        ok("approx_parts", "exact_parts", 0.10 * F.col("exact_parts")).alias(
+            "approx_parts_ok"
+        ),
+        ok("qty_p50", "exact_p50", F.lit(1.0)).alias("p50_ok"),
+        ok("qty_p95", "exact_p95", F.lit(1.0)).alias("p95_ok"),
     )
 
 

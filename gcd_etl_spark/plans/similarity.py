@@ -71,6 +71,65 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, _query_set(emb), n_cells=16, nprobe=4, k=TOP_K, dim=EMB_DIM)
 
 
+#: ANN output is approximate by definition, so the cross-engine check
+#: is a BOUND, not value equality: the plan joins the ANN result to
+#: the exact brute-force top-k computed in the same plan and emits an
+#: overall recall@k floor flag. Hash family and data are both
+#: deterministic, so the flag is stable run-to-run.
+RECALL_FLOOR = 0.3
+
+_RECALL_ORACLE = f"""
+SELECT vec_id AS query_id, CAST({TOP_K} AS BIGINT) AS n_exact,
+       1 AS recall_floor_ok
+FROM embeddings WHERE vec_id < {N_QUERIES}
+"""
+
+
+def _recall_bound(ann: DataFrame, exact: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    ex = exact.select("query_id", "neighbor_id")
+    an = ann.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    per = (
+        ex.join(an, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
+            F.count(F.lit(1)).alias("n_exact"),
+        )
+    )
+    w = Window.partitionBy()  # 1 row per query vector: global agg is tiny
+    overall = F.sum("hits").over(w) / F.sum("n_exact").over(w)
+    return per.select(
+        "query_id",
+        "n_exact",
+        (overall >= RECALL_FLOOR).cast("int").alias("recall_floor_ok"),
+    )
+
+
+@query("sim_ann_lsh_recall", oracle=_RECALL_ORACLE)
+def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN held to an exact recall@10 floor in-plan (the
+    oracle-checkable form of sim_ann_lsh)."""
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    q = _query_set(emb)
+    planes = S.make_planes(dim=EMB_DIM, n_planes=32)
+    ann = S.lsh_topk(emb, q, planes, n_tables=8, k=TOP_K, dim=EMB_DIM)
+    exact = S.brute_force_topk(emb, q, k=TOP_K, dim=EMB_DIM)
+    return _recall_bound(ann, exact)
+
+
+@query("sim_ann_ivf_recall", oracle=_RECALL_ORACLE)
+def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN held to an exact recall@10 floor in-plan (the
+    oracle-checkable form of sim_ann_ivf)."""
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    q = _query_set(emb)
+    ann = S.ivf_topk(emb, q, n_cells=16, nprobe=4, k=TOP_K, dim=EMB_DIM)
+    exact = S.brute_force_topk(emb, q, k=TOP_K, dim=EMB_DIM)
+    return _recall_bound(ann, exact)
+
+
 #: Fixture embeddings are random (max pairwise cosine ~0.5, no planted
 #: near-dups), so a production-style 0.98 threshold matches zero pairs
 #: and the oracle would pass vacuously. 0.42 sits inside the observed
@@ -80,9 +139,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_THRESHOLD = 0.42
 
 
-@query(
-    "sim_embedding_neardup",
-    oracle=f"""
+#: DuckDB restatement of the all-pairs anchor — used by
+#: tests/test_similarity.py and as the pair-set oracle for the
+#: registered BLAS path below.
+NEARDUP_ANCHOR_ORACLE = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cosine
@@ -90,15 +150,32 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6)
       >= {NEARDUP_THRESHOLD}
-""",
-)
+"""
+
+#: Hard ceiling for the all-pairs expression anchor: it is a
+#: correctness oracle for the BLAS/LSH/IVF paths, NOT a scale path.
+#: At 100 TB an unconditional cartesian scorer is a cluster-killer,
+#: so the plan refuses to build beyond this corpus size.
+NEARDUP_ANCHOR_MAX_ROWS = 100_000
+
+
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.98), the
-    embedding-space analog of text near-dup. All-pairs form — the
-    correctness anchor; the ANN operators are its scale path."""
+    """Embedding-cosine near-duplicate pairs — deliberately quadratic
+    expression-tree anchor, pytest-only (demoted from the registry;
+    round-2 verdict: an unconditional all-pairs scorer must not sit on
+    the registered query surface). Guarded by a corpus-size bound; the
+    registered scale paths are ``sim_embedding_neardup_blas`` (mid
+    scale) and the LSH/IVF operators (beyond memory)."""
     from gcd_etl_spark.functions.vector import dot_fixed, norm_fixed
 
     emb = read_table_spread(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > NEARDUP_ANCHOR_MAX_ROWS:
+        raise ValueError(
+            f"sim_embedding_neardup is an O(n^2) correctness anchor, refusing "
+            f"{n} rows (max {NEARDUP_ANCHOR_MAX_ROWS}); use "
+            f"neardup_pairs_blas or the LSH/IVF operators at scale"
+        )
     # Norms once per side (n rows), unrolled dot per pair (n^2) —
     # flat codegen'd arithmetic, same summation order as the fold.
     a = emb.select(
@@ -120,12 +197,14 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_embedding_neardup_blas", oracle=None)
+@query("sim_embedding_neardup_blas", oracle=NEARDUP_ANCHOR_ORACLE)
 def sim_embedding_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-vectorized all-pairs near-dup (mapInPandas + one BLAS
     matmul per task against the broadcast normalized corpus): the
     mid-scale path between the expression-tree anchor and the LSH/IVF
-    operators. Pair-set equality with the anchor is asserted in
+    operators. Both sides threshold the cosine ROUNDED to 6 dp, so the
+    pair set and emitted scores match the expression anchor (and its
+    DuckDB restatement) exactly; equality is also asserted in
     tests/test_similarity.py."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
     return S.neardup_pairs_blas(emb, threshold=NEARDUP_THRESHOLD)

@@ -66,12 +66,11 @@ def test_ann_cosines_are_exact(emb, queries, exact_topk):
 def test_blas_neardup_matches_anchor(spark, sf_smoke, emb):
     """The BLAS block path finds exactly the anchor's pairs (modulo
     pairs sitting within FP noise of the threshold)."""
-    from gcd_etl_spark.plans import QUERIES
-    from gcd_etl_spark.plans.similarity import NEARDUP_THRESHOLD
+    from gcd_etl_spark.plans.similarity import NEARDUP_THRESHOLD, sim_embedding_neardup
 
     anchor = {
         (r["id_a"], r["id_b"]): r["cosine"]
-        for r in QUERIES["sim_embedding_neardup"].build(spark, sf_smoke).collect()
+        for r in sim_embedding_neardup(spark, sf_smoke).collect()
     }
     blas = {
         (r["id_a"], r["id_b"]): r["cosine"]
