@@ -37,13 +37,13 @@ from gcd_etl_spark.plans import staging  # noqa: E402,F401
 
 #: The first ~50 registry entries = the driver's correctness window.
 #: Composition: every query that had no driver row through round 2
-#: (flagship, dump lineage, term table, the 16-query SQL suite, the 5
-#: streaming jobs, portable dedup + clusters, similarity incl. the new
-#: recall/bounds-oracled forms, batch windows, multimodal) followed by
-#: re-verification slots for the highest-value round-2 greens. All 50
-#: carry DuckDB oracles — rows-only (no_oracle) variants sit outside
-#: the window; their semantics are covered inside it by the portable/
-#: recall-bound forms.
+#: (flagship, dump lineage, term table, the 20-query TPC-H-shape SQL
+#: suite, the 5 streaming jobs, portable dedup + clusters, similarity
+#: incl. the recall/bounds-oracled forms, batch windows, multimodal)
+#: followed by re-verification slots for the highest-value round-2
+#: greens. All 50 carry DuckDB oracles — rows-only (no_oracle)
+#: variants sit outside the window; their semantics are covered
+#: inside it by the portable/recall-bound forms.
 _DRIVER_WINDOW = [
     # flagship + dump-staging lineage (S1 -> S2)
     "gcd_snapshot",
@@ -52,13 +52,16 @@ _DRIVER_WINDOW = [
     # Flamdex capability mapping (S6 -> exploded term table)
     "term_table",
     # SQL analytics suite (the Athena read-side capability, §3.4)
+    "sql_q2_min_cost_supplier",
     "sql_q3_shipping_priority",
     "sql_q4_priority_exists",
     "sql_q5_local_supplier",
     "sql_q6_forecast_revenue",
     "sql_q7_nation_volume",
+    "sql_q8_market_share",
     "sql_q9_product_profit",
     "sql_q10_returned_items",
+    "sql_q11_important_stock",
     "sql_q12_priority_case",
     "sql_q13_cust_distribution",
     "sql_q14_promo_revenue",
@@ -66,6 +69,7 @@ _DRIVER_WINDOW = [
     "sql_q16_supplier_cnt",
     "sql_q17_small_qty",
     "sql_q19_disjunctive",
+    "sql_q20_part_promotion",
     "sql_q21_waiting_supplier",
     "sql_q22_idle_customers",
     # Structured Streaming (batch-parity oracles)
@@ -98,13 +102,9 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "join_inner_chain",
     "join_left_fanout",
-    "agg_collect_list",
     "agg_rollup",
     "window_topk_per_group",
-    "sort_limit_topk",
-    "dedup_exact",
     "corpus_curation",
-    "scalar_multi_split",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

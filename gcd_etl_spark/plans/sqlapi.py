@@ -443,3 +443,155 @@ def sql_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS anti join + substring-derived group key."""
     _views(spark, sf_dir, ("customer", "orders"))
     return spark.sql(_Q22)
+
+
+# --------------------------------------------------------------------
+# Completion of the 22-query TPC-H plan-shape suite. The fixture has
+# no partsupp table, so Q2/Q11/Q20 (which price supplier stock) are
+# re-based on the lineitem-derived supplier⇄part relation — per-pair
+# unit cost / shipped value — preserving the original plan shapes:
+# Q2's correlated MIN over a re-joined dimension path, Q11's
+# grouped HAVING vs a scalar-subquery fraction of the global total,
+# Q20's nested IN chains with a correlated scalar threshold. Q8
+# needs no adaptation. Unit cost is double division — identical
+# IEEE bits in both engines, so MIN and the equality correlate
+# exactly (functions/numeric.py discipline: exact where order can
+# vary, raw IEEE only for per-row identical expressions).
+
+_Q2 = """
+SELECT DISTINCT
+       CAST(s.s_acctbal AS DOUBLE) AS acctbal,
+       s.s_name AS supplier_name,
+       n.n_name AS nation,
+       p.p_partkey AS partkey,
+       p.p_type AS part_type
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size <= 10
+  AND p.p_type = 'LARGE'
+  AND r.r_name = 'EUROPE'
+  AND l.l_extendedprice / l.l_quantity = (
+      SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE l2.l_partkey = p.p_partkey
+        AND r2.r_name = 'EUROPE')
+ORDER BY acctbal DESC, supplier_name, partkey
+LIMIT 100
+"""
+
+_Q8 = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_11' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'AMERICA'
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+_Q11 = """
+SELECT l.l_partkey AS partkey,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS stock_value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_8', 'NATION_9', 'NATION_11', 'NATION_13', 'NATION_21')
+GROUP BY l.l_partkey
+HAVING SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) > (
+    SELECT SUM(CAST(l2.l_extendedprice AS DECIMAL(18,2))) * 0.001
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    WHERE n2.n_name IN ('NATION_8', 'NATION_9', 'NATION_11', 'NATION_13', 'NATION_21'))
+ORDER BY stock_value DESC, partkey
+"""
+
+_Q20 = """
+SELECT s.s_name AS supplier_name,
+       CAST(s.s_acctbal AS DOUBLE) AS acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_1', 'NATION_6', 'NATION_11', 'NATION_16', 'NATION_21')
+  AND s.s_suppkey IN (
+    SELECT sp.l_suppkey
+    FROM (SELECT l_suppkey, l_partkey,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_1996
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey, l_partkey) sp
+    WHERE sp.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND sp.qty_1996 > (
+          SELECT 0.5 * SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+          FROM lineitem l2
+          WHERE l2.l_partkey = sp.l_partkey
+            AND l2.l_suppkey = sp.l_suppkey))
+ORDER BY supplier_name
+"""
+
+
+@query("sql_q2_min_cost_supplier", oracle=_Q2)
+def sql_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN subquery that re-walks
+    the supplier→nation→region dimension path (decorrelated by
+    Catalyst into an aggregate + join on partkey), deterministic
+    top-100. Unit cost re-based on lineitem (fixture has no
+    partsupp); per-row IEEE division is bit-identical cross-engine."""
+    _views(spark, sf_dir, ("part", "lineitem", "supplier", "nation", "region"))
+    return spark.sql(_Q2)
+
+
+@query("sql_q8_market_share", oracle=_Q8)
+def sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-way join (nation dim twice: customer region
+    gate + supplier nation tag), per-year conditional-share ratio.
+    Decimal-exact volume sums, one IEEE division at the end."""
+    _views(
+        spark, sf_dir,
+        ("part", "lineitem", "supplier", "orders", "customer", "nation", "region"),
+    )
+    return spark.sql(_Q8)
+
+
+@query("sql_q11_important_stock", oracle=_Q11)
+def sql_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped HAVING filtered against a scalar
+    subquery computing a fraction of the global total — the same
+    nation-filtered relation aggregated at two granularities.
+    Decimal comparison keeps the threshold exact in both engines."""
+    _views(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    return spark.sql(_Q11)
+
+
+@query("sql_q20_part_promotion", oracle=_Q20)
+def sql_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chains (supplier ← shipped-pairs ←
+    part-name filter) with a correlated scalar threshold — shipped
+    volume in the window vs half the pair's all-time volume. Spark
+    decorrelates the scalar into an aggregate join on the pair key."""
+    _views(spark, sf_dir, ("supplier", "nation", "lineitem", "part"))
+    return spark.sql(_Q20)

@@ -19,6 +19,8 @@ from gcd_etl_spark.plans import QUERIES
 #: composites). Everything else must stay off nested loops.
 QUADRATIC_ANCHORS = {
     "sim_bruteforce_topk",  # exact top-k baseline (broadcast q x corpus)
+    "sim_ann_lsh_recall",  # embeds the exact baseline as recall denominator
+    "sim_ann_ivf_recall",  # embeds the exact baseline as recall denominator
     "dedup_ngram_jaccard",  # all-pairs Jaccard ground truth
     "dedup_clusters",  # built on the ngram_jaccard pair derivation
     "corpus_curation",  # composite that reuses the anchor pair stage
