@@ -34,6 +34,7 @@ from gcd_etl_spark.plans import sqlapi  # noqa: E402,F401
 from gcd_etl_spark.plans import terms  # noqa: E402,F401
 from gcd_etl_spark.plans import streaming_plans  # noqa: E402,F401
 from gcd_etl_spark.plans import staging  # noqa: E402,F401
+from gcd_etl_spark.plans import udfsurface  # noqa: E402,F401
 
 #: The first ~50 registry entries = the driver's correctness window.
 #: Composition: every query that had no driver row through round 2
@@ -95,15 +96,18 @@ _DRIVER_WINDOW = [
     "mm_binary_meta",
     "mm_decode_meta",
     "mm_frame_sample",
+    # Spark-4-native UDF/type surface (UDTF, mapInArrow, VARIANT)
+    "udtf_token_runs",
+    "arrow_vector_stats",
+    "scalar_variant",
     # sketches held to exact bounds in-plan
     "agg_approx_distinct",
     # --- re-verification slots: round-2 greens with most semantics ---
+    # (join/agg/window shapes also re-verify inside gcd_snapshot, the
+    # SQL suite, and the win_* entries above)
     "snapshot_denorm",
     "q1_pricing_summary",
-    "join_inner_chain",
     "join_left_fanout",
-    "agg_rollup",
-    "window_topk_per_group",
     "corpus_curation",
 ]
 

@@ -1,0 +1,182 @@
+"""Spark-4-native UDF/type surface (SURVEY.md §2.10 extensions).
+
+Three capabilities the §2.10 inventory lists beyond pandas_udf /
+applyInPandas (already covered elsewhere):
+
+* **Python UDTF** — a table function with per-row generator state
+  (``LATERAL``-joined in SQL). The reference's closest analog is the
+  credit-type expansion (reference ``GcdStoryCredit.java:46-60``, one
+  input row → N typed rows); here the demo is run-length encoding of
+  token streams, whose oracle is the classic gaps-and-islands SQL.
+  Arrow-optimized execution is enabled so batches cross the Python
+  boundary columnar, not pickled row-at-a-time.
+* **mapInArrow** — the lowest-overhead Python hook: raw
+  ``pyarrow.RecordBatch`` in/out, no pandas materialization. Used
+  for fixed-dim vector stats computed as ONE numpy reshape per batch
+  (no per-row Python loop) — the same batch discipline the
+  similarity operators use, demonstrated at the API's floor.
+* **VARIANT** — Spark 4's semi-structured type: ``parse_json`` once,
+  ``variant_get`` typed extractions after. This is the 100 TB answer
+  to repeated ``get_json_object`` calls (each re-parses the string;
+  a VARIANT parses once and the binary encoding serves every
+  extraction).
+
+All three carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table, read_table_spread
+
+_TOKEN_RUNS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos
+  FROM documents
+),
+isl AS (
+  SELECT doc_id, token, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY pos) AS grp
+  FROM toks
+  WHERE token <> ''
+)
+SELECT doc_id, token,
+       CAST(MIN(pos) AS INT) AS run_start,
+       CAST(COUNT(*) AS INT) AS run_len
+FROM isl
+GROUP BY doc_id, token, grp
+"""
+
+
+@query("udtf_token_runs", oracle=_TOKEN_RUNS_ORACLE)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encode each document's token stream via a Python
+    UDTF joined LATERAL — one input row, N output rows, with
+    generator state (current run) carried across tokens.
+
+    Positions are 1-based over the raw single-space split (empty
+    splits occupy a position but emit nothing), matching the oracle's
+    ``generate_subscripts``. The UDTF itself is O(tokens) per row and
+    partition-parallel; the DuckDB oracle needs a window + two-level
+    group to say the same thing.
+    """
+    from pyspark.sql.functions import udtf
+
+    # Arrow-optimized UDTF execution: columnar transfer, not pickling.
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
+    @udtf(returnType="doc_id bigint, token string, run_start int, run_len int")
+    class TokenRuns:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            if text is None:
+                return
+            run_tok, run_start, run_end = None, 0, 0
+            pos = 0
+            for tok in text.split(" "):
+                pos += 1
+                if tok == "":
+                    continue
+                if tok == run_tok and pos == run_end + 1:
+                    run_end = pos
+                    continue
+                if run_tok is not None:
+                    yield (doc_id, run_tok, run_start, run_end - run_start + 1)
+                run_tok, run_start, run_end = tok, pos, pos
+            if run_tok is not None:
+                yield (doc_id, run_tok, run_start, run_end - run_start + 1)
+
+    spark.udtf.register("token_runs", TokenRuns)
+    read_table_spread(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT f.doc_id, f.token, f.run_start, f.run_len
+        FROM udtf_docs d, LATERAL token_runs(d.doc_id, d.text) f
+        """
+    )
+
+
+_ARROW_STATS_ORACLE = """
+SELECT vec_id,
+       CAST(list_position(embedding, list_max(embedding)) AS INT) AS argmax_pos,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+"""
+
+
+@query("arrow_vector_stats", oracle=_ARROW_STATS_ORACLE)
+def arrow_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector integer stats via ``mapInArrow``: RecordBatches in,
+    RecordBatches out, one vectorized numpy pass per batch (reshape
+    on the list offsets — zero per-row Python).
+
+    argmax_pos is 1-based first-max, matching DuckDB's
+    ``list_position(emb, list_max(emb))``; all outputs are integers
+    so the cross-engine hash has no float-representation risk.
+    """
+    import pyarrow as pa
+
+    def stats(batches):
+        import numpy as np
+
+        for b in batches:
+            names = b.schema.names
+            vec_id = b.column(names.index("vec_id"))
+            emb = b.column(names.index("embedding"))
+            flat = emb.flatten().to_numpy(zero_copy_only=False)
+            offsets = emb.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offsets)
+            if len(lens) and not (lens == lens[0]).all():
+                raise ValueError("arrow_vector_stats expects fixed-dim vectors")
+            dim = int(lens[0]) if len(lens) else 0
+            m = flat.reshape(-1, dim) if dim else flat.reshape(0, 0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    vec_id,
+                    pa.array((m.argmax(axis=1) + 1).astype("int32")),
+                    pa.array((m > 0).sum(axis=1).astype("int32")),
+                    pa.array(np.full(len(m), dim, dtype="int32")),
+                ],
+                names=["vec_id", "argmax_pos", "n_positive", "dim"],
+            )
+
+    emb = read_table_spread(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return emb.mapInArrow(
+        stats, "vec_id bigint, argmax_pos int, n_positive int, dim int"
+    )
+
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k_int,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract(props, '$.k') AS INT) * 2 AS k_doubled
+FROM events
+"""
+
+
+@query("scalar_variant", oracle=_VARIANT_ORACLE)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion: ``parse_json`` ONCE into Spark 4's binary
+    semi-structured type, then N typed ``variant_get`` extractions.
+
+    Contrast with ``scalar_json`` (get_json_object), which re-parses
+    the JSON string per extraction — at 100 TB the parse-once VARIANT
+    column is the difference between 1 and N string parses per row.
+    The VARIANT stays internal; output columns are plain types so the
+    driver hash-compare sees ordinary values.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k_int = F.try_variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k_int.alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        (k_int * F.lit(2)).alias("k_doubled"),
+    )
