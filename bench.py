@@ -58,21 +58,32 @@ def main() -> None:
 
     # Warmup: JVM + codegen + parquet footer caches. Both flagship
     # plans run once so measured numbers are steady-state throughput,
-    # not one-time plan compilation.
-    _materialize(QUERIES["snapshot_denorm"].build(spark, sf_dir))
-    _materialize(QUERIES["gcd_snapshot"].build(spark, sf_dir))
+    # not one-time plan compilation. Warmup failures are non-fatal —
+    # the per-query loop reports its own.
+    for warm in ("snapshot_denorm", "gcd_snapshot"):
+        try:
+            _materialize(QUERIES[warm].build(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            print(f"warmup {warm} failed: {exc}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken plan must not take the
+    # other timings (or the JSON line) down with it — a bench harness
+    # degrades, it doesn't crash. Failures time as null.
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
         q = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _materialize(q.build(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _materialize(q.build(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+            timings[name] = None
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {

@@ -28,6 +28,15 @@ def multi_split(col: Column | str) -> Column:
     keeps them, so we trim the trailing run explicitly. Null input
     propagates to a null array (reference Main.java:535-547: null ->
     consumer never called).
+
+    Whitespace-class corner (hypothesis-found, r3): the pattern's
+    ``\\s`` is JAVA's ASCII-only class ``[ \\t\\n\\x0b\\f\\r]`` —
+    Spark compiles regexes with java.util.regex, so this matches the
+    reference byte-for-byte. Python's ``\\s`` additionally matches
+    U+0085/U+00A0/Unicode spaces, so ``';\\x85'`` splits to
+    ``['', '\\x85']`` here (correct) but ``[]`` under a naive Python
+    model — any Python-side model of this function must spell the
+    ASCII class out (tests/test_properties.py).
     """
     c = F.col(col) if isinstance(col, str) else col
     # ONE regex pass (the split), then drop Java's trailing empties on

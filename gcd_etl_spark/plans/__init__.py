@@ -35,80 +35,89 @@ from gcd_etl_spark.plans import terms  # noqa: E402,F401
 from gcd_etl_spark.plans import streaming_plans  # noqa: E402,F401
 from gcd_etl_spark.plans import staging  # noqa: E402,F401
 from gcd_etl_spark.plans import udfsurface  # noqa: E402,F401
+from gcd_etl_spark.plans import profiling  # noqa: E402,F401
 
-#: The first ~50 registry entries = the driver's correctness window.
-#: Composition: every query that had no driver row through round 2
-#: (flagship, dump lineage, term table, the 20-query TPC-H-shape SQL
-#: suite, the 5 streaming jobs, portable dedup + clusters, similarity
-#: incl. the recall/bounds-oracled forms, batch windows, multimodal)
-#: followed by re-verification slots for the highest-value round-2
-#: greens. All 50 carry DuckDB oracles — rows-only (no_oracle)
-#: variants sit outside the window; their semantics are covered
-#: inside it by the portable/recall-bound forms.
+#: The first ~50 registry entries = the driver's correctness window,
+#: ROTATED each round (round-3 verdict #7) so every registered query
+#: has a driver-green row at most ~2 rounds old. Round-4 composition:
+#: (a) the 12 round-3 red rows first — the flagship pair (harness
+#: list-canon, now serialized), the 9 events-reader casualties, and
+#: q12's oracle-type artifact — each with its fix in this round's
+#: diff; then (b) 38 rotation slots re-verifying the round-2 greens
+#: that round 3 rotated out (scalar/window/join/agg/text families,
+#: as-of/range joins, CDC snapshots, bucketed joins). The 38 round-3
+#: greens (SQL suite, dedup/ANN portable, multimodal, UDTF/Arrow)
+#: rotate OUT this round on unchanged code — union coverage
+#: r3-green ∪ r4-window = 88 of 100 registered queries. Dropped from
+#: rotation as redundant-within-window: join_inner_chain, agg_distinct,
+#: agg_cube, sort_limit_topk, skew_salted_distinct, text_shingle_stats,
+#: sample_weighted (each one's semantics verified by a sibling in the
+#: window or an r3-green row on unchanged code).
 _DRIVER_WINDOW = [
-    # flagship + dump-staging lineage (S1 -> S2)
+    # --- round-3 reds, fixed this round ---
+    # flagship + dump-staging lineage (arrays now driver-serialized)
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
-    "dump_roundtrip",
-    # Flamdex capability mapping (S6 -> exploded term table)
-    "term_table",
-    # SQL analytics suite (the Athena read-side capability, §3.4)
-    "sql_q2_min_cost_supplier",
-    "sql_q3_shipping_priority",
-    "sql_q4_priority_exists",
-    "sql_q5_local_supplier",
-    "sql_q6_forecast_revenue",
-    "sql_q7_nation_volume",
-    "sql_q8_market_share",
-    "sql_q9_product_profit",
-    "sql_q10_returned_items",
-    "sql_q11_important_stock",
+    # oracle-type artifact (bare SUM -> HUGEINT), now CAST BIGINT
     "sql_q12_priority_case",
-    "sql_q13_cust_distribution",
-    "sql_q14_promo_revenue",
-    "sql_q15_top_supplier",
-    "sql_q16_supplier_cnt",
-    "sql_q17_small_qty",
-    "sql_q19_disjunctive",
-    "sql_q20_part_promotion",
-    "sql_q21_waiting_supplier",
-    "sql_q22_idle_customers",
-    # Structured Streaming (batch-parity oracles)
+    # the 9 events-reader casualties (catalog.py now type-dispatches)
     "stream_tumbling",
     "stream_sliding",
     "stream_sessions",
     "stream_dedup",
     "stream_stateful_totals",
-    # dedup family (portable = exact cross-engine hash family)
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "dedup_clusters",
-    # similarity family (exact baseline + recall/bounds-oracled forms)
-    "sim_bruteforce_topk",
-    "sim_ann_lsh_recall",
-    "sim_ann_ivf_recall",
-    "sim_embedding_neardup_blas",
-    # batch event-time windows
     "win_tumbling",
     "win_sliding",
     "win_session",
-    # multimodal plumbing (stubbed decode, real Spark contract)
-    "mm_binary_meta",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    # Spark-4-native UDF/type surface (UDTF, mapInArrow, VARIANT)
-    "udtf_token_runs",
-    "arrow_vector_stats",
     "scalar_variant",
-    # sketches held to exact bounds in-plan
-    "agg_approx_distinct",
-    # --- re-verification slots: round-2 greens with most semantics ---
-    # (join/agg/window shapes also re-verify inside gcd_snapshot, the
-    # SQL suite, and the win_* entries above)
-    "snapshot_denorm",
-    "q1_pricing_summary",
-    "join_left_fanout",
-    "corpus_curation",
+    # --- rotation slots: round-2 greens with no round-3 row ---
+    # scalar function family (F1-F9 + json/strings/datetime surface)
+    "scalar_dates",
+    "scalar_try_cast",
+    "scalar_multi_split",
+    "scalar_dict_decode",
+    "scalar_json",
+    "scalar_defaults",
+    "scalar_higher_order",
+    "scalar_strings",
+    "scalar_datetime",
+    # window functions (§2.5)
+    "window_topk_per_group",
+    "window_running_sum",
+    "window_analytics",
+    # join/set/agg shapes (§2.3-2.7)
+    "join_semi",
+    "join_anti",
+    "agg_collect_list",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "pivot_status",
+    "set_ops",
+    # scale-posture operators: skew salting, bloom pruning, bucketing
+    "skew_salted_join",
+    "join_bloom_pruned",
+    "bucketed_colocated_join",
+    # temporal joins + CDC snapshot algebra
+    "asof_join_events",
+    "range_join_events",
+    "snapshot_diff",
+    "snapshot_apply_cdc",
+    # SQL suite members outside the 21 sampled green in r3
+    "sql_q18_large_orders",
+    "sql_exists_correlated",
+    # pandas/Arrow grouped UDF surface
+    "pandas_grouped_stats",
+    # text analysis + curation sampling
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "data_split_deterministic",
+    "sample_stratified",
+    # dedup re-verification (exact + n-gram jaccard)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

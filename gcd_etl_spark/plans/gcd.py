@@ -13,28 +13,50 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gcd_etl_spark.gcd.credits import ATOMIC_FIELDS
 from gcd_etl_spark.gcd.fixtures_adapter import gcd_fixture_ctes, gcd_tables_from_fixtures
 from gcd_etl_spark.gcd.oracle import snapshot_oracle_sql
 from gcd_etl_spark.gcd.pipeline import build_snapshot, collect_dict_maps
-from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.plans.registry import duckdb_array_replace, query, serialize_array_cols
 
 #: Fixed run date -> deterministic unix_time/snapshot on both sides.
 RUN_DATE = "2024-01-15"
+
+#: Every array-valued column of the 89-col snapshot: the multi_split
+#: scalars (F2) plus the 7 curated-credit name/id pairs (F11). The
+#: driver's canonicalizer cannot hash list cells (registry
+#: convention), so the REGISTERED flagship serializes these on both
+#: sides; entry()/the sink path keep the real arrays.
+_ARRAY_COLS = (
+    ["price", "editing", "series_binding", "story_genre", "story_characters"]
+    + [f"story_{f}" for f in ATOMIC_FIELDS]
+    + [f"story_{f}_creator_id" for f in ATOMIC_FIELDS]
+)
+
+_FLAGSHIP_ORACLE = duckdb_array_replace(
+    snapshot_oracle_sql(RUN_DATE, gcd_fixture_ctes()), _ARRAY_COLS
+)
 
 #: sf_dir -> collected dictionary maps; the dims are static fixture
 #: derivations, so repeated builds (bench loops) skip 4 driver jobs.
 _DICT_CACHE: dict[str, dict[str, dict[int, str]]] = {}
 
 
-@query("gcd_snapshot", oracle=snapshot_oracle_sql(RUN_DATE, gcd_fixture_ctes()))
-def gcd_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: the denormalized issue-story snapshot build, end to
-    end — J1-J9 joins, F1-F13 scalars, F10 credit expansion, A1
-    collect-list aggregation, F12 source preference."""
+def build_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw 89-col snapshot (arrays intact) — entry()/sink path."""
     tables = gcd_tables_from_fixtures(spark, sf_dir)
     if sf_dir not in _DICT_CACHE:
         _DICT_CACHE[sf_dir] = collect_dict_maps(tables)
     return build_snapshot(spark, tables, RUN_DATE, dicts=_DICT_CACHE[sf_dir])
+
+
+@query("gcd_snapshot", oracle=_FLAGSHIP_ORACLE)
+def gcd_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the denormalized issue-story snapshot build, end to
+    end — J1-J9 joins, F1-F13 scalars, F10 credit expansion, A1
+    collect-list aggregation, F12 source preference. Array columns
+    serialized for the driver harness (registry convention)."""
+    return serialize_array_cols(build_flagship(spark, sf_dir))
 
 
 #: Tables routed through mysqldump text in gcd_snapshot_from_dump.
@@ -47,7 +69,7 @@ def gcd_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUMP_STAGED_TABLES = ("gcd_publisher", "gcd_indicia_publisher", "gcd_brand")
 
 
-@query("gcd_snapshot_from_dump", oracle=snapshot_oracle_sql(RUN_DATE, gcd_fixture_ctes()))
+@query("gcd_snapshot_from_dump", oracle=_FLAGSHIP_ORACLE)
 def gcd_snapshot_from_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 -> S2 end to end: the flagship snapshot where the publisher,
     indicia_publisher and brand inputs' scan lineage starts at
@@ -77,4 +99,6 @@ def gcd_snapshot_from_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if sf_dir not in _DICT_CACHE:
         _DICT_CACHE[sf_dir] = collect_dict_maps(tables)
-    return build_snapshot(spark, tables, RUN_DATE, dicts=_DICT_CACHE[sf_dir])
+    return serialize_array_cols(
+        build_snapshot(spark, tables, RUN_DATE, dicts=_DICT_CACHE[sf_dir])
+    )

@@ -1,0 +1,111 @@
+"""Dataset profiling + slowly-changing-dimension history.
+
+Two capabilities a 100 TB training-data pipeline needs around the
+core ETL (neither exists in the reference — its only "profiling" is
+the progress counters at Main.java:355-357):
+
+* ``profile_columns`` — one-pass column statistics (row/null/distinct
+  counts, min/max) for curation dashboards and schema-drift alerts.
+  ALL columns' aggregates run in a SINGLE aggregation pass (one scan,
+  map-side partials, one single-row reduce), then the wide row is
+  unpivoted driver-side-free with ``stack``. The 100 TB shape: cost
+  is one scan regardless of column count; no per-column jobs.
+* ``scd2_history`` — type-2 dimension reconstruction over the events
+  CDC feed: each (user, ts) state change becomes a validity interval
+  ``[valid_from, valid_to)`` with a version number and a current
+  flag. One window shuffle on the entity key; interval arithmetic in
+  epoch micros so the DuckDB oracle compares integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table
+
+#: documents columns profiled (closed set -> stable output schema).
+_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars", "text")
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+SELECT '{c}' AS col_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_val,
+       CAST(MAX({c}) AS VARCHAR) AS max_val
+FROM documents"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("profile_columns", oracle=_profile_oracle())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler: every column's (rows, nulls, distincts,
+    min, max) from ONE aggregation over ONE scan — the wide
+    single-row aggregate is unpivoted to (col_name, metrics) rows
+    with ``stack``, so profiling N columns costs the same scan as
+    profiling one. Values surface as strings for a uniform schema
+    (and a canonicalizer-safe result)."""
+    docs = read_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_val, max_val)"
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+SELECT user_id,
+       ROW_NUMBER() OVER w AS version,
+       epoch_us(ts) AS valid_from_us,
+       LEAD(epoch_us(ts)) OVER w AS valid_to_us,
+       CASE WHEN LEAD(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+       event_type,
+       value
+FROM events
+WHERE user_id % 7 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 reconstruction: a CDC feed of (entity, ts, state)
+    rows becomes versioned validity intervals — ``valid_to`` is the
+    NEXT change's timestamp (half-open), NULL marks the current row.
+    ONE shuffle (the window partition on the entity key); ordering is
+    (ts, event_id) so timestamp ties stay deterministic on both
+    engines. The user_id filter keeps the driver's collect bounded;
+    the plan is row-count-free."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("user_id") % 7 == 0)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    valid_to = F.lead(us).over(w)
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        us.alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        valid_to.isNull().cast("int").alias("is_current"),
+        "event_type",
+        "value",
+    )

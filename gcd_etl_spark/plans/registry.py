@@ -20,6 +20,53 @@ from pyspark.sql import DataFrame, SparkSession
 
 SparkBuilder = Callable[[SparkSession, str], DataFrame]
 
+#: ASCII unit separator — never occurs in fixture text, so the joined
+#: serialization below is collision-free in practice.
+_SEP = "\x1f"
+
+
+def serialize_array_cols(df: DataFrame) -> DataFrame:
+    """Driver-facing projection: every ``array<>`` column becomes a
+    size-prefixed joined string (``"N:a␟b␟..."``), NULL stays NULL.
+
+    The driver's canonicalizer hashes cell VALUES and cannot sort list
+    cells (pandas ``unhashable type: 'list'`` — the r1
+    ``agg_approx_distinct`` crash, and the registry convention above).
+    The size prefix keeps ``[]`` (``"0:"``) distinct from ``[""]``
+    (``"1:"``) — plain ``array_join`` would collide them. Mirror with
+    :func:`duckdb_array_replace` on the oracle side.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.ArrayType):
+            c = F.col(f.name)
+            cols.append(
+                F.concat(
+                    F.size(c).cast("string"),
+                    F.lit(":"),
+                    F.array_join(F.transform(c, lambda x: x.cast("string")), _SEP),
+                ).alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(cols)
+
+
+def duckdb_array_replace(sql: str, array_cols: list[str]) -> str:
+    """Wrap oracle SQL so ``array_cols`` serialize exactly like
+    :func:`serialize_array_cols` (NULL propagates through ``||``)."""
+    # COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join
+    # is ''. A NULL ARRAY still serializes to NULL via len(NULL).
+    repl = ", ".join(
+        f"CAST(len({c}) AS VARCHAR) || ':' || COALESCE("
+        f"array_to_string(list_transform({c}, x -> CAST(x AS VARCHAR)), chr(31)), '') AS {c}"
+        for c in array_cols
+    )
+    return f"SELECT * REPLACE ({repl}) FROM ({sql})"
+
 QUERIES: dict[str, "Query"] = {}
 
 

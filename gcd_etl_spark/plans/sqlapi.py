@@ -230,10 +230,13 @@ ORDER BY nation, o_year DESC
 
 _Q12 = """
 SELECT l.l_linestatus AS linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       -- BIGINT cast: DuckDB's SUM(INTEGER) is HUGEINT, Spark's is
+       -- BIGINT; the driver value-hash sees the representations, so
+       -- pin both engines to BIGINT (same convention as _Q22).
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'

@@ -1,0 +1,60 @@
+"""Fixture physical-schema probe (r3 post-mortem).
+
+The /root/testdata fixtures are DRIVER-owned and regenerated between
+rounds; round 3 lost 9 correctness rows and the whole bench because
+``events.ts`` silently changed encoding (TIMESTAMP(NANOS) ->
+timestamp[us]) and ``read_table`` assumed the old one. This probe
+makes the next physical-type drift fail loudly in pytest, minute one:
+every catalog table must LOAD at every sf tier, and the normalized
+events schema (``ts`` timestamp + ``ts_ns`` nanos-long) must
+typecheck and agree with each other regardless of the file encoding.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gcd_etl_spark.sources.catalog import TABLES, read_table
+
+SF_DIRS = [d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1") if os.path.isdir(d)]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_all_catalog_tables_load(spark, sf_dir):
+    for name in TABLES:
+        df = read_table(spark, sf_dir, name)
+        assert df.columns, f"{name} at {sf_dir} has no columns"
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_normalized_schema(spark, sf_dir):
+    """The catalog's events contract: whatever the parquet encoding,
+    consumers see ``ts: timestamp`` and ``ts_ns: bigint``."""
+    df = read_table(spark, sf_dir, "events")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(fields["ts"], T.TimestampType), fields["ts"]
+    assert isinstance(fields["ts_ns"], T.LongType), fields["ts_ns"]
+    # ts-derived expressions must ANALYZE (r3's failure mode was an
+    # AnalysisException at plan build, before any job ran)
+    df.select(
+        F.window("ts", "1 hour"),
+        F.unix_micros("ts").alias("us"),
+        (F.col("ts_ns") - F.unix_micros("ts") * 1000).alias("sub_us_ns"),
+    ).schema
+
+
+def test_events_ts_and_ts_ns_agree(spark):
+    """Value-level: ts is exactly ts_ns truncated to micros, and the
+    timestamps land in the fixtures' 2024 window (a unit slip — ms vs
+    us vs ns — would throw dates off by orders of magnitude)."""
+    df = read_table(spark, "/root/testdata/sf0.001", "events")
+    bad = df.where(
+        (F.unix_micros("ts") != F.expr("ts_ns div 1000"))
+        | (F.year("ts") < F.lit(2000))
+        | (F.year("ts") > F.lit(2100))
+    ).count()
+    assert bad == 0

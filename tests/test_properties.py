@@ -12,17 +12,26 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from gcd_etl_spark.functions.scalar import date_str_to_int, multi_split, try_int
 from gcd_etl_spark.gcd.credits import ATOMIC_FIELDS, CREDIT_TYPE_EXPANSION
 
 
+# Java's \s without UNICODE_CHARACTER_CLASS is ASCII-only
+# [ \t\n\x0b\f\r]; Python's \s also matches U+0085 NEL, U+00A0 NBSP,
+# and the Unicode space category. Hypothesis found ';\x85': the
+# Python-\s model returned [] where Java (and the engine, correctly)
+# returns ['', '\x85']. Model the Java class explicitly, as
+# _java_date_int already does for \d.
+_JAVA_WS = r"[ \t\n\x0b\f\r]"
+
+
 def _java_split(value: str) -> list[str]:
     """Java ``value.split("\\s*;\\s*")``: trailing empties dropped,
     empty input -> [""]."""
-    parts = re.split(r"\s*;\s*", value)
+    parts = re.split(rf"{_JAVA_WS}*;{_JAVA_WS}*", value)
     while len(parts) > 1 and parts[-1] == "":
         parts.pop()
     if parts == [""] and value != "":
@@ -50,6 +59,9 @@ _texts = st.text(
 
 @settings(max_examples=30, deadline=None)
 @given(st.lists(_texts, min_size=1, max_size=40))
+# pinned r3 regression: U+0085 NEL is Python-\s but NOT Java-\s —
+# ';\x85' splits to ['', '\x85'], not []
+@example([";\x85", "\xa0;\xa0", "a\x85;b"])
 def test_multi_split_matches_java_semantics(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "v string")
     got = [r[0] for r in df.select(multi_split("v")).collect()]
