@@ -44,33 +44,48 @@ FROM documents"""
     return "\nUNION ALL\n".join(parts)
 
 
-@query("profile_columns", oracle=_profile_oracle())
-def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column profiler: every column's (rows, nulls, distincts,
-    min, max) from ONE aggregation over ONE scan — the wide
+def profile_frame(df: DataFrame, cols: tuple[str, ...], exact_distinct: bool = True) -> DataFrame:
+    """Column profiler core: (rows, nulls, distincts, min, max) for
+    every named column from ONE aggregation over ONE scan; the wide
     single-row aggregate is unpivoted to (col_name, metrics) rows
     with ``stack``, so profiling N columns costs the same scan as
-    profiling one. Values surface as strings for a uniform schema
-    (and a canonicalizer-safe result)."""
-    docs = read_table(spark, sf_dir, "documents")
+    profiling one. Values surface as strings for a uniform schema.
+
+    ``exact_distinct`` picks the distinct strategy. Exact
+    multi-column COUNT(DISTINCT) compiles to Spark's Expand plan —
+    the input is replicated (1 + n_cols)x before the shuffle, which
+    is the right trade only while the table is scan-bound. At 100 TB
+    pass ``exact_distinct=False``: HLL++ sketches
+    (``approx_count_distinct``, 2% rsd) keep fixed-size map-side
+    state, no Expand, one ordinary reduce — the same posture as
+    ``agg_approx_distinct`` (plans/relational.py).
+    """
+    ndv = F.countDistinct if exact_distinct else (lambda c: F.approx_count_distinct(c, 0.02))
     aggs = []
-    for c in _PROFILE_COLS:
+    for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
+            ndv(c).alias(f"{c}__distinct"),
             F.min(c).cast("string").alias(f"{c}__min"),
             F.max(c).cast("string").alias(f"{c}__max"),
         ]
-    wide = docs.agg(*aggs)
+    wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max"
-        for c in _PROFILE_COLS
+        f"'{c}', {c}__rows, {c}__null, {c}__distinct, {c}__min, {c}__max" for c in cols
     )
     return wide.selectExpr(
-        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, n_rows, n_null, n_distinct, min_val, max_val)"
     )
+
+
+@query("profile_columns", oracle=_profile_oracle())
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler over documents, exact-distinct form (the
+    DuckDB oracle needs exact NDVs; see profile_frame for the
+    sketch-based 100 TB form)."""
+    return profile_frame(read_table(spark, sf_dir, "documents"), _PROFILE_COLS)
 
 
 @query(

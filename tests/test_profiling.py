@@ -20,6 +20,26 @@ def test_profile_columns_single_scan(spark, sf_smoke):
     assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2  # scan appears once (naming varies)
 
 
+def test_profile_frame_approx_distinct_within_bounds(spark, sf_smoke):
+    """The 100 TB profiler form (HLL++ NDVs, no Expand) agrees with
+    exact NDVs within the sketch's error bound and leaves every other
+    metric identical."""
+    from gcd_etl_spark.plans.profiling import _PROFILE_COLS, profile_frame
+    from gcd_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    exact = {r["col_name"]: r for r in profile_frame(docs, _PROFILE_COLS).collect()}
+    approx = {r["col_name"]: r for r in profile_frame(docs, _PROFILE_COLS, exact_distinct=False).collect()}
+    for c in _PROFILE_COLS:
+        e, a = exact[c], approx[c]
+        assert (e["n_rows"], e["n_null"], e["min_val"], e["max_val"]) == (
+            a["n_rows"], a["n_null"], a["min_val"], a["max_val"],
+        )
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(2, 0.1 * e["n_distinct"])
+    plan = profile_frame(docs, _PROFILE_COLS, exact_distinct=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+
+
 def test_scd2_history_matches_oracle(spark, sf_smoke):
     q = QUERIES["scd2_history"]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
