@@ -206,6 +206,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(BM25_TERMS))
         ],
     )
+    # single-row broadcast: O(n) by construction (the build side is
+    # exactly one stats row), declared in test_plan_audit's
+    # SCALAR_BROADCASTS allowlist — a constant-key equi-join gets
+    # constant-folded back to this same plan anyway
     scored = t.crossJoin(F.broadcast(stats))
     score_dec = None
     for i in range(len(BM25_TERMS)):
@@ -221,14 +225,17 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = scored.select("doc_id", score_dec.cast("double").alias("score")).where(
         F.col("score") > 0
     )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-
+    # partition heaps, no global-window single-partition shuffle),
+    # THEN rank the <= K survivors; (score, doc_id) is a total order
+    # so the two-step ranking equals ranking the full set
     from pyspark.sql import Window
 
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_TOP_K)
     rank = F.row_number().over(
         Window.partitionBy().orderBy(F.col("score").desc(), F.col("doc_id").asc())
     )
-    return scored.select("doc_id", "score", rank.alias("rank")).where(
-        F.col("rank") <= BM25_TOP_K
-    )
+    return top.select("doc_id", "score", rank.alias("rank"))
 
 
 # ------------------------------------------------------------ kmeans

@@ -26,6 +26,14 @@ QUADRATIC_ANCHORS = {
     "corpus_curation",  # composite that reuses the anchor pair stage
 }
 
+#: Single-ROW broadcast attachments (corpus stats, global bounds):
+#: the build side is exactly one row, so the "nested loop" is O(n) by
+#: construction — the correct plan, not an accident. Distinct from
+#: QUADRATIC_ANCHORS, whose build sides grow with the data.
+SCALAR_BROADCASTS = {
+    "text_bm25_topk",  # one corpus-stats row (N, avgdl, per-term df)
+}
+
 #: Streaming queries execute eagerly on build (memory-sink round
 #: trip); their returned plan is a trivial scan of the sink.
 _SKIP = {name for name in QUERIES if name.startswith("stream_")}
@@ -44,6 +52,6 @@ def _formatted_plan(df) -> str:
 def test_no_accidental_nested_loop(spark, sf_smoke, name):
     plan = _formatted_plan(QUERIES[name].build(spark, sf_smoke))
     quadratic = "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
-    if name in QUADRATIC_ANCHORS:
-        return  # allowed (and expected) to be quadratic
+    if name in QUADRATIC_ANCHORS or name in SCALAR_BROADCASTS:
+        return  # quadratic by design, or a 1-row broadcast (O(n))
     assert not quadratic, f"{name} plans a nested-loop/cartesian join:\n{plan}"
