@@ -238,6 +238,85 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "score", rank.alias("rank"))
 
 
+# ---------------------------------------------------------- pagerank
+#: Power-method iterations (fixed budget -> static job graph AND an
+#: exactly-unrollable SQL oracle).
+PAGERANK_ITERS = 2
+
+#: Integer nanorank oracle (see operators/graph.py): every division
+#: is an explicit round-half-up integer op, so the unrolled power
+#: method is engine-independent to the last bit.
+_PAGERANK_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+meta AS (
+  SELECT COUNT(*) AS n,
+         (2 * 150000000 + COUNT(*)) // (2 * COUNT(*)) AS teleport,
+         (2 * 1000000000 + COUNT(*)) // (2 * COUNT(*)) AS r0
+  FROM nodes
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+rk0 AS (SELECT node_id, CAST(r0 AS BIGINT) AS rank_nano FROM nodes CROSS JOIN meta),
+c1 AS (
+  SELECT e.dst, (2 * r.rank_nano + d.outdeg) // (2 * d.outdeg) AS c
+  FROM edges e JOIN deg d ON e.src = d.src JOIN rk0 r ON e.src = r.node_id
+),
+s1 AS (SELECT dst, SUM(c) AS s FROM c1 GROUP BY dst),
+rk1 AS (
+  SELECT node_id,
+         CAST(teleport + (85 * COALESCE(s, 0) + 50) // 100 AS BIGINT) AS rank_nano
+  FROM nodes CROSS JOIN meta LEFT JOIN s1 ON node_id = s1.dst
+),
+c2 AS (
+  SELECT e.dst, (2 * r.rank_nano + d.outdeg) // (2 * d.outdeg) AS c
+  FROM edges e JOIN deg d ON e.src = d.src JOIN rk1 r ON e.src = r.node_id
+),
+s2 AS (SELECT dst, SUM(c) AS s FROM c2 GROUP BY dst),
+rk2 AS (
+  SELECT node_id,
+         CAST(teleport + (85 * COALESCE(s, 0) + 50) // 100 AS BIGINT) AS rank_nano
+  FROM nodes CROSS JOIN meta LEFT JOIN s2 ON node_id = s2.dst
+)
+SELECT node_id, rank_nano FROM rk2
+"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget PageRank over the customer-supplier transaction
+    graph (undirected bipartite: a customer links to every supplier
+    that filled one of its orders; node ids are key*2 / key*2+1).
+    One contribution shuffle per iteration; ALL arithmetic in exact
+    integer nanorank units (operators/graph.py), so the whole power
+    method is value-hash-comparable against the oracle's unrolled
+    CTEs — a FULL oracle for an iterative graph algorithm, not just
+    an invariant flag."""
+    from gcd_etl_spark.operators.graph import pagerank
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=PAGERANK_ITERS)
+
+
 # ------------------------------------------------------------ kmeans
 KMEANS_K = 8
 KMEANS_ITERS = 3

@@ -34,6 +34,23 @@ def test_bm25_no_explode_shuffle(spark, sf_smoke):
     assert "Generate" not in plan
 
 
+def test_pagerank_matches_oracle(spark, sf_smoke):
+    q = QUERIES["graph_pagerank"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_pagerank_mass_conserved(spark, sf_smoke):
+    """Nanorank mass stays ~1e9 (no dangling nodes in the symmetric
+    edge set; integer rounding drifts at most ~1 nano per node per
+    iteration) and every rank is positive."""
+    rows = QUERIES["graph_pagerank"].build(spark, sf_smoke).collect()
+    total = sum(r["rank_nano"] for r in rows)
+    # drift: up to 0.5 nano per EDGE contribution per iteration plus
+    # per-node damping rounding — bound by 0.001% of total mass
+    assert abs(total - 1_000_000_000) <= 100_000
+    assert all(r["rank_nano"] > 0 for r in rows)
+
+
 def test_kmeans_quality_matches_oracle(spark, sf_smoke):
     q = QUERIES["cluster_kmeans_quality"]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
