@@ -1,0 +1,64 @@
+"""Fuzzy (approximate-string) join via deletion-neighborhood
+blocking — the SymSpell pattern distributed.
+
+Entity resolution for a curation pipeline: matching dirty source
+names/titles/ids against a canonical table without the O(n*m)
+cross-join a naive ``levenshtein(a, b) <= d`` predicate plans
+(Catalyst cannot turn an arbitrary distance predicate into an
+equi-join).
+
+The trick: two strings within edit distance 1 always share a member
+of each other's deletion neighborhood {s} ∪ {s minus one char}.
+Generating the neighborhood (len+1 variants per row) and equi-joining
+on the variant turns the fuzzy match into an ordinary hash-shuffle
+join keyed on short strings; candidates are then VERIFIED with the
+exact Levenshtein metric (integer — engine-independent). Fan-out is
+bounded by string length, so the shuffle is O(n * len) rows — the
+same sub-quadratic posture as the MinHash band join
+(operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: SymSpell radius this blocking is sound for (one deletion each way
+#: covers substitution/insert/delete at distance 1).
+MAX_DISTANCE = 1
+
+
+def _with_variants(df: DataFrame, id_col: str, s_col: str, side: str) -> DataFrame:
+    """Explode each row into its deletion neighborhood: the string
+    itself plus every single-character deletion."""
+    variants = F.expr(
+        f"array_union(array({s_col}), "
+        f"transform(sequence(1, length({s_col})), "
+        f"i -> concat(substr({s_col}, 1, i - 1), substr({s_col}, i + 1))))"
+    )
+    return df.select(
+        F.col(id_col).alias(f"{side}_id"),
+        F.col(s_col).alias(f"{side}_s"),
+        F.explode(variants).alias("variant"),
+    )
+
+
+def symspell_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id",
+    left_str: str = "s",
+    right_id: str = "id",
+    right_str: str = "s",
+) -> DataFrame:
+    """All (left, right) pairs with Levenshtein distance <= 1, as
+    (l_id, r_id, dist). Blocking join on deletion variants, exact
+    verify on the distinct candidate pairs (so the metric runs once
+    per pair, not once per shared variant)."""
+    lv = _with_variants(left, left_id, left_str, "l")
+    rv = _with_variants(right, right_id, right_str, "r")
+    candidates = lv.join(rv, "variant").select("l_id", "l_s", "r_id", "r_s").distinct()
+    dist = F.levenshtein("l_s", "r_s")
+    return candidates.where(dist <= MAX_DISTANCE).select(
+        "l_id", "r_id", dist.alias("dist")
+    )

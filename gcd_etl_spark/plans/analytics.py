@@ -238,6 +238,78 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "score", rank.alias("rank"))
 
 
+# -------------------------------------------------------- fuzzy join
+#: Left side restricted to a query set (like sim_*'s 5 vectors):
+#: every left name fuzzy-matches ~dozens of near-identical customer
+#: ids at distance 1, so the full self-join result would be large.
+FUZZY_LEFT_MAX_ID = 200
+
+_FUZZY_ORACLE = f"""
+WITH l AS (
+  SELECT c_custkey AS id, c_name AS s FROM customer
+  WHERE c_custkey < {FUZZY_LEFT_MAX_ID}
+),
+r AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 3 = 0 THEN c_name
+              ELSE substr(c_name, 1, (10 + c_custkey % 9) - 1)
+                   || substr(c_name, (10 + c_custkey % 9) + 1) END AS s
+  FROM customer
+),
+lv AS (
+  SELECT id, s,
+         unnest(list_append(
+           list_transform(range(1, length(s) + 1),
+                          i -> substr(s, 1, i - 1) || substr(s, i + 1)),
+           s)) AS variant
+  FROM l
+),
+rv AS (
+  SELECT id, s,
+         unnest(list_append(
+           list_transform(range(1, length(s) + 1),
+                          i -> substr(s, 1, i - 1) || substr(s, i + 1)),
+           s)) AS variant
+  FROM r
+),
+cand AS (
+  SELECT DISTINCT a.id AS l_id, a.s AS l_s, b.id AS r_id, b.s AS r_s
+  FROM lv a JOIN rv b ON a.variant = b.variant
+)
+SELECT l_id, r_id, levenshtein(l_s, r_s) AS dist
+FROM cand WHERE levenshtein(l_s, r_s) <= 1
+"""
+
+
+@query("fuzzy_join_symspell", oracle=_FUZZY_ORACLE)
+def fuzzy_join_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: match a clean customer-name query set
+    against the full table with a deterministic typo injected into
+    2/3 of the names (one digit deleted at key-derived position).
+    Deletion-neighborhood (SymSpell) blocking turns the fuzzy match
+    into an equi-join on variant strings — O(n * len) shuffle rows,
+    never a cross join — and exact integer Levenshtein verifies the
+    distinct candidates (operators/fuzzy.py). The oracle runs the
+    SAME blocked algorithm; intermediate variant-dedup differences
+    between engines are irrelevant because both sides verify the
+    DISTINCT pair set."""
+    from gcd_etl_spark.operators.fuzzy import symspell_join
+
+    cust = read_table(spark, sf_dir, "customer")
+    left = cust.where(F.col("c_custkey") < FUZZY_LEFT_MAX_ID).select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    )
+    dirty = F.concat(
+        F.expr("substr(c_name, 1, (10 + c_custkey % 9) - 1)"),
+        F.expr("substr(c_name, (10 + c_custkey % 9) + 1)"),
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_name")).otherwise(dirty).alias("s"),
+    )
+    return symspell_join(left, right)
+
+
 # ---------------------------------------------------------- pagerank
 #: Power-method iterations (fixed budget -> static job graph AND an
 #: exactly-unrollable SQL oracle).

@@ -51,6 +51,31 @@ def test_pagerank_mass_conserved(spark, sf_smoke):
     assert all(r["rank_nano"] > 0 for r in rows)
 
 
+def test_fuzzy_join_matches_oracle(spark, sf_smoke):
+    q = QUERIES["fuzzy_join_symspell"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_fuzzy_join_finds_every_planted_typo(spark, sf_smoke):
+    """Recall guarantee of deletion blocking at distance 1: every
+    right row derived from a left-query-set customer must match its
+    own source id."""
+    from gcd_etl_spark.plans.analytics import FUZZY_LEFT_MAX_ID
+
+    df = QUERIES["fuzzy_join_symspell"].build(spark, sf_smoke)
+    self_pairs = df.where(F.col("l_id") == F.col("r_id"))
+    n_left = self_pairs.count()
+    from gcd_etl_spark.sources.catalog import read_table
+
+    expected = (
+        read_table(spark, sf_smoke, "customer")
+        .where(F.col("c_custkey") < FUZZY_LEFT_MAX_ID)
+        .count()
+    )
+    assert n_left == expected
+    assert df.where(F.col("dist") > 1).count() == 0
+
+
 def test_kmeans_quality_matches_oracle(spark, sf_smoke):
     q = QUERIES["cluster_kmeans_quality"]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
