@@ -238,6 +238,86 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "score", rank.alias("rank"))
 
 
+# ------------------------------------------- resample + forward fill
+#: Grid-user subset (the per-user hourly grid over a month is wide;
+#: the operator itself is row-count-free).
+RESAMPLE_USER_MOD = 20
+
+_RESAMPLE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         epoch_us(ts) // 3600000000 AS hour
+  FROM events WHERE user_id % {RESAMPLE_USER_MOD} = 0
+),
+ph AS (
+  SELECT user_id, hour, value FROM (
+    SELECT user_id, hour, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, hour
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM e GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour FROM span),
+j AS (
+  SELECT g.user_id, g.hour, p.value
+  FROM grid g LEFT JOIN ph p ON g.user_id = p.user_id AND g.hour = p.hour
+)
+SELECT user_id,
+       hour * 3600 AS hour_ts,
+       LAST_VALUE(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       CASE WHEN value IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM j
+"""
+
+
+@query("resample_ffill", oracle=_RESAMPLE_ORACLE)
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: each user's event stream resampled
+    to an hourly grid over their own [first, last] span, value
+    forward-filled from the latest observation at-or-before each grid
+    point, gap hours flagged. Within an hour the LAST event by
+    (ts, event_id) wins — a deterministic total order on both
+    engines. Plan shape: one small per-user span agg, sequence+
+    explode for the grid (rows scale with user-hours, not events²),
+    one equi-join, one ordered window per user. Values pass through
+    untouched (no float arithmetic), so the oracle compares exactly."""
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("user_id") % RESAMPLE_USER_MOD == 0
+    )
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "hour").orderBy(
+            F.col("us").desc(), F.col("event_id").desc()
+        )
+    )
+    ph = e.withColumn("rn", rn).where(F.col("rn") == 1).select("user_id", "hour", "value")
+    span = e.groupBy("user_id").agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = span.select("user_id", F.explode(F.sequence("h0", "h1")).alias("hour"))
+    j = grid.join(ph, ["user_id", "hour"], "left")
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        (F.col("hour") * 3600).alias("hour_ts"),
+        F.last("value", ignorenulls=True).over(wfill).alias("value_ffill"),
+        F.col("value").isNull().cast("int").alias("is_gap"),
+    )
+
+
 # -------------------------------------------------------- fuzzy join
 #: Left side restricted to a query set (like sim_*'s 5 vectors):
 #: every left name fuzzy-matches ~dozens of near-identical customer

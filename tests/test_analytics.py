@@ -51,6 +51,26 @@ def test_pagerank_mass_conserved(spark, sf_smoke):
     assert all(r["rank_nano"] > 0 for r in rows)
 
 
+def test_resample_ffill_matches_oracle(spark, sf_smoke):
+    q = QUERIES["resample_ffill"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_resample_grid_is_dense_and_filled(spark, sf_smoke):
+    """Per user: one row per hour across the whole span (no holes),
+    gap rows carry the previous observation, and only the rows before
+    any observation may be NULL (none, since spans start at an
+    event)."""
+    df = QUERIES["resample_ffill"].build(spark, sf_smoke)
+    span = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("rows"),
+        ((F.max("hour_ts") - F.min("hour_ts")) / 3600 + 1).alias("hours"),
+    )
+    assert span.where(F.col("rows") != F.col("hours")).count() == 0
+    assert df.where(F.col("value_ffill").isNull()).count() == 0
+    assert df.where((F.col("is_gap") == 0) & F.col("value_ffill").isNull()).count() == 0
+
+
 def test_fuzzy_join_matches_oracle(spark, sf_smoke):
     q = QUERIES["fuzzy_join_symspell"]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
