@@ -44,16 +44,21 @@ from gcd_etl_spark.plans import analytics  # noqa: E402,F401
 #: (a) the 12 round-3 red rows first — the flagship pair (harness
 #: list-canon, now serialized), the 9 events-reader casualties, and
 #: q12's oracle-type artifact — each with its fix in this round's
-#: diff; then (b) 38 rotation slots re-verifying the round-2 greens
-#: that round 3 rotated out (scalar/window/join/agg/text families,
-#: as-of/range joins, CDC snapshots, bucketed joins). The 38 round-3
-#: greens (SQL suite, dedup/ANN portable, multimodal, UDTF/Arrow)
-#: rotate OUT this round on unchanged code — union coverage
-#: r3-green ∪ r4-window = 88 of 100 registered queries. Dropped from
-#: rotation as redundant-within-window: join_inner_chain, agg_distinct,
-#: agg_cube, sort_limit_topk, skew_salted_distinct, text_shingle_stats,
-#: sample_weighted (each one's semantics verified by a sibling in the
-#: window or an r3-green row on unchanged code).
+#: diff; then (b) 30 rotation slots re-verifying the round-2 greens
+#: that round 3 rotated out (every family the round-3 verdict named:
+#: scalar_*, window_*, set_ops, as-of/range joins, CDC snapshots,
+#: bucketed joins, plus join/agg shapes and curation sampling); then
+#: (c) the 8 NEW round-4 operators (profiling, SCD2, funnel, BM25,
+#: k-means quality gate, PageRank, fuzzy join, resample) taking their
+#: first driver rows. The 38 round-3 greens (SQL suite, dedup/ANN
+#: portable, multimodal, UDTF/Arrow) rotate OUT on unchanged code —
+#: union coverage r3-green ∪ r4-window = 88 names. Left outside this
+#: round (r2-green, unchanged, pytest-green): join_inner_chain,
+#: agg_distinct, agg_cube, sort_limit_topk, skew_salted_distinct,
+#: text_shingle_stats, sample_weighted, text_quality, text_lang_id,
+#: text_fingerprint, text_pii_scrub, dedup_ngram_jaccard,
+#: pandas_grouped_stats, sql_q18_large_orders, sql_exists_correlated
+#: (each covered by a sibling in the window or an r3-green row).
 _DRIVER_WINDOW = [
     # --- round-3 reds, fixed this round ---
     # flagship + dump-staging lineage (arrays now driver-serialized)
@@ -103,22 +108,21 @@ _DRIVER_WINDOW = [
     "range_join_events",
     "snapshot_diff",
     "snapshot_apply_cdc",
-    # SQL suite members outside the 21 sampled green in r3
-    "sql_q18_large_orders",
-    "sql_exists_correlated",
-    # pandas/Arrow grouped UDF surface
-    "pandas_grouped_stats",
     # text analysis + curation sampling
     "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_pii_scrub",
     "data_split_deterministic",
     "sample_stratified",
-    # dedup re-verification (exact + n-gram jaccard)
+    # dedup re-verification
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # --- round-4 NEW operators (first driver rows) ---
+    "profile_columns",
+    "scd2_history",
+    "events_funnel",
+    "text_bm25_topk",
+    "cluster_kmeans_quality",
+    "graph_pagerank",
+    "fuzzy_join_symspell",
+    "resample_ffill",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
