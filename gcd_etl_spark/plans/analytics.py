@@ -318,6 +318,63 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- anomaly flagging
+#: Entity subset for the driver collect; the plan is row-count-free.
+ANOMALY_USER_MOD = 10
+#: Flag threshold: |value - mean| > K * stddev, squared form below.
+ANOMALY_K = 2
+
+_ANOMALY_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, value, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events WHERE user_id % {ANOMALY_USER_MOD} = 0
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS sv2
+  FROM e GROUP BY user_id
+)
+SELECT e.user_id, e.event_id, e.value,
+       CASE WHEN (n * v - sv) * (n * v - sv)
+                 > {ANOMALY_K * ANOMALY_K} * (n * sv2 - sv * sv)
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM e JOIN s ON e.user_id = s.user_id
+"""
+
+
+@query("anomaly_zscore_events", oracle=_ANOMALY_ORACLE)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity z-score outlier flags with NO division or sqrt:
+    |v - mean| > K*stddev is algebraically equivalent to
+    (n*v - sum_v)^2 > K^2 * (n*sum_v2 - sum_v^2), and with the
+    2-dp money view of ``value`` every quantity in that inequality
+    is an EXACT decimal — the flag is bit-identical across engines
+    and shuffle orders (the functions/numeric.py stance applied to
+    second moments). One aggregation + one broadcast-back join;
+    scales as a plain groupBy."""
+    from gcd_etl_spark.functions.numeric import as_money
+
+    ev = read_table(spark, sf_dir, "events").where(
+        F.col("user_id") % ANOMALY_USER_MOD == 0
+    )
+    e = ev.select("user_id", "event_id", "value", as_money("value").alias("v"))
+    s = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("sv2"),
+    )
+    j = e.join(F.broadcast(s), "user_id")
+    dev = F.col("n") * F.col("v") - F.col("sv")
+    bound = F.lit(ANOMALY_K * ANOMALY_K) * (
+        F.col("n") * F.col("sv2") - F.col("sv") * F.col("sv")
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        "value",
+        (dev * dev > bound).cast("int").alias("is_anomaly"),
+    )
+
+
 # -------------------------------------------------------- fuzzy join
 #: Left side restricted to a query set (like sim_*'s 5 vectors):
 #: every left name fuzzy-matches ~dozens of near-identical customer

@@ -51,6 +51,47 @@ def test_pagerank_mass_conserved(spark, sf_smoke):
     assert all(r["rank_nano"] > 0 for r in rows)
 
 
+def test_anomaly_zscore_matches_oracle(spark, sf_smoke):
+    q = QUERIES["anomaly_zscore_events"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_anomaly_zscore_agrees_with_float_zscore(spark, sf_smoke):
+    """The division-free decimal inequality must classify exactly
+    like the plain float z-score away from the boundary."""
+    import math
+
+    from gcd_etl_spark.plans.analytics import ANOMALY_K, ANOMALY_USER_MOD
+    from gcd_etl_spark.sources.catalog import read_table
+
+    rows = (
+        read_table(spark, sf_smoke, "events")
+        .where(F.col("user_id") % ANOMALY_USER_MOD == 0)
+        .select("user_id", "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for uid, rs in by_user.items():
+        vals = [round(r["value"], 2) for r in rs]
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum(v * v for v in vals) / n - mean * mean
+        sd = math.sqrt(max(var, 0.0))
+        for r in rs:
+            z = abs(round(r["value"], 2) - mean)
+            expect[r["event_id"]] = 1 if z > ANOMALY_K * sd else 0
+    got = {
+        r["event_id"]: r["is_anomaly"]
+        for r in QUERIES["anomaly_zscore_events"].build(spark, sf_smoke).collect()
+    }
+    mismatch = [k for k in expect if expect[k] != got[k]]
+    # allow float-model disagreement only at the exact boundary
+    assert len(mismatch) <= max(1, len(expect) // 1000), mismatch[:5]
+
+
 def test_resample_ffill_matches_oracle(spark, sf_smoke):
     q = QUERIES["resample_ffill"]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
