@@ -54,24 +54,29 @@ FROM s3 JOIN s1 USING (user_id)
 """
 
 
-@query("events_funnel", oracle=_FUNNEL_ORACLE)
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered funnel conversion: per user, step k+1 counts
-    only when its event lands strictly AFTER the matched step-k event
-    (first-touch semantics: each step matches its earliest eligible
-    event). ONE shuffle — events group to their user, the sorted
-    per-user timeline folds through a (t1, t2, t3) accumulator as a
-    codegen'd higher-order ``aggregate`` (no UDF, no second shuffle);
-    the oracle restates the same semantics as sequential
-    conditional-min CTEs. All arithmetic is integer microseconds —
-    exact on both engines."""
-    ev = read_table(spark, sf_dir, "events")
-    # (us, event_id) sort key: ties on us resolve by event id, and a
-    # tie NEVER satisfies the strict `>` step condition on either side
+def funnel_step_times(
+    df: DataFrame,
+    steps: tuple[str, str, str] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    us_col: str = "us",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-entity strictly-ordered first-touch step times
+    (user, t1, t2, t3): step k+1 matches its earliest event strictly
+    AFTER the matched step-k event. ONE shuffle — events group to
+    their entity, the sorted timeline folds through a (t1, t2, t3)
+    accumulator as a codegen'd higher-order ``aggregate`` (no UDF,
+    no second shuffle). Property-tested against a sequential Python
+    model in tests/test_analytics.py."""
+    # (us, id) sort key: ties on us resolve by event id, and a tie
+    # NEVER satisfies the strict `>` step condition on either side
     timeline = F.array_sort(
-        F.collect_list(F.struct(F.unix_micros("ts").alias("us"), "event_id", "event_type"))
+        F.collect_list(
+            F.struct(F.col(us_col).alias("us"), F.col(id_col).alias("eid"), F.col(type_col).alias("etype"))
+        )
     )
-    s1, s2, s3 = FUNNEL_STEPS
+    s1, s2, s3 = steps
     folded = F.aggregate(
         timeline,
         F.struct(
@@ -80,20 +85,33 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("t3"),
         ),
         lambda acc, e: F.struct(
-            F.when(acc.t1.isNull() & (e.event_type == s1), e.us).otherwise(acc.t1).alias("t1"),
+            F.when(acc.t1.isNull() & (e.etype == s1), e.us).otherwise(acc.t1).alias("t1"),
             F.when(
-                acc.t2.isNull() & acc.t1.isNotNull() & (e.event_type == s2) & (e.us > acc.t1),
+                acc.t2.isNull() & acc.t1.isNotNull() & (e.etype == s2) & (e.us > acc.t1),
                 e.us,
             ).otherwise(acc.t2).alias("t2"),
             F.when(
-                acc.t3.isNull() & acc.t2.isNotNull() & (e.event_type == s3) & (e.us > acc.t2),
+                acc.t3.isNull() & acc.t2.isNotNull() & (e.etype == s3) & (e.us > acc.t2),
                 e.us,
             ).otherwise(acc.t3).alias("t3"),
         ),
     )
-    per_user = (
-        ev.groupBy("user_id").agg(folded.alias("f")).select("user_id", "f.t1", "f.t2", "f.t3")
+    return (
+        df.groupBy(user_col).agg(folded.alias("f")).select(user_col, "f.t1", "f.t2", "f.t3")
     )
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel conversion over events (see
+    funnel_step_times for the one-shuffle fold); the oracle restates
+    the same semantics as sequential conditional-min CTEs. All
+    arithmetic is integer microseconds — exact on both engines."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    per_user = funnel_step_times(ev)
+    s1, s2, s3 = FUNNEL_STEPS
     zero = F.lit(0).cast("bigint")
     rows = [
         per_user.where(F.col("t1").isNotNull()).agg(

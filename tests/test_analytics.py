@@ -22,6 +22,61 @@ def test_events_funnel_is_monotone(spark, sf_smoke):
     assert rows[2]["total_lag_us"] >= 0 and rows[3]["total_lag_us"] >= rows[2]["total_lag_us"] * 0
 
 
+def _funnel_model(events, steps):
+    """Sequential-scan model of the strict first-touch funnel: events
+    sorted by (us, eid); step k+1 takes the first event of its type
+    strictly after the matched step-k time."""
+    t = [None, None, None]
+    for us, eid, etype in sorted(events):
+        if t[0] is None and etype == steps[0]:
+            t[0] = us
+        elif t[1] is None and t[0] is not None and etype == steps[1] and us > t[0]:
+            t[1] = us
+        elif t[2] is None and t[1] is not None and etype == steps[2] and us > t[1]:
+            t[2] = us
+    return tuple(t)
+
+
+def test_funnel_fold_matches_sequential_model(spark):
+    """Property (hypothesis-style pinned batch): the one-shuffle
+    higher-order fold equals the sequential per-user scan, including
+    ties (same us), repeated steps, and out-of-order arrivals."""
+    import itertools
+    import random
+
+    from gcd_etl_spark.plans.analytics import FUNNEL_STEPS, funnel_step_times
+
+    rng = random.Random(42)
+    types = list(FUNNEL_STEPS) + ["error", "signup"]
+    rows, eid = [], 0
+    # 40 users x up to 12 events with tiny us range -> dense ties
+    for uid in range(40):
+        for _ in range(rng.randint(0, 12)):
+            rows.append((uid, eid, rng.choice(types), rng.randint(0, 5)))
+            eid += 1
+    # pinned corner cases: tie on us must NOT satisfy strict-after;
+    # steps out of order; duplicate step events
+    pinned = [
+        (100, 9001, "view", 7), (100, 9002, "click", 7),   # tie -> no click match
+        (101, 9003, "click", 1), (101, 9004, "view", 2), (101, 9005, "click", 3),
+        (102, 9006, "view", 1), (102, 9007, "view", 2), (102, 9008, "click", 2),
+        (102, 9009, "purchase", 2), (102, 9010, "purchase", 3),
+    ]
+    rows += pinned
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, us long")
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_step_times(df).collect()
+    }
+    by_user = {
+        uid: [(us, eid_, et) for (u, eid_, et, us) in g]
+        for uid, g in itertools.groupby(sorted(rows, key=lambda r: r[0]), key=lambda r: r[0])
+        for g in [list(g)]
+    }
+    for uid, events in by_user.items():
+        assert got[uid] == _funnel_model(events, FUNNEL_STEPS), uid
+
+
 def test_bm25_matches_oracle(spark, sf_smoke):
     q = QUERIES["text_bm25_topk"]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
