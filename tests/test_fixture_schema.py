@@ -47,6 +47,39 @@ def test_events_normalized_schema(spark, sf_dir):
     ).schema
 
 
+def test_events_reader_legacy_nanos_branch(spark, tmp_path):
+    """The TIMESTAMP(NANOS) branch must keep working if the driver
+    ever reverts the fixture encoding: write a tiny nanos-encoded
+    events file and read it through the same dispatch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ns = [1704067798778549123, 1704068166738090456]
+    table = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array(ns, pa.timestamp("ns")),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["a", "b"]),
+            "value": pa.array([1.0, 2.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    d = tmp_path / "legacy"
+    d.mkdir()
+    pq.write_table(table, str(d / "events.parquet"), store_schema=False)
+    df = read_table(spark, str(d), "events")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(fields["ts"], T.TimestampType)
+    assert isinstance(fields["ts_ns"], T.LongType)
+    rows = {r["event_id"]: r for r in df.collect()}
+    # exact nanos preserved; ts truncates to micros
+    assert rows[0]["ts_ns"] == ns[0]
+    assert rows[1]["ts_ns"] == ns[1]
+    got_us = df.select(F.unix_micros("ts").alias("us")).collect()
+    assert sorted(r["us"] for r in got_us) == sorted(v // 1000 for v in ns)
+
+
 def test_events_ts_and_ts_ns_agree(spark):
     """Value-level: ts is exactly ts_ns truncated to micros, and the
     timestamps land in the fixtures' 2024 window (a unit slip — ms vs
