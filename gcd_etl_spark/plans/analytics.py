@@ -336,6 +336,76 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- last-touch attribution
+#: Attribution window (seconds): a purchase credits the latest click
+#: at-or-before it within this horizon.
+ATTRIBUTION_WINDOW_SEC = 3600
+
+_ATTRIBUTION_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts AS c_ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+),
+m AS (
+  SELECT p.user_id, p.value,
+         CASE WHEN c.c_ts IS NOT NULL
+               AND (epoch_us(p.ts) // 1000000 - epoch_us(c.c_ts) // 1000000)
+                   <= {ATTRIBUTION_WINDOW_SEC}
+              THEN 1 ELSE 0 END AS attributed
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.c_ts
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(attributed) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN attributed = 1 THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS attributed_rev,
+       CAST(SUM(CASE WHEN attributed = 0 THEN CAST(value AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS unattributed_rev
+FROM m GROUP BY user_id
+"""
+
+
+@query("attribution_last_touch", oracle=_ATTRIBUTION_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue attribution: each purchase credits the user's latest
+    click at-or-before it within a 1-hour window (point-in-time
+    correctness via operators/asof.py — union + carry-forward, one
+    shuffle, no range explosion), then per-user attributed vs
+    unattributed revenue as exact decimal sums. The oracle rides
+    DuckDB's NATIVE ASOF JOIN, so the composition is held to the
+    real operator's tie/tolerance semantics end to end."""
+    from gcd_etl_spark.functions.numeric import as_money
+    from gcd_etl_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    m = asof_join(p, c, key="user_id", ts="ts", tolerance_sec=ATTRIBUTION_WINDOW_SEC)
+    attributed = F.col("asof_ts").isNotNull().cast("int")
+    zero_money = F.lit(0).cast("decimal(18,2)")
+    return (
+        m.select("user_id", "value", attributed.alias("attributed"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("attributed").cast("bigint").alias("n_attributed"),
+            F.sum(
+                F.when(F.col("attributed") == 1, as_money("value")).otherwise(zero_money)
+            ).cast("double").alias("attributed_rev"),
+            F.sum(
+                F.when(F.col("attributed") == 0, as_money("value")).otherwise(zero_money)
+            ).cast("double").alias("unattributed_rev"),
+        )
+    )
+
+
 # -------------------------------------------------- anomaly flagging
 #: Entity subset for the driver collect; the plan is row-count-free.
 ANOMALY_USER_MOD = 10

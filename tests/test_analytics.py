@@ -106,6 +106,28 @@ def test_pagerank_mass_conserved(spark, sf_smoke):
     assert all(r["rank_nano"] > 0 for r in rows)
 
 
+def test_attribution_matches_oracle(spark, sf_smoke):
+    q = QUERIES["attribution_last_touch"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_attribution_partitions_revenue(spark, sf_smoke):
+    """attributed + unattributed must equal total purchase revenue,
+    exactly (decimal sums both sides)."""
+    from gcd_etl_spark.functions.numeric import exact_sum
+    from gcd_etl_spark.sources.catalog import read_table
+
+    df = QUERIES["attribution_last_touch"].build(spark, sf_smoke)
+    got = df.agg(
+        F.sum(F.col("attributed_rev") + F.col("unattributed_rev")).alias("t"),
+        F.sum("n_purchases").alias("n"),
+    ).collect()[0]
+    ev = read_table(spark, sf_smoke, "events").where(F.col("event_type") == "purchase")
+    want = ev.agg(exact_sum("value").alias("t"), F.count(F.lit(1)).alias("n")).collect()[0]
+    assert got["n"] == want["n"]
+    assert abs(got["t"] - want["t"]) < 1e-6
+
+
 def test_anomaly_zscore_matches_oracle(spark, sf_smoke):
     q = QUERIES["anomaly_zscore_events"]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
