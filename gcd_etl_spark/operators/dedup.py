@@ -296,6 +296,12 @@ def connected_components(
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    # The edge list joins into EVERY propagation round: without a
+    # checkpoint its whole upstream lineage (pair finding — a
+    # similarity or blocking join) re-executes once per round, turning
+    # an O(rounds) loop into O(rounds x pair-discovery). Materialize
+    # once; rounds then reread a local shuffle file.
+    edges = edges.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("_nid"), F.col(id_col).alias("label"))
     changed = 1
     for _ in range(max_iter):

@@ -336,6 +336,68 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ entity-cluster resolution
+_ENTITY_CLUSTER_ORACLE = """
+WITH RECURSIVE r AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey % 3 = 0 THEN c_name
+              ELSE substr(c_name, 1, (10 + c_custkey % 9) - 1)
+                   || substr(c_name, (10 + c_custkey % 9) + 1) END AS s
+  FROM customer
+),
+rv AS (
+  SELECT id, s,
+         unnest(list_append(
+           list_transform(range(1, length(s) + 1),
+                          i -> substr(s, 1, i - 1) || substr(s, i + 1)),
+           s)) AS variant
+  FROM r
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM rv a JOIN rv b ON a.variant = b.variant AND a.id < b.id
+  WHERE levenshtein(a.s, b.s) <= 1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT id, id FROM r
+  UNION
+  SELECT e.dst, x.label FROM reach x JOIN edges e ON e.src = x.id
+)
+SELECT id AS c_custkey, MIN(label) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+@query("entity_clusters", oracle=_ENTITY_CLUSTER_ORACLE)
+def entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity RESOLUTION, not just matching: SymSpell fuzzy pairs
+    over the dirty customer names (operators/fuzzy.py) feed the
+    connected-components operator (operators/dedup.py), grouping
+    every record within transitive edit-distance-1 chains under one
+    canonical id — the dedup_clusters composition applied to the
+    entity-matching domain. The oracle restates the same components
+    as a recursive CTE over the same blocked pair set."""
+    from gcd_etl_spark.operators.dedup import connected_components
+    from gcd_etl_spark.operators.fuzzy import symspell_join
+
+    cust = read_table(spark, sf_dir, "customer")
+    dirty_expr = F.concat(
+        F.expr("substr(c_name, 1, (10 + c_custkey % 9) - 1)"),
+        F.expr("substr(c_name, (10 + c_custkey % 9) + 1)"),
+    )
+    r = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_name")).otherwise(dirty_expr).alias("s"),
+    )
+    pairs = symspell_join(r, r).where(F.col("l_id") < F.col("r_id")).select(
+        F.col("l_id").alias("id_a"), F.col("r_id").alias("id_b")
+    )
+    return connected_components(pairs, r.select(F.col("id").alias("c_custkey")), id_col="c_custkey")
+
+
 # --------------------------------------------- last-touch attribution
 #: Attribution window (seconds): a purchase credits the latest click
 #: at-or-before it within this horizon.

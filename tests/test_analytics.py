@@ -106,6 +106,22 @@ def test_pagerank_mass_conserved(spark, sf_smoke):
     assert all(r["rank_nano"] > 0 for r in rows)
 
 
+def test_entity_clusters_matches_oracle(spark, sf_smoke):
+    q = QUERIES["entity_clusters"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_entity_clusters_are_consistent(spark, sf_smoke):
+    """Every record belongs to exactly one cluster; cluster ids are
+    member ids (the minimum one)."""
+    df = QUERIES["entity_clusters"].build(spark, sf_smoke)
+    n = df.count()
+    assert df.select("c_custkey").distinct().count() == n
+    ids = {r["c_custkey"] for r in df.collect()}
+    assert all(r["cluster_id"] in ids for r in df.collect())
+    assert df.where(F.col("cluster_id") > F.col("c_custkey")).count() == 0
+
+
 def test_attribution_matches_oracle(spark, sf_smoke):
     q = QUERIES["attribution_last_touch"]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
