@@ -265,6 +265,40 @@ def data_split_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "data_split_grouped",
+    oracle="""
+WITH b AS (
+  SELECT event_id, user_id,
+         (user_id * 2654435761) % 4294967296 AS h
+  FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN h * 100 // 4294967296 < 80 THEN 'train'
+            WHEN h * 100 // 4294967296 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def data_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware split: the hash runs on the ENTITY key (user_id),
+    not the row id, so every row of an entity lands in the same split
+    — the leakage guard ML evaluation needs (a user's history must
+    not straddle train and test). Same reproducibility contract as
+    data_split_deterministic: pure integer arithmetic in the scan's
+    projection, no rand(), no shuffle, no state."""
+    from gcd_etl_spark.sources.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    h = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+    bucket = F.floor(h * 100 / F.lit(4294967296)).cast("int")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@query(
     "sample_stratified",
     oracle="""
 WITH h AS (

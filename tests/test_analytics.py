@@ -106,6 +106,23 @@ def test_pagerank_mass_conserved(spark, sf_smoke):
     assert all(r["rank_nano"] > 0 for r in rows)
 
 
+def test_grouped_split_matches_oracle(spark, sf_smoke):
+    q = QUERIES["data_split_grouped"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_grouped_split_has_no_leakage(spark, sf_smoke):
+    """Leakage guard: no entity may appear in more than one split."""
+    df = QUERIES["data_split_grouped"].build(spark, sf_smoke)
+    multi = (
+        df.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert multi == 0
+
+
 def test_entity_clusters_matches_oracle(spark, sf_smoke):
     q = QUERIES["entity_clusters"]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
