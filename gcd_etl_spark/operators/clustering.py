@@ -126,7 +126,10 @@ def kmeans_fit(
     history: list[float] = []
     assigned = None
     for _ in range(iters):
-        assigned = assign_clusters(df, cent, id_col, vec_col)
+        # checkpoint: the inertia job AND the centroid update both
+        # read this assignment — without materialization each would
+        # re-run the Arrow matmul pass (2x the work per iteration)
+        assigned = assign_clusters(df, cent, id_col, vec_col).localCheckpoint(eager=True)
         inertia = assigned.select(
             F.sum(F.round("sqdist", 6).cast("decimal(28,6)")).alias("i")
         ).collect()[0]["i"]
