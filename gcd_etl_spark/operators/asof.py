@@ -82,7 +82,17 @@ def asof_join(
     carried = unioned.select("*", F.last(right_row, ignorenulls=True).over(w).alias("_m"))
     out = carried.where(F.col("_side") == 1)
     if tolerance_sec is not None:
-        in_tol = (F.col(ts).cast("long") - F.col("_m._ts").cast("long")) <= tolerance_sec
+        # exact integer FLOOR of micros→seconds (pmod subtraction):
+        # identical to DuckDB's `epoch_us(..) // 1000000` even for
+        # pre-1970 timestamps, where a timestamp→long cast truncates
+        # toward zero instead
+        def _sec(c):
+            us = F.unix_micros(c)
+            # numerator is an exact multiple of 1e6 well inside
+            # double's 2^53 integer range, so the quotient is exact
+            return ((us - F.pmod(us, F.lit(1000000))) / F.lit(1000000)).cast("long")
+
+        in_tol = (_sec(F.col(ts)) - _sec(F.col("_m._ts"))) <= tolerance_sec
         out = out.withColumn("_m", F.when(in_tol, F.col("_m")))
     return out.select(
         *left.columns,

@@ -37,92 +37,84 @@ from gcd_etl_spark.plans import staging  # noqa: E402,F401
 from gcd_etl_spark.plans import udfsurface  # noqa: E402,F401
 from gcd_etl_spark.plans import profiling  # noqa: E402,F401
 from gcd_etl_spark.plans import analytics  # noqa: E402,F401
+from gcd_etl_spark.plans import quality  # noqa: E402,F401
+from gcd_etl_spark.plans import corpus  # noqa: E402,F401
 
 #: The first ~50 registry entries = the driver's correctness window,
 #: ROTATED each round (round-3 verdict #7) so every registered query
-#: has a driver-green row at most ~2 rounds old. Round-4 composition:
-#: (a) the 12 round-3 red rows first — the flagship pair (harness
-#: list-canon, now serialized), the 9 events-reader casualties, and
-#: q12's oracle-type artifact — each with its fix in this round's
-#: diff; then (b) 30 rotation slots re-verifying the round-2 greens
-#: that round 3 rotated out (every family the round-3 verdict named:
-#: scalar_*, window_*, set_ops, as-of/range joins, CDC snapshots,
-#: bucketed joins, plus join/agg shapes and curation sampling); then
-#: (c) the 8 NEW round-4 operators (profiling, SCD2, funnel, BM25,
-#: k-means quality gate, PageRank, fuzzy join, resample) taking their
-#: first driver rows. The 38 round-3 greens (SQL suite, dedup/ANN
-#: portable, multimodal, UDTF/Arrow) rotate OUT on unchanged code —
-#: union coverage r3-green ∪ r4-window = 88 names. Left outside this
-#: round (r2-green, unchanged, pytest-green): join_inner_chain,
-#: agg_distinct, agg_cube, sort_limit_topk, skew_salted_distinct,
-#: text_shingle_stats, sample_weighted, text_quality, text_lang_id,
-#: text_fingerprint, text_pii_scrub, dedup_ngram_jaccard,
-#: pandas_grouped_stats, sql_q18_large_orders, sql_exists_correlated
-#: (each covered by a sibling in the window or an r3-green row).
+#: has a driver-green row at most ~2 rounds old. Round-5 composition:
+#: (a) the single round-4 red — events_funnel (oracle UNION branches
+#: summed BIGINTs into DuckDB HUGEINT; both lag sums now CAST
+#: BIGINT) — plus the queries whose code changed this round (BM25
+#: rescored in integer micro-units, resample/as-of floor-division
+#: semantics, attribution tolerance floor); then (b) every name with
+#: NO green driver row in rounds 3-4 (the r2-green tail the last two
+#: rotations left out, the round-4 operators that missed the r4
+#: window, and the rows-only dedup/ANN variants); then (c) the 10
+#: NEW round-5 operators (data-quality expectations, histogram,
+#: exact percentiles, count-min heavy hitters, bigram counts,
+#: TF-IDF, token packing, cohort retention, path mining, triangle
+#: counting) taking their first driver rows; then (d) flagship +
+#: lineage re-verification slots that stay under the gate every
+#: round. Union coverage r4-green ∪ r5-window = every registered
+#: query except the r4-green mid-list (sql suite, scalar family,
+#: stream/win family, multimodal, portable dedup) — all r4-green on
+#: code unchanged this round.
 _DRIVER_WINDOW = [
-    # --- round-3 reds, fixed this round ---
-    # flagship + dump-staging lineage (arrays now driver-serialized)
-    "gcd_snapshot",
-    "gcd_snapshot_from_dump",
-    # oracle-type artifact (bare SUM -> HUGEINT), now CAST BIGINT
-    "sql_q12_priority_case",
-    # the 9 events-reader casualties (catalog.py now type-dispatches)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_sessions",
-    "stream_dedup",
-    "stream_stateful_totals",
-    "win_tumbling",
-    "win_sliding",
-    "win_session",
-    "scalar_variant",
-    # --- rotation slots: round-2 greens with no round-3 row ---
-    # scalar function family (F1-F9 + json/strings/datetime surface)
-    "scalar_dates",
-    "scalar_try_cast",
-    "scalar_multi_split",
-    "scalar_dict_decode",
-    "scalar_json",
-    "scalar_defaults",
-    "scalar_higher_order",
-    "scalar_strings",
-    "scalar_datetime",
-    # window functions (§2.5)
-    "window_topk_per_group",
-    "window_running_sum",
-    "window_analytics",
-    # join/set/agg shapes (§2.3-2.7)
-    "join_semi",
-    "join_anti",
-    "agg_collect_list",
-    "agg_rollup",
-    "agg_grouping_sets",
-    "pivot_status",
-    "set_ops",
-    # scale-posture operators: skew salting, bloom pruning, bucketing
-    "skew_salted_join",
-    "join_bloom_pruned",
-    "bucketed_colocated_join",
-    # temporal joins + CDC snapshot algebra
-    "asof_join_events",
-    "range_join_events",
-    "snapshot_diff",
-    "snapshot_apply_cdc",
-    # text analysis + curation sampling
-    "text_token_stats",
-    "data_split_deterministic",
-    "sample_stratified",
-    # dedup re-verification
-    "dedup_exact",
-    # --- round-4 NEW operators (first driver rows) ---
-    "profile_columns",
-    "scd2_history",
+    # --- (a) round-4 red, fixed + this round's changed queries ---
     "events_funnel",
     "text_bm25_topk",
-    "cluster_kmeans_quality",
-    "graph_pagerank",
-    "fuzzy_join_symspell",
     "resample_ffill",
+    "asof_join_events",
+    "attribution_last_touch",
+    # --- (b) no green row in r3/r4 ---
+    "agg_cube",
+    "agg_distinct",
+    "anomaly_zscore_events",
+    "cluster_kmeans",
+    "data_split_grouped",
+    "dedup_fingerprints",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "entity_clusters",
+    "join_inner_chain",
+    "pandas_grouped_stats",
+    "sample_weighted",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "skew_salted_distinct",
+    "sort_limit_topk",
+    "sql_exists_correlated",
+    "sql_q18_large_orders",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality",
+    "text_shingle_stats",
+    # --- (c) NEW round-5 operators (first driver rows) ---
+    "dq_expectations",
+    "agg_histogram",
+    "agg_percentiles_exact",
+    "sketch_heavy_hitters",
+    "text_ngram_counts",
+    "text_tfidf_topk",
+    "pack_token_budget",
+    "events_retention_cohorts",
+    "events_path_topk",
+    "graph_triangles",
+    # --- (d) flagship + lineage, re-verified every round ---
+    "gcd_snapshot",
+    "gcd_snapshot_from_dump",
+    "snapshot_denorm",
+    "dump_roundtrip",
+    "q1_pricing_summary",
+    "term_table",
+    "udtf_token_runs",
+    "arrow_vector_stats",
+    "mm_frame_sample",
+    "dedup_minhash_portable",
+    "sim_ann_lsh_recall",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

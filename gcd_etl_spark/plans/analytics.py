@@ -22,7 +22,7 @@ snapshot):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcd_etl_spark.plans.registry import query
@@ -46,10 +46,12 @@ SELECT 1 AS step, 'view' AS event_type,
        COUNT(*) AS users, CAST(0 AS BIGINT) AS total_lag_us
 FROM s1
 UNION ALL
-SELECT 2, 'click', COUNT(*), COALESCE(SUM(t2 - t1), 0)
+SELECT 2, 'click', COUNT(*),
+       CAST(COALESCE(SUM(t2 - t1), 0) AS BIGINT)
 FROM s2 JOIN s1 USING (user_id)
 UNION ALL
-SELECT 3, 'purchase', COUNT(*), COALESCE(SUM(t3 - t1), 0)
+SELECT 3, 'purchase', COUNT(*),
+       CAST(COALESCE(SUM(t3 - t1), 0) AS BIGINT)
 FROM s3 JOIN s1 USING (user_id)
 """
 
@@ -110,7 +112,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    per_user = funnel_step_times(ev)
+    # three single-row aggregates below all read this one grouped
+    # fold — materialize it once so the events groupBy + timeline
+    # fold doesn't execute three times (same reason kmeans_fit
+    # checkpoints its assignment pass, operators/clustering.py:132)
+    per_user = funnel_step_times(ev).localCheckpoint(eager=False)
     s1, s2, s3 = FUNNEL_STEPS
     zero = F.lit(0).cast("bigint")
     rows = [
@@ -158,11 +164,18 @@ def _bm25_oracle() -> str:
     df_cols = ",\n         ".join(
         f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(BM25_TERMS))
     )
+    # fixed-point micro-score: floor(x*1e6 + 0.5) is HALF_UP for the
+    # non-negative BM25 term scores and — unlike ROUND(double, 6),
+    # which Spark does via decimal-string HALF_UP and DuckDB via
+    # binary-double rounding — is the SAME IEEE multiply/add/floor on
+    # both engines (nanorank pattern, operators/graph.py). Residual
+    # risk is only a 1-ulp ln() divergence landing exactly on a .5
+    # micro boundary, vs the old scheme's whole rounding-mode gap.
     score_terms = " + ".join(
-        f"CAST(ROUND(CASE WHEN tf{i} > 0 THEN "
+        f"CAST(floor(CASE WHEN tf{i} > 0 THEN "
         f"ln(1 + ((n - df{i} + 0.5) / (df{i} + 0.5))) * "
         f"((tf{i} * ({BM25_K1} + 1)) / (tf{i} + {BM25_K1} * ((1 - {BM25_B}) + ({BM25_B} * dl) / avgdl)))"
-        f" ELSE 0 END, 6) AS DECIMAL(18,6))"
+        f" ELSE 0 END * 1000000 + 0.5) AS BIGINT)"
         for i in range(len(BM25_TERMS))
     )
     return f"""
@@ -180,14 +193,14 @@ WITH d AS (
          {df_cols}
   FROM t
 ), scored AS (
-  SELECT doc_id, CAST({score_terms} AS DOUBLE) AS score
+  SELECT doc_id, CAST({score_terms} AS BIGINT) AS score_us
   FROM t CROSS JOIN s
 ), ranked AS (
-  SELECT doc_id, score,
-         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
-  FROM scored WHERE score > 0
+  SELECT doc_id, score_us,
+         ROW_NUMBER() OVER (ORDER BY score_us DESC, doc_id) AS rank
+  FROM scored WHERE score_us > 0
 )
-SELECT doc_id, score, rank FROM ranked WHERE rank <= {BM25_TOP_K}
+SELECT doc_id, score_us, rank FROM ranked WHERE rank <= {BM25_TOP_K}
 """
 
 
@@ -200,9 +213,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the only aggregation is one single-row corpus-stats pass
     (N, avgdl, per-term df) broadcast back via cross join, then
     scoring is codegen arithmetic and top-k is TakeOrderedAndProject.
-    Cross-engine determinism: per-term scores are ROUND(x, 6) then
-    summed as exact DECIMAL(18,6) (addition order can't change the
-    result), and ranking orders by (score DESC, doc_id).
+    Cross-engine determinism: per-term scores are quantized to exact
+    integer micro-scores — floor(x*1e6 + 0.5), the same IEEE
+    multiply/add/floor on both engines (vs ROUND(double, 6), whose
+    HALF_UP-on-decimal-string vs binary-double implementations can
+    diverge near half points) — then summed as BIGINT (order-free),
+    and ranking orders by (score_us DESC, doc_id).
     """
     def tf_of(toks, term: str):
         # NB: a 2-arg lambda would make F.filter pass the array INDEX
@@ -229,19 +245,19 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCALAR_BROADCASTS allowlist — a constant-key equi-join gets
     # constant-folded back to this same plan anyway
     scored = t.crossJoin(F.broadcast(stats))
-    score_dec = None
+    score_us = None
     for i in range(len(BM25_TERMS)):
         tf, df = F.col(f"tf{i}").cast("double"), F.col(f"df{i}").cast("double")
         idf = F.log(F.lit(1) + ((F.col("n") - df + 0.5) / (df + 0.5)))
         tf_norm = (tf * (BM25_K1 + 1)) / (
             tf + BM25_K1 * ((1 - BM25_B) + (F.lit(BM25_B) * F.col("dl")) / F.col("avgdl"))
         )
-        term_score = F.round(F.when(tf > 0, idf * tf_norm).otherwise(0.0), 6).cast(
-            "decimal(18,6)"
-        )
-        score_dec = term_score if score_dec is None else score_dec + term_score
-    scored = scored.select("doc_id", score_dec.cast("double").alias("score")).where(
-        F.col("score") > 0
+        term_score = F.floor(
+            F.when(tf > 0, idf * tf_norm).otherwise(0.0) * 1000000 + 0.5
+        ).cast("long")
+        score_us = term_score if score_us is None else score_us + term_score
+    scored = scored.select("doc_id", score_us.alias("score_us")).where(
+        F.col("score_us") > 0
     )
     # top-k FIRST via orderBy+limit (TakeOrderedAndProject — per-
     # partition heaps, no global-window single-partition shuffle),
@@ -249,11 +265,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the two-step ranking equals ranking the full set
     from pyspark.sql import Window
 
-    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_TOP_K)
+    top = scored.orderBy(F.col("score_us").desc(), F.col("doc_id").asc()).limit(BM25_TOP_K)
     rank = F.row_number().over(
-        Window.partitionBy().orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        Window.partitionBy().orderBy(F.col("score_us").desc(), F.col("doc_id").asc())
     )
-    return top.select("doc_id", "score", rank.alias("rank"))
+    return top.select("doc_id", "score_us", rank.alias("rank"))
 
 
 # ------------------------------------------- resample + forward fill
@@ -310,7 +326,12 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros("ts").alias("us"),
         "value",
-        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        # exact integer FLOOR division (pmod subtraction), matching
+        # DuckDB's `//`; Spark's `div` truncates toward zero and
+        # would diverge for pre-1970 timestamps
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000"
+        ).alias("hour"),
     )
     from pyspark.sql import Window
 
@@ -722,4 +743,157 @@ def cluster_kmeans_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((i + 1, ok, 1 if n_nonempty == KMEANS_K else 0))
     return spark.createDataFrame(
         rows, "iter int, monotone_ok int, clusters_nonempty_ok int"
+    )
+
+
+# -------------------------------------------------- cohort retention
+#: Cohort granularity: absolute epoch-week index (epoch-day // 7).
+_RETENTION_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+c AS (SELECT user_id, MIN(day) AS d0 FROM e GROUP BY user_id)
+SELECT c.d0 // 7 AS cohort_week,
+       (e.day - c.d0) // 7 AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("events_retention_cohorts", oracle=_RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the epoch-week of
+    their first activity, counted in each later week-offset they
+    return. The product-analytics staple, as three map-side-
+    combinable steps: distinct (user, active-day), per-user min-day,
+    then a cohort x offset distinct count. The first-activity join is
+    co-partitioned with the groupBy that produced it (same user key,
+    no extra shuffle); day arithmetic is exact integer floor-division
+    (pmod subtraction — matches DuckDB `//` even pre-1970)."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.expr(
+        "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) div 86400000000"
+    )
+    e = ev.select("user_id", day.alias("day")).distinct()
+    c = e.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        e.join(c, "user_id")
+        .select(
+            F.floor(F.col("d0") / 7).cast("bigint").alias("cohort_week"),
+            F.floor((F.col("day") - F.col("d0")) / 7).cast("bigint").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# ------------------------------------------------------ path mining
+PATH_STEPS = 3
+PATH_TOP_K = 10
+
+_PATH_ORACLE = f"""
+WITH p AS (
+  SELECT user_id,
+         array_to_string((list(event_type ORDER BY epoch_us(ts), event_id))[1:{PATH_STEPS}],
+                         ' > ') AS path
+  FROM events GROUP BY user_id
+), counted AS (
+  SELECT path, COUNT(*) AS n_users,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rank
+  FROM p GROUP BY path
+)
+SELECT path, n_users, rank FROM counted WHERE rank <= {PATH_TOP_K}
+"""
+
+
+@query("events_path_topk", oracle=_PATH_ORACLE)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K opening behavioral paths: each user's first
+    ``PATH_STEPS`` event types (total order (ts, event_id) — ties
+    cannot reorder across the same key pair) joined into a path
+    string, then ONE count shuffle on the path and
+    TakeOrderedAndProject for the top-K. Same one-shuffle timeline
+    shape as events_funnel: collect_list + array_sort inside the
+    per-user aggregate, never a per-user window sort over the full
+    event stream."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    timeline = F.array_sort(
+        F.collect_list(F.struct("us", F.col("event_id").alias("eid"), F.col("event_type").alias("etype")))
+    )
+    path = F.array_join(
+        F.transform(F.slice(timeline, 1, PATH_STEPS), lambda x: x.etype), " > "
+    )
+    p = ev.groupBy("user_id").agg(path.alias("path"))
+    counted = p.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    top = counted.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(PATH_TOP_K)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("n_users").desc(), F.col("path").asc())
+    )
+    return top.select("path", "n_users", rank.alias("rank"))
+
+
+# -------------------------------------------------- triangle counting
+_TRIANGLE_ORACLE = """
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(DISTINCT s) FROM os) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
+@query("graph_triangles", oracle=_TRIANGLE_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the supplier co-supply graph (two
+    suppliers are adjacent iff they ship lines of the same order).
+    The id-oriented edge list (u < v) makes each triangle count
+    exactly once via the canonical two-join wedge-close:
+    e(a,b) ⋈ e(b,c) closed by e(a,c). At 100 TB the orientation
+    should be by DEGREE, not id (cuts the wedge count of hub nodes
+    from deg² to deg·avg — same plan, different sort key); the
+    co-occurrence pair build per order is bounded by lines-per-order,
+    never all-pairs over suppliers. Exact integer output — full
+    value-hash oracle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    meta = os_.agg(F.countDistinct("s").alias("n_nodes"))
+    ecnt = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        meta.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
     )

@@ -1,0 +1,236 @@
+"""Corpus-construction operators — engine extensions.
+
+Three operations an LLM-training corpus pipeline runs between
+dedup/curation and the trainer (none exist in the reference):
+
+* ``text_ngram_counts`` — corpus bigram vocabulary with counts: the
+  canonical explode -> groupBy shape whose cost is one shuffle keyed
+  on the n-gram.
+* ``text_tfidf_topk`` — per-document top TF-IDF terms over the full
+  corpus vocabulary, scores quantized to integer micro-units
+  (the plans/analytics BM25 pattern) so ranking is engine-exact.
+* ``pack_token_budget`` — deterministic context-window packing:
+  documents chunked into fixed token budgets by a running token
+  cumsum, sharded so the cumsum window never needs a global sort.
+
+All tokenization uses the ASCII-only split from plans/analytics
+(identical semantics in java.util.regex and RE2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans.analytics import _TOKEN_SPLIT
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table_spread
+
+_DUCK_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '" + _TOKEN_SPLIT + "'), x -> x <> '')"
+)
+
+# ----------------------------------------------------- bigram counts
+NGRAM_TOP_K = 30
+
+_NGRAM_ORACLE = f"""
+WITH d AS (
+  SELECT {_DUCK_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM d
+), counted AS (
+  SELECT bigram, COUNT(*) AS n_occurrences,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rank
+  FROM grams GROUP BY bigram
+)
+SELECT bigram, n_occurrences, rank FROM counted WHERE rank <= {NGRAM_TOP_K}
+"""
+
+
+@query("text_ngram_counts", oracle=_NGRAM_ORACLE)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus bigrams: tokenize, form adjacent pairs with a
+    codegen'd ``transform(sequence(...))`` (no UDF), explode, ONE
+    count shuffle keyed on the bigram (map-side partials absorb the
+    heavy head — 'of the' pre-aggregates inside each task), then
+    TakeOrderedAndProject for the top-K. The LM-vocabulary /
+    collocation-mining building block; total order (count DESC,
+    bigram) makes the result deterministic cross-engine."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    counted = (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counted.orderBy(
+        F.col("n_occurrences").desc(), F.col("bigram").asc()
+    ).limit(NGRAM_TOP_K)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("n_occurrences").desc(), F.col("bigram").asc())
+    )
+    return top.select("bigram", "n_occurrences", rank.alias("rank"))
+
+
+# ------------------------------------------------------ tf-idf top-k
+#: Per-document top terms kept; document subset keeps the driver
+#: result compact (the plan itself is corpus-wide).
+TFIDF_TOP_PER_DOC = 3
+TFIDF_DOC_MOD = 50
+#: df bounds: drop hapax terms and stop-like terms in >half the docs.
+TFIDF_MIN_DF = 2
+
+_TFIDF_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), n AS (SELECT COUNT(*) AS n_docs FROM d),
+tf AS (
+  SELECT doc_id, unnest(toks) AS term FROM d
+), tfc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+), scored AS (
+  SELECT t.doc_id, t.term,
+         CAST(floor(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d2.df) * 1000000 + 0.5)
+              AS BIGINT) AS score_us
+  FROM tfc t JOIN df d2 USING (term) CROSS JOIN n
+  WHERE d2.df >= {TFIDF_MIN_DF} AND d2.df * 2 <= n.n_docs
+), ranked AS (
+  SELECT doc_id, term, score_us,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_us DESC, term) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term, score_us, term_rank
+FROM ranked
+WHERE term_rank <= {TFIDF_TOP_PER_DOC} AND doc_id % {TFIDF_DOC_MOD} = 0
+"""
+
+
+@query("text_tfidf_topk", oracle=_TFIDF_ORACLE)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF terms over the corpus-wide vocabulary:
+    explode to (doc, term), ONE groupBy for tf, ONE for df (both
+    map-side combinable), score = tf * ln(N/df) quantized to integer
+    micro-units — floor(x*1e6 + 0.5) is the same IEEE arithmetic on
+    both engines, so per-doc ranking (score DESC, term) is exact —
+    then a per-doc rank window keyed on doc_id. df bounds drop hapax
+    and stop-like terms, which is also what keeps the df join's
+    skewed head small. The (doc, term) shuffle is the canonical
+    scale shape for corpus statistics; N arrives via a single-row
+    broadcast like the BM25 stats row."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    pairs = docs.select("doc_id", F.explode(toks).alias("term"))
+    tfc = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tfc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # N = ALL documents (the oracle's `n` CTE counts documents, not
+    # documents-with-tokens — an empty doc still counts toward N)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfc.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .where(
+            (F.col("df") >= TFIDF_MIN_DF) & (F.col("df") * 2 <= F.col("n_docs"))
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("score_us"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_us").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(
+            (F.col("term_rank") <= TFIDF_TOP_PER_DOC)
+            & (F.col("doc_id") % TFIDF_DOC_MOD == 0)
+        )
+        .select("doc_id", "term", "score_us", "term_rank")
+    )
+
+
+# ------------------------------------------------ context packing
+#: Token budget per pack and shard fan-out. Shards bound the window
+#: partition size: the cumsum orders WITHIN a shard only, so no
+#: global single-partition sort exists at any scale (shards pack
+#: independently — the standard data-parallel chunking contract).
+PACK_BUDGET = 2048
+PACK_SHARDS = 16
+
+_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len({_DUCK_TOKS}) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - n_tokens AS prior_tokens
+  FROM d
+), p AS (
+  SELECT shard, prior_tokens // {PACK_BUDGET} AS pack_id, n_tokens
+  FROM c
+)
+SELECT shard, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM p GROUP BY shard, pack_id
+"""
+
+
+@query("pack_token_budget", oracle=_PACK_ORACLE)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic context-window packing: documents hash to one of
+    PACK_SHARDS shards, each shard orders by doc_id and chunks at
+    PACK_BUDGET tokens via a running-cumsum bucket (a doc starts a
+    new pack when the tokens BEFORE it fill the current budget —
+    streaming chunking, one window pass, no driver loop). Sharding
+    is the scale contract: the cumsum window partitions by shard, so
+    there is never a global sort; packs are reproducible from
+    (doc_id, token-count) alone, which is what a resumable training
+    job needs. Token counts are whitespace-class splits (ASCII
+    regex, identical both engines)."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    d = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        F.size(toks).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("prior_tokens"),
+    )
+    p = c.select(
+        "shard",
+        F.floor(F.col("prior_tokens") / PACK_BUDGET).cast("bigint").alias("pack_id"),
+        "n_tokens",
+    )
+    return p.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )

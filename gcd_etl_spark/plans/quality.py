@@ -1,0 +1,361 @@
+"""Data-quality + distribution operators — engine extensions.
+
+Four capabilities a 100 TB training-data pipeline runs continuously
+over its fact tables (none exist in the reference, whose only
+validation is silent NumberFormatException tolerance,
+Main.java:556-573):
+
+* ``dq_expectations`` — a declarative expectation suite (uniqueness,
+  referential integrity, null-rate, range) evaluated as ONE report
+  DataFrame; the Great-Expectations/Deequ shape re-expressed as
+  plain aggregates + anti-joins.
+* ``agg_histogram`` — fixed-width histogram of a numeric column as a
+  single groupBy over a codegen'd bucket expression.
+* ``agg_percentiles_exact`` — exact per-group discrete percentiles
+  (PERCENTILE_DISC) via one window rank pass, no interpolation —
+  selected values come FROM the data, so the oracle compares exactly
+  with zero float-rounding risk.
+* ``sketch_heavy_hitters`` — count-min sketch over a key column with
+  the engine-portable md5 hash family (operators/dedup.py
+  portable_hash64), estimates joined back against exact counts so the
+  CMS overcount is *visible in the result* (est >= exact always;
+  the driver hash-checks the whole sketch, not just a bound flag).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table
+
+# ---------------------------------------------------- dq expectations
+_DQ_ORACLE = """
+SELECT 'orders_pk_unique' AS check_name,
+       COUNT(*) AS n_checked,
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       COUNT(*),
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_totalprice_positive',
+       COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_discount_range',
+       COUNT(*),
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_shipdate_nonnull',
+       COUNT(*),
+       CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'customer_name_nonnull',
+       COUNT(*),
+       CAST(COUNT(*) - COUNT(c_name) AS BIGINT)
+FROM customer
+"""
+
+
+@query("dq_expectations", oracle=_DQ_ORACLE)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report: six expectations (primary-key
+    uniqueness, FK referential integrity, range, null-rate) each one
+    row of (check_name, n_checked, n_violations).
+
+    Plan shape per check family: same-table expectations fold into
+    single aggregate passes (one scan each, map-side partials); the
+    FK check is ONE left join counted on the probe side — at 100 TB
+    the join shuffles on the key like any fact-fact join and is the
+    honest cost of exact referential verification (the cheap screen
+    first is ``join_bloom_pruned``'s bloom pass, plans/relational).
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    big = F.count(F.lit(1))
+
+    def chk(name, checked, violations):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            checked.alias("n_checked"),
+            violations.cast("bigint").alias("n_violations"),
+        )
+
+    # orders: two expectations, ONE scan/aggregate
+    o_checks = orders.agg(
+        chk("orders_pk_unique", big, big - F.countDistinct("o_orderkey")).alias("a"),
+        chk(
+            "orders_totalprice_positive",
+            big,
+            F.sum((F.col("o_totalprice") <= 0).cast("long")),
+        ).alias("b"),
+    )
+    # lineitem: two expectations, ONE scan/aggregate
+    l_checks = li.agg(
+        chk(
+            "lineitem_discount_range",
+            big,
+            F.sum(((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")),
+        ).alias("a"),
+        chk(
+            "lineitem_shipdate_nonnull",
+            big,
+            big - F.count("l_shipdate"),
+        ).alias("b"),
+    )
+    fk = (
+        li.select("l_orderkey")
+        .join(orders.select("o_orderkey"), li.l_orderkey == orders.o_orderkey, "left")
+        .agg(
+            chk(
+                "lineitem_fk_orders",
+                big,
+                F.sum(F.col("o_orderkey").isNull().cast("long")),
+            ).alias("a")
+        )
+    )
+    c_checks = cust.agg(
+        chk("customer_name_nonnull", big, big - F.count("c_name")).alias("a")
+    )
+
+    def rows(df, n):
+        cols = ["a", "b"][:n]
+        stacked = df.select(
+            F.explode(F.array(*[F.col(c) for c in cols])).alias("r")
+        )
+        return stacked.select("r.check_name", "r.n_checked", "r.n_violations")
+
+    out = rows(o_checks, 2)
+    for df, n in ((fk, 1), (l_checks, 2), (c_checks, 1)):
+        out = out.unionByName(rows(df, n))
+    return out
+
+
+# -------------------------------------------------------- histogram
+#: Fixed histogram spec for l_extendedprice (closed, so both engines
+#: evaluate the identical literal arithmetic).
+HIST_LO = 0
+HIST_WIDTH = 5000
+HIST_BUCKETS = 24
+
+_HIST_ORACLE = f"""
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(floor((l_extendedprice - {HIST_LO}) / {HIST_WIDTH})
+                             AS BIGINT), 0), {HIST_BUCKETS - 1}) AS bucket
+  FROM lineitem
+)
+SELECT bucket,
+       CAST({HIST_LO} + bucket * {HIST_WIDTH} AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n_rows
+FROM b GROUP BY bucket
+"""
+
+
+@query("agg_histogram", oracle=_HIST_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice: bucket id is a pure
+    codegen expression (floor((x-lo)/w), clamped to the edge
+    buckets), so the whole histogram is one map-side-combinable
+    groupBy over at most HIST_BUCKETS keys — the same cost as a
+    count(*) at any scale. Both engines evaluate the identical IEEE
+    subtract/divide/floor sequence, so bucket assignment is
+    deterministic cross-engine (no ROUND-mode divergence)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - HIST_LO) / HIST_WIDTH).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(HIST_BUCKETS - 1).cast("bigint"),
+    )
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bucket",
+            (F.lit(HIST_LO) + F.col("bucket") * HIST_WIDTH)
+            .cast("bigint")
+            .alias("bucket_lo"),
+            "n_rows",
+        )
+    )
+
+
+# ------------------------------------------------- exact percentiles
+#: Discrete-percentile levels (PERCENTILE_DISC semantics: the first
+#: data value whose cumulative rank reaches p — ceil(p*n) in 1-based
+#: sorted order; values come FROM the data, never interpolated).
+PCT_LEVELS = (0.5, 0.9, 0.99)
+
+
+def _pct_oracle() -> str:
+    sel = ",\n       ".join(
+        f"quantile_disc(l_quantity, {p}) AS p{int(p * 100)}" for p in PCT_LEVELS
+    )
+    return f"""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       {sel}
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles_exact", oracle=_pct_oracle())
+def agg_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete percentiles (p50/p90/p99 of
+    l_quantity by return flag) via ONE window-rank pass: rank rows
+    within each group, pick the ceil(p*n)-th smallest for each level
+    in the same grouped aggregate. PERCENTILE_DISC returns an actual
+    data value — no interpolation, hence no float arithmetic to
+    diverge — and duplicates of the selected value are rank-safe
+    (row_number ties only ever occur between equal values, which
+    select the same result). One shuffle on the group key; the rank
+    window repartitions by the same key so AQE coalesces the
+    exchange. At 100 TB groups are per-key sorted spills, the same
+    cost class as any grouped sort; for sketch-accuracy-is-enough
+    consumers ``approx_percentile`` stays the cheap path."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").asc()
+    )
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_rows")]
+    for p in PCT_LEVELS:
+        idx = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        aggs.append(
+            F.max(F.when(F.col("rn") == idx, F.col("l_quantity"))).alias(
+                f"p{int(p * 100)}"
+            )
+        )
+    return ranked.groupBy("l_returnflag").agg(*aggs)
+
+
+# ---------------------------------------------- count-min heavy hitters
+#: CMS geometry: 3 independent md5-seeded rows x 64 buckets; top-k by
+#: exact count surfaces alongside the sketch estimate.
+CMS_SEEDS = ("cms0", "cms1", "cms2")
+CMS_WIDTH = 64
+CMS_TOP_K = 10
+
+#: Engine-portable 60-bit hash of seed:key (operators/dedup.py
+#: portable_hash64 — md5 is bit-identical everywhere).
+_DUCK_H = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _cms_oracle() -> str:
+    parts = []
+    for j, seed in enumerate(CMS_SEEDS):
+        h = _DUCK_H.format(expr="'" + seed + ":' || CAST(user_id AS VARCHAR)")
+        parts.append(
+            f"SELECT user_id, {j} AS row_id, {h} % {CMS_WIDTH} AS bucket FROM e"
+        )
+    row_exprs = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH e AS (SELECT user_id FROM events),
+hashed AS ({row_exprs}),
+cms AS (
+  SELECT row_id, bucket, COUNT(*) AS c
+  FROM hashed GROUP BY row_id, bucket
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_count FROM e GROUP BY user_id
+),
+keys AS (
+  SELECT DISTINCT user_id, row_id, bucket FROM hashed
+),
+est AS (
+  SELECT k.user_id, MIN(c.c) AS est_count
+  FROM keys k JOIN cms c ON k.row_id = c.row_id AND k.bucket = c.bucket
+  GROUP BY k.user_id
+),
+ranked AS (
+  SELECT x.user_id, x.exact_count, est.est_count,
+         est.est_count - x.exact_count AS overcount,
+         ROW_NUMBER() OVER (ORDER BY x.exact_count DESC, x.user_id) AS rank
+  FROM exact x JOIN est USING (user_id)
+)
+SELECT user_id, exact_count, est_count, overcount, rank
+FROM ranked WHERE rank <= {CMS_TOP_K}
+"""
+
+
+@query("sketch_heavy_hitters", oracle=_cms_oracle())
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over events.user_id: the sketch
+    is d=3 md5-seeded rows x w=64 counters built by ONE explode +
+    groupBy (fixed 192-cell state — map-side partials make this a
+    constant-size aggregate at any scale); per-key estimates read the
+    sketch through a BROADCAST join (the sketch is 192 rows by
+    construction), and the result surfaces estimate vs exact side by
+    side for the driver to value-hash — the CMS guarantee
+    (est >= exact, overcount >= 0) is in the data, not a flag. The
+    exact-count join exists to *audit* the sketch at fixture scale;
+    the 100 TB deployment keeps only the sketch side (fixed memory)
+    and skips the exact pass."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    hashed = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_id"),
+                        (
+                            F.pmod(
+                                portable_hash64(
+                                    F.concat(
+                                        F.lit(f"{seed}:"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                ),
+                                F.lit(CMS_WIDTH),
+                            )
+                        ).alias("bucket"),
+                    )
+                    for j, seed in enumerate(CMS_SEEDS)
+                ]
+            )
+        ).alias("h"),
+    ).select("user_id", "h.row_id", "h.bucket")
+    cms = hashed.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    keys = hashed.distinct()
+    est = (
+        keys.join(F.broadcast(cms), ["row_id", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    ranked = (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
+        .limit(CMS_TOP_K)
+    )
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
+    )
+    return ranked.select(
+        "user_id", "exact_count", "est_count", "overcount", rank.alias("rank")
+    )

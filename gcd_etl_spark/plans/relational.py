@@ -603,11 +603,17 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("purchase_value"))
     )
     out = asof_join(left, right, key="user_id", ts="ts")
+
+    def _sec_floor(c: str):
+        # exact integer FLOOR of micros→seconds, matching DuckDB `//`
+        # even for pre-1970 (negative-epoch) timestamps
+        return F.expr(f"(unix_micros({c}) - pmod(unix_micros({c}), 1000000)) div 1000000")
+
     return out.select(
         "event_id",
         "user_id",
-        F.col("ts").cast("long").alias("ts_sec"),
-        F.col("asof_ts").cast("long").alias("asof_sec"),
+        _sec_floor("ts").alias("ts_sec"),
+        _sec_floor("asof_ts").alias("asof_sec"),
         "purchase_value",
     )
 
