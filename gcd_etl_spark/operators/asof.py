@@ -82,11 +82,18 @@ def asof_join(
     carried = unioned.select("*", F.last(right_row, ignorenulls=True).over(w).alias("_m"))
     out = carried.where(F.col("_side") == 1)
     if tolerance_sec is not None:
+        from pyspark.sql import types as T
+
+        is_timestamp = isinstance(left.schema[ts].dataType, T.TimestampType)
+
         # exact integer FLOOR of micros→seconds (pmod subtraction):
         # identical to DuckDB's `epoch_us(..) // 1000000` even for
         # pre-1970 timestamps, where a timestamp→long cast truncates
-        # toward zero instead
+        # toward zero instead. Integer-typed ts columns are already
+        # in the caller's time unit and pass through untouched.
         def _sec(c):
+            if not is_timestamp:
+                return c.cast("long")
             us = F.unix_micros(c)
             # numerator is an exact multiple of 1e6 well inside
             # double's 2^53 integer range, so the quotient is exact

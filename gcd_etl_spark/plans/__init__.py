@@ -49,12 +49,16 @@ from gcd_etl_spark.plans import corpus  # noqa: E402,F401
 #: rescored in integer micro-units, resample/as-of floor-division
 #: semantics, attribution tolerance floor); then (b) every name with
 #: NO green driver row in rounds 3-4 (the r2-green tail the last two
-#: rotations left out, the round-4 operators that missed the r4
-#: window, and the rows-only dedup/ANN variants); then (c) the 10
+#: rotations left out and the round-4 operators that missed the r4
+#: window — except the rows-only dedup/ANN/k-means variants, which
+#: stay out per test_driver_window_all_oracled and are covered by
+#: their oracled siblings); then (c) the 14
 #: NEW round-5 operators (data-quality expectations, histogram,
 #: exact percentiles, count-min heavy hitters, bigram counts,
 #: TF-IDF, token packing, cohort retention, path mining, triangle
-#: counting) taking their first driver rows; then (d) flagship +
+#: counting, rolling RANGE window, consistent-hash sampling, mode
+#: with deterministic ties, int8 embedding quantization) taking
+#: their first driver rows; then (d) flagship +
 #: lineage re-verification slots that stay under the gate every
 #: round. Union coverage r4-green ∪ r5-window = every registered
 #: query except the r4-green mid-list (sql suite, scalar family,
@@ -71,18 +75,12 @@ _DRIVER_WINDOW = [
     "agg_cube",
     "agg_distinct",
     "anomaly_zscore_events",
-    "cluster_kmeans",
     "data_split_grouped",
-    "dedup_fingerprints",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "entity_clusters",
     "join_inner_chain",
     "pandas_grouped_stats",
     "sample_weighted",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
     "skew_salted_distinct",
     "sort_limit_topk",
     "sql_exists_correlated",
@@ -103,18 +101,29 @@ _DRIVER_WINDOW = [
     "events_retention_cohorts",
     "events_path_topk",
     "graph_triangles",
+    "window_rolling_range",
+    "sample_consistent_hash",
+    "agg_mode_per_group",
+    "emb_quantize_int8",
     # --- (d) flagship + lineage, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
     "snapshot_denorm",
     "dump_roundtrip",
     "q1_pricing_summary",
+    "dedup_minhash_portable",
+    "sim_ann_lsh_recall",
+    # --- oracled stand-ins for the rows-only variants (the window
+    # holds hash-checkable rows only, test_driver_window_all_oracled;
+    # cluster_kmeans / dedup_{minhash_lsh,simhash,fingerprints} /
+    # sim_ann_{lsh,ivf} are pinned by their oracled siblings above
+    # and by semantic tests) ---
     "term_table",
     "udtf_token_runs",
     "arrow_vector_stats",
     "mm_frame_sample",
-    "dedup_minhash_portable",
-    "sim_ann_lsh_recall",
+    "mm_binary_meta",
+    "mm_decode_meta",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

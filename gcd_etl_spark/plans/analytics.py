@@ -842,7 +842,7 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------- triangle counting
 _TRIANGLE_ORACLE = """
 WITH os AS (
-  SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
 ),
 edges AS (
   SELECT DISTINCT a.s AS u, b.s AS v
@@ -863,18 +863,21 @@ FROM tri
 
 @query("graph_triangles", oracle=_TRIANGLE_ORACLE)
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle count on the supplier co-supply graph (two
-    suppliers are adjacent iff they ship lines of the same order).
-    The id-oriented edge list (u < v) makes each triangle count
-    exactly once via the canonical two-join wedge-close:
+    """Exact triangle count on the part co-purchase graph (two parts
+    are adjacent iff some order buys both — the market-basket
+    co-occurrence graph; node count scales WITH the data, so the
+    graph stays sparse, unlike the few-hundred-node supplier graph
+    whose near-clique density made the wedge join quadratic at
+    sf0.1). The id-oriented edge list (u < v) makes each triangle
+    count exactly once via the canonical two-join wedge-close:
     e(a,b) ⋈ e(b,c) closed by e(a,c). At 100 TB the orientation
     should be by DEGREE, not id (cuts the wedge count of hub nodes
     from deg² to deg·avg — same plan, different sort key); the
     co-occurrence pair build per order is bounded by lines-per-order,
-    never all-pairs over suppliers. Exact integer output — full
+    never all-pairs over parts. Exact integer output — full
     value-hash oracle."""
     li = read_table(spark, sf_dir, "lineitem")
-    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s")).distinct()
+    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
     a, b = os_.alias("a"), os_.alias("b")
     edges = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))

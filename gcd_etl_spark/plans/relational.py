@@ -928,3 +928,46 @@ def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _views_sub(spark: SparkSession, sf_dir: str, tables) -> None:
     for t in tables:
         read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_rows
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT o_orderstatus, o_orderpriority, n_rows,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY n_rows DESC, o_orderpriority) AS rn
+  FROM c
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n_rows
+FROM r WHERE rn = 1
+""",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MODE (most frequent value) with a deterministic
+    tie-break — built as count + rank rather than an engine-native
+    ``mode()`` because native modes leave ties implementation-defined
+    (a cross-engine hash mismatch by construction); (count DESC,
+    value) is a total order both engines agree on. Two shuffles:
+    the (group, value) count (map-side combinable) and the tiny
+    per-group rank — the second operates on one row per distinct
+    value, not per input row, so it is negligible at any scale."""
+    orders = read_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n_rows").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n_rows",
+        )
+    )

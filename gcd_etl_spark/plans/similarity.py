@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcd_etl_spark.operators import similarity as S
-from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.plans.registry import duckdb_array_replace, query
 from gcd_etl_spark.sources.catalog import read_table, read_table_spread
 
 N_QUERIES = 5
@@ -208,3 +208,60 @@ def sim_embedding_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
     return S.neardup_pairs_blas(emb, threshold=NEARDUP_THRESHOLD)
+
+
+_QUANT_ORACLE_BODY = """
+WITH m AS (
+  SELECT vec_id,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, mn, mx,
+       list_transform(embedding,
+                      x -> CASE WHEN mx > mn
+                                THEN CAST(floor((CAST(x AS DOUBLE) - mn)
+                                                / (mx - mn) * 255 + 0.5) AS BIGINT)
+                                ELSE CAST(0 AS BIGINT) END) AS q_codes
+FROM m
+"""
+
+
+@query(
+    "emb_quantize_int8",
+    oracle=duckdb_array_replace(_QUANT_ORACLE_BODY, ["q_codes"]),
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max scalar quantization of float32 embeddings
+    to 8-bit codes (the standard 4x ANN-index compression): code_i =
+    round((x_i - mn)/(mx - mn) * 255) computed as floor(y + 0.5) in
+    float64 — float32 values are exactly representable in float64
+    and both engines execute the identical IEEE subtract / divide /
+    multiply / add / floor sequence, so codes are bit-deterministic
+    cross-engine (the BM25 micro-score argument, with no ln() in
+    sight). Pure per-row codegen arithmetic: no shuffle, no UDF, no
+    state — embarrassingly parallel at any scale. Code arrays are
+    serialized via the registry's array convention; (mn, mx) ride
+    along as the dequantization params a consumer needs."""
+    from gcd_etl_spark.plans.registry import serialize_array_cols
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    m = emb.select("vec_id", mn.alias("mn"), mx.alias("mx"), "embedding")
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                (x.cast("double") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * 255
+                + 0.5
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return serialize_array_cols(
+        m.select("vec_id", "mn", "mx", codes.alias("q_codes"))
+    )

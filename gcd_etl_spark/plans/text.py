@@ -412,3 +412,43 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thresh = F.least(F.col("n_chars"), F.lit(2000)) * 500
     return docs.where(h < thresh).select("doc_id", "n_chars")
+
+
+@query(
+    "sample_consistent_hash",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM documents
+), r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS sample_rank
+  FROM h
+)
+SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 20
+""",
+)
+def sample_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group consistent sample: the 20 documents per language
+    with the smallest engine-portable hash of their id — a
+    deterministic 'reservoir' whose membership is stable under
+    reruns, engines, partitionings AND data growth (a new doc only
+    displaces the current max, exactly like a bottom-k sketch).
+    Bottom-k-by-hash is also the mergeable-sample primitive behind
+    MinHash. One rank window per group key; at 100 TB switch the
+    rank window for a per-partition bottom-k heap + re-merge
+    (same result set by associativity of min-k)."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("s:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(F.col("hv").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", h.alias("hv"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= 20)
+        .select("lang", "doc_id", "sample_rank")
+    )

@@ -97,3 +97,51 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "window_rolling_range",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT event_id, user_id, us,
+       COUNT(*) OVER w AS n_24h,
+       CAST(SUM(v) OVER w AS DOUBLE) AS value_24h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-24h activity (count + exact decimal value
+    sum) via a RANGE-framed window in integer microseconds — the
+    time-anchored rolling aggregate that tumbling windows can't
+    express (every event gets ITS OWN trailing frame, not a shared
+    bucket). RANGE frames include all timestamp ties on both
+    engines, and the frame bound is integer arithmetic, so the
+    result is exact. One shuffle on the entity key; at 100 TB the
+    frame scan per partition is monotone two-pointer work over the
+    per-user sorted run, the same cost class as a session window."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum("v").over(w).cast("double").alias("value_24h"),
+    )

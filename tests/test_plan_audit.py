@@ -32,6 +32,8 @@ QUADRATIC_ANCHORS = {
 #: QUADRATIC_ANCHORS, whose build sides grow with the data.
 SCALAR_BROADCASTS = {
     "text_bm25_topk",  # one corpus-stats row (N, avgdl, per-term df)
+    "text_tfidf_topk",  # one corpus-size row (N) broadcast into scoring
+    "graph_triangles",  # two single-row count aggregates joined into the 1-row result
 }
 
 #: Streaming queries execute eagerly on build (memory-sink round

@@ -113,7 +113,7 @@ def test_triangle_count_matches_bruteforce(spark, sf_smoke):
     from gcd_etl_spark.sources.catalog import read_table
 
     row = QUERIES["graph_triangles"].build(spark, sf_smoke).collect()[0]
-    li = read_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_suppkey")
+    li = read_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_partkey")
     pairs = {
         (a, b)
         for (o1, a) in {(r[0], r[1]) for r in li.collect()}
@@ -149,3 +149,74 @@ def test_tfidf_scores_positive_and_ranked(spark, sf_smoke):
         assert len(terms) <= TFIDF_TOP_PER_DOC
         scores = [t["score_us"] for t in terms]
         assert scores == sorted(scores, reverse=True)
+
+
+_R5B_ORACLED = [
+    "window_rolling_range",
+    "sample_consistent_hash",
+    "agg_mode_per_group",
+    "emb_quantize_int8",
+]
+
+
+@pytest.mark.parametrize("name", _R5B_ORACLED)
+def test_r5b_operator_matches_oracle(spark, sf_smoke, name):
+    q = QUERIES[name]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=name)
+
+
+def test_rolling_range_includes_self(spark, sf_smoke):
+    """Every event's trailing-24h frame contains at least itself."""
+    df = QUERIES["window_rolling_range"].build(spark, sf_smoke)
+    assert df.where(F.col("n_24h") < 1).count() == 0
+
+
+def test_consistent_sample_is_stable_under_subset(spark, sf_smoke):
+    """Bottom-k-by-hash consistency: sampling a SUBSET of the corpus
+    yields the subset's bottom-k of the same hash order — membership
+    only ever shrinks/displaces, never reshuffles (the property that
+    makes the sample mergeable and growth-stable)."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+    from gcd_etl_spark.sources.catalog import read_table
+
+    full = {
+        (r["lang"], r["doc_id"])
+        for r in QUERIES["sample_consistent_hash"].build(spark, sf_smoke).collect()
+    }
+    docs = read_table(spark, sf_smoke, "documents").where(F.col("doc_id") % 2 == 0)
+    h = portable_hash64(F.concat(F.lit("s:"), F.col("doc_id").cast("string")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("hv").asc(), F.col("doc_id").asc())
+    sub = {
+        (r["lang"], r["doc_id"])
+        for r in docs.select("lang", "doc_id", h.alias("hv"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .collect()
+    }
+    # every even-id doc sampled from the full corpus stays sampled in
+    # the subset run (its hash rank can only improve when rows leave)
+    assert {p for p in full if p[1] % 2 == 0} <= sub
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_smoke):
+    """Dequantized codes reconstruct each component within half a
+    quantization step (the defining property of round-to-nearest)."""
+    from gcd_etl_spark.sources.catalog import read_table
+
+    emb = {r["vec_id"]: r["embedding"] for r in
+           read_table(spark, sf_smoke, "embeddings").collect()}
+    rows = QUERIES["emb_quantize_int8"].build(spark, sf_smoke).collect()
+    assert rows
+    for r in rows[:200]:
+        n, _, joined = r["q_codes"].partition(":")
+        codes = [int(x) for x in joined.split("\x1f")] if joined else []
+        vec = emb[r["vec_id"]]
+        assert len(codes) == int(n) == len(vec)
+        mn, mx = r["mn"], r["mx"]
+        if mx > mn:
+            step = (mx - mn) / 255
+            for c, x in zip(codes, vec):
+                assert 0 <= c <= 255
+                assert abs((mn + c * step) - x) <= step / 2 + 1e-9
