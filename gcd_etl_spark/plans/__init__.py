@@ -123,7 +123,7 @@ _DRIVER_WINDOW = [
     "arrow_vector_stats",
     "mm_frame_sample",
     "mm_binary_meta",
-    "mm_decode_meta",
+    "chunk_sliding_tokens",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -234,3 +234,59 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ------------------------------------------------ sliding chunking
+#: RAG-style chunk geometry: fixed token window, fixed overlap.
+CHUNK_SIZE = 128
+CHUNK_STRIDE = 96  # = CHUNK_SIZE - 32 token overlap
+
+_CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(0, GREATEST(len(toks) - 1, 0), {CHUNK_STRIDE}))
+           AS start_tok
+  FROM d
+)
+SELECT doc_id,
+       start_tok // {CHUNK_STRIDE} AS chunk_id,
+       start_tok,
+       len(toks[start_tok + 1 : start_tok + {CHUNK_SIZE}]) AS n_tokens,
+       md5(array_to_string(toks[start_tok + 1 : start_tok + {CHUNK_SIZE}], ' '))
+         AS chunk_md5
+FROM s
+WHERE start_tok < n
+"""
+
+
+@query("chunk_sliding_tokens", oracle=_CHUNK_ORACLE)
+def chunk_sliding_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: each document's token stream cut
+    into CHUNK_SIZE-token windows every CHUNK_STRIDE tokens (32-token
+    overlap), the retrieval-index preprocessing step between
+    curation and embedding. Pure per-row codegen — chunk starts come
+    from ``sequence``, chunk bodies from ``slice`` — then ONE explode
+    whose fan-out is tokens/stride per doc; no shuffle at all until a
+    consumer aggregates. Chunks surface as md5 fingerprints (not raw
+    text) so the result stays narrow; zero-token documents produce
+    zero chunks, and the last chunk of a doc may be short — both
+    pinned by the oracle."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    d = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    s = d.select("doc_id", "toks", "n", F.explode(starts).alias("start_tok")).where(
+        F.col("start_tok") < F.col("n")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start_tok") + 1, CHUNK_SIZE)
+    return s.select(
+        "doc_id",
+        F.floor(F.col("start_tok") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        "start_tok",
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -220,3 +220,31 @@ def test_quantize_roundtrip_error_bound(spark, sf_smoke):
             for c, x in zip(codes, vec):
                 assert 0 <= c <= 255
                 assert abs((mn + c * step) - x) <= step / 2 + 1e-9
+
+
+def test_chunk_sliding_matches_oracle(spark, sf_smoke):
+    q = QUERIES["chunk_sliding_tokens"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_chunk_geometry(spark, sf_smoke):
+    """Chunks tile each doc at stride spacing: ids dense from 0,
+    starts = id*stride, and every chunk spans exactly
+    min(CHUNK_SIZE, doc_tokens - start) tokens — note that with
+    overlap (stride < size) the trailing TWO chunks can both be
+    short, since the tail region is covered twice."""
+    from gcd_etl_spark.plans.corpus import CHUNK_SIZE, CHUNK_STRIDE
+
+    rows = QUERIES["chunk_sliding_tokens"].build(spark, sf_smoke).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r["n_tokens"] <= CHUNK_SIZE
+        assert r["start_tok"] == r["chunk_id"] * CHUNK_STRIDE
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+        doc_tokens = max(c["start_tok"] + c["n_tokens"] for c in chunks)
+        for c in chunks:
+            assert c["n_tokens"] == min(CHUNK_SIZE, doc_tokens - c["start_tok"])
