@@ -122,8 +122,8 @@ _DRIVER_WINDOW = [
     "udtf_token_runs",
     "arrow_vector_stats",
     "mm_frame_sample",
-    "mm_binary_meta",
     "chunk_sliding_tokens",
+    "stream_late_drop",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

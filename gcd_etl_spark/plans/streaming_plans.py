@@ -154,3 +154,79 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_sliding(
         spark, staged, watermark="100000 hours", name=f"stream_sliding_{tag}"
     )
+
+
+#: Timeline split for the late-data demonstration (events span
+#: 2024-01; recent half first => high watermark, older half late).
+LATE_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z
+
+_LATE_DROP_ORACLE = f"""
+WITH recent AS (
+  SELECT ts, event_type FROM events
+  WHERE epoch_us(ts) >= {LATE_SPLIT_US}
+),
+m AS (SELECT MAX(epoch_us(ts)) AS mx FROM recent),
+w AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM recent GROUP BY 1, 2
+)
+SELECT window_start, event_type, n_events
+FROM w CROSS JOIN m
+WHERE (window_start + 3600) * 1000000 <= mx - 3600000000
+"""
+
+
+@query("stream_late_drop", oracle=_LATE_DROP_ORACLE)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics under the differential gate: the
+    older half of the timeline is replayed AFTER the recent half, so
+    every one of its rows is beyond the watermark when it arrives and
+    must be dropped; append mode emits exactly the finalized windows.
+    The oracle restates the whole rule in batch SQL: hourly windows
+    over the recent half only, kept when window_end <= max(recent) -
+    1h (the final watermark). Deterministic because file-source
+    micro-batches replay in file order (one file per trigger,
+    oldest first) — the batch boundary, and therefore the watermark
+    trajectory, is pinned by construction."""
+    import glob
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.streaming.jobs import run_streaming_late_drop
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_stream_late_{tag}"
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    cut = F.unix_micros("ts") >= LATE_SPLIT_US
+    # THREE single-file batches, replayed oldest-mtime-first: two
+    # recent-half files, then the older half. The recent batches
+    # drive the watermark to max(recent) - delay; the old rows must
+    # arrive in batch THREE because the engine's late-record filter
+    # uses a one-batch-LAGGED watermark (measured: old rows arriving
+    # in batch 2 pass the filter against the still-initial watermark,
+    # aggregate, and are immediately evicted-and-EMITTED by the
+    # post-batch eviction — the exact trap this staging avoids).
+    # Explicit far-apart mtimes pin the replay order; a same-second
+    # write can otherwise collapse files into one micro-batch.
+    batches = [
+        events.where(cut & (F.col("user_id") % 7 != 0)),
+        events.where(cut & (F.col("user_id") % 7 == 0)),
+        events.where(~cut),
+    ]
+    seen: list[str] = []
+    groups: list[list[str]] = []
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        b.coalesce(1).write.mode(mode).parquet(staged)
+        now_files = sorted(glob.glob(f"{staged}/part-*.parquet"))
+        groups.append([p for p in now_files if p not in seen])
+        seen = now_files
+    now = _time.time()
+    for i, grp in enumerate(groups):
+        for p in grp:
+            os.utime(p, (now - 300 + i * 120, now - 300 + i * 120))
+    return run_streaming_late_drop(spark, staged, name=f"stream_late_drop_{tag}")

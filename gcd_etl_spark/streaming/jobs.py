@@ -175,3 +175,44 @@ def run_streaming_to_parquet(
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+def run_streaming_late_drop(
+    spark: SparkSession,
+    staged_dir: str,
+    size: str = "1 hour",
+    watermark: str = "1 hour",
+    name: str = "stream_late_drop",
+) -> DataFrame:
+    """Watermark late-data semantics, demonstrated deterministically:
+    the staged dir holds TWO files written in order — first the
+    RECENT half of the events timeline, then the OLDER half — and
+    the file source replays them oldest-mtime-first, one per
+    micro-batch. Batch 1 drives the watermark to max(recent) - delay;
+    every batch-2 row then arrives beyond the watermark and is
+    dropped from state. APPEND output mode means the sink holds
+    exactly the windows the engine finalized (window end at or below
+    the final watermark) — so the result IS the late-drop semantics,
+    value-hashable against a batch restatement of the same rule."""
+    events = streaming_events(spark, staged_dir)
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -94,3 +94,26 @@ def test_streaming_parquet_sink_equals_batch(spark, sf_smoke, staged_events, tmp
     got = written.agg(F.sum("value"), F.count_distinct("user_id")).first()
     want = batch.agg(F.sum("value"), F.count_distinct("user_id")).first()
     assert abs(got[0] - want[0]) < 1e-6 and got[1] == want[1]
+
+
+def test_stream_late_drop_matches_oracle(spark, sf_smoke):
+    """Watermark late-data semantics: the replayed-late half of the
+    timeline is dropped; append mode holds exactly the finalized
+    windows (oracle restates the rule in batch SQL)."""
+    from gcd_etl_spark.plans import QUERIES
+    from tests.conftest import assert_matches_oracle
+
+    q = QUERIES["stream_late_drop"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_stream_late_drop_excludes_old_windows(spark, sf_smoke):
+    """No emitted window may start before the timeline split — the
+    direct statement that the late half was dropped, independent of
+    the oracle."""
+    from gcd_etl_spark.plans import QUERIES
+    from gcd_etl_spark.plans.streaming_plans import LATE_SPLIT_US
+
+    rows = QUERIES["stream_late_drop"].build(spark, sf_smoke).collect()
+    assert rows
+    assert min(r["window_start"] for r in rows) >= LATE_SPLIT_US // 1_000_000
