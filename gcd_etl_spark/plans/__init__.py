@@ -120,8 +120,8 @@ _DRIVER_WINDOW = [
     # and by semantic tests) ---
     "term_table",
     "udtf_token_runs",
-    "arrow_vector_stats",
     "mm_frame_sample",
+    "rollup_time_hierarchy",
     "chunk_sliding_tokens",
     "stream_late_drop",
 ]

@@ -145,3 +145,82 @@ def window_rolling_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_24h"),
         F.sum("v").over(w).cast("double").alias("value_24h"),
     )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle="""
+WITH h AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS v
+  FROM events GROUP BY 1
+), d AS (
+  SELECT (bucket_start // 86400) * 86400 AS bucket_start,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(v) AS DECIMAL(28,2)) AS v
+  FROM h GROUP BY 1
+), m AS (
+  SELECT (bucket_start // 2592000) * 2592000 AS bucket_start,
+         CAST(SUM(n_events) AS BIGINT) AS n_events,
+         CAST(SUM(v) AS DECIMAL(28,2)) AS v
+  FROM d GROUP BY 1
+)
+SELECT 'hour' AS grain, bucket_start, n_events, CAST(v AS DOUBLE) AS total_value FROM h
+UNION ALL
+SELECT 'day', bucket_start, n_events, CAST(v AS DOUBLE) FROM d
+UNION ALL
+SELECT 'month', bucket_start, n_events, CAST(v AS DOUBLE) FROM m
+""",
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: hourly
+    buckets aggregated from raw events ONCE, daily derived from
+    hourly, monthly (30-day epoch buckets) from daily — each level
+    re-aggregates |previous level| rows, not the raw stream, which
+    is the entire point of a rollup hierarchy at 100 TB (the hourly
+    level is the only scan-scale aggregation; a production deployment
+    materializes it incrementally and the coarser grains are
+    near-free). The hourly level is localCheckpoint'ed so the
+    three-level union reads ONE materialization instead of
+    re-running the scan per grain (the kmeans-assignment precedent).
+    Decimal sums keep every level exact; re-aggregated totals are
+    associative by construction."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.expr(
+            "(unix_micros(ts) - pmod(unix_micros(ts), 3600000000)) div 3600000000"
+        ).alias("hour_idx"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    hourly = (
+        e.groupBy((F.col("hour_idx") * 3600).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("decimal(28,2)").alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _coarsen(df: DataFrame, seconds: int) -> DataFrame:
+        b = (F.floor(F.col("bucket_start") / seconds) * seconds).cast("bigint")
+        return df.groupBy(b.alias("bucket_start")).agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("v").cast("decimal(28,2)").alias("v"),
+        )
+
+    daily = _coarsen(hourly, 86_400).localCheckpoint(eager=False)
+    monthly = _coarsen(daily, 2_592_000)
+
+    def _grain(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("grain"),
+            "bucket_start",
+            "n_events",
+            F.col("v").cast("double").alias("total_value"),
+        )
+
+    return (
+        _grain(hourly, "hour")
+        .unionByName(_grain(daily, "day"))
+        .unionByName(_grain(monthly, "month"))
+    )

@@ -248,3 +248,23 @@ def test_chunk_geometry(spark, sf_smoke):
         doc_tokens = max(c["start_tok"] + c["n_tokens"] for c in chunks)
         for c in chunks:
             assert c["n_tokens"] == min(CHUNK_SIZE, doc_tokens - c["start_tok"])
+
+
+def test_rollup_hierarchy_matches_oracle(spark, sf_smoke):
+    q = QUERIES["rollup_time_hierarchy"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=q.name)
+
+
+def test_rollup_grains_are_consistent(spark, sf_smoke):
+    """Every grain totals to the same event count and value — the
+    associativity invariant the derived-rollup chain rests on."""
+    rows = QUERIES["rollup_time_hierarchy"].build(spark, sf_smoke).collect()
+    by_grain: dict[str, tuple[int, float]] = {}
+    for g in ("hour", "day", "month"):
+        sel = [r for r in rows if r["grain"] == g]
+        by_grain[g] = (
+            sum(r["n_events"] for r in sel),
+            round(sum(r["total_value"] for r in sel), 2),
+        )
+    assert by_grain["hour"] == by_grain["day"] == by_grain["month"]
+    assert len({r["grain"] for r in rows}) == 3
