@@ -52,18 +52,18 @@ from gcd_etl_spark.plans import corpus  # noqa: E402,F401
 #: rotations left out and the round-4 operators that missed the r4
 #: window — except the rows-only dedup/ANN/k-means variants, which
 #: stay out per test_driver_window_all_oracled and are covered by
-#: their oracled siblings); then (c) the 14
-#: NEW round-5 operators (data-quality expectations, histogram,
-#: exact percentiles, count-min heavy hitters, bigram counts,
-#: TF-IDF, token packing, cohort retention, path mining, triangle
-#: counting, rolling RANGE window, consistent-hash sampling, mode
-#: with deterministic ties, int8 embedding quantization) taking
-#: their first driver rows; then (d) flagship +
-#: lineage re-verification slots that stay under the gate every
-#: round. Union coverage r4-green ∪ r5-window = every registered
-#: query except the r4-green mid-list (sql suite, scalar family,
-#: stream/win family, multimodal, portable dedup) — all r4-green on
-#: code unchanged this round.
+#: their oracled siblings); then (c) the 17 NEW round-5 operators
+#: (data-quality expectations, histogram, exact percentiles,
+#: count-min heavy hitters, bigram counts, TF-IDF, token packing,
+#: cohort retention, path mining, triangle counting, rolling RANGE
+#: window, consistent-hash sampling, mode with deterministic ties,
+#: int8 embedding quantization, sliding token chunking, watermark
+#: late-data drop, hypertable rollup hierarchy) taking their first
+#: driver rows; then (d) flagship + lineage re-verification slots
+#: that stay under the gate every round. Union coverage r4-green ∪
+#: r5-window = every registered query except the r4-green mid-list
+#: (sql suite, scalar family, stream/win family, multimodal,
+#: portable dedup) — all r4-green on code unchanged this round.
 _DRIVER_WINDOW = [
     # --- (a) round-4 red, fixed + this round's changed queries ---
     "events_funnel",
