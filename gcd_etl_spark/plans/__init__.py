@@ -39,6 +39,7 @@ from gcd_etl_spark.plans import profiling  # noqa: E402,F401
 from gcd_etl_spark.plans import analytics  # noqa: E402,F401
 from gcd_etl_spark.plans import quality  # noqa: E402,F401
 from gcd_etl_spark.plans import corpus  # noqa: E402,F401
+from gcd_etl_spark.plans import stats  # noqa: E402,F401
 
 #: The first ~50 registry entries = the driver's correctness window,
 #: ROTATED each round (round-3 verdict #7) so every registered query
@@ -78,11 +79,7 @@ _DRIVER_WINDOW = [
     "data_split_grouped",
     "dedup_ngram_jaccard",
     "entity_clusters",
-    "join_inner_chain",
     "pandas_grouped_stats",
-    "sample_weighted",
-    "skew_salted_distinct",
-    "sort_limit_topk",
     "sql_exists_correlated",
     "sql_q18_large_orders",
     "text_fingerprint",
@@ -105,22 +102,38 @@ _DRIVER_WINDOW = [
     "sample_consistent_hash",
     "agg_mode_per_group",
     "emb_quantize_int8",
-    # --- (d) flagship + lineage, re-verified every round ---
+    # --- (e) NEW round-6 operators (first driver rows): exact-moment
+    # correlation, PSI drift, quantile-sketch rank-bound gate, KMV
+    # audience overlap, Markov transitions, market-basket lift,
+    # incremental rollup merge, stream-stream interval join. They
+    # take the slots of round-3-green re-verification stand-ins
+    # (snapshot_denorm, dump_roundtrip, q1_pricing_summary,
+    # dedup_minhash_portable, sim_ann_lsh_recall, term_table,
+    # udtf_token_runs, mm_frame_sample — all ≤2 rounds green, code
+    # unchanged, pytest-pinned; the two flagships below still
+    # re-verify every round and subsume the denorm/dump lineage) ---
+    "stat_corr_exact",
+    "dq_drift_psi",
+    "sketch_quantile_bound",
+    "audience_overlap_minhash",
+    "events_markov_transitions",
+    "assoc_pairs_lift",
+    "rollup_incremental_merge",
+    "stream_stream_join",
+    # (batch 2: compressed ANN, graph degrees, sequential patterns,
+    # PIT temporal join — they take the slots of four simple (b)
+    # relational shapes whose exact plan families are green elsewhere
+    # in this window or r4: join_inner_chain ~ sql_q18/snapshot joins,
+    # sort_limit_topk ~ every top-k here, sample_weighted ~
+    # sample_consistent_hash/stratified, skew_salted_distinct ~
+    # skew_salted_join r4-green; all four stay pytest-pinned)
+    "sim_ann_ivfpq_recall",
+    "graph_degree_topk",
+    "events_streak_runs",
+    "scd2_point_in_time",
+    # --- (d) flagship, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
-    "snapshot_denorm",
-    "dump_roundtrip",
-    "q1_pricing_summary",
-    "dedup_minhash_portable",
-    "sim_ann_lsh_recall",
-    # --- oracled stand-ins for the rows-only variants (the window
-    # holds hash-checkable rows only, test_driver_window_all_oracled;
-    # cluster_kmeans / dedup_{minhash_lsh,simhash,fingerprints} /
-    # sim_ann_{lsh,ivf} are pinned by their oracled siblings above
-    # and by semantic tests) ---
-    "term_table",
-    "udtf_token_runs",
-    "mm_frame_sample",
     "rollup_time_hierarchy",
     "chunk_sliding_tokens",
     "stream_late_drop",

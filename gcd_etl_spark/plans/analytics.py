@@ -900,3 +900,314 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+# ------------------------------------------------- markov transitions
+_MARKOV_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS src
+  FROM events
+),
+t AS (
+  SELECT src AS src_type, event_type AS dst_type, COUNT(*) AS n_transitions
+  FROM o WHERE src IS NOT NULL GROUP BY 1, 2
+),
+r AS (SELECT src_type, SUM(n_transitions) AS row_total FROM t GROUP BY 1)
+SELECT t.src_type, t.dst_type, t.n_transitions,
+       (t.n_transitions * 1000000) // r.row_total AS prob_micro
+FROM t JOIN r USING (src_type)
+"""
+
+
+@query("events_markov_transitions", oracle=_MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: consecutive event-type pairs under the total order
+    (ts, event_id), counted into a |types|² matrix with row-normalized
+    probabilities in integer micro-units (count * 1e6 integer-divided
+    by the row total — no float division to diverge).
+
+    Plan shape: the SAME one-shuffle timeline fold as events_funnel /
+    events_path_topk — collect + sort each user's timeline inside the
+    grouped aggregate, emit adjacent pairs with a codegen'd
+    transform over the sorted array, explode, then ONE count shuffle
+    on (src, dst). Row totals re-aggregate the |types|²-row matrix,
+    not the events — a broadcast-scale second pass. Per-user state is
+    bounded by timeline length, the exact shape that scales to
+    100 TB of events partitioned by user."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    timeline = F.array_sort(
+        F.collect_list(
+            F.struct("us", F.col("event_id").alias("eid"), F.col("event_type").alias("etype"))
+        )
+    )
+    pairs = F.expr(
+        "transform(sequence(2, size(tl)), i -> struct(tl[i-2].etype AS src_type, tl[i-1].etype AS dst_type))"
+    )
+    per_user = ev.groupBy("user_id").agg(timeline.alias("tl"))
+    t = (
+        per_user.where(F.size("tl") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_type").alias("src_type"), F.col("p.dst_type").alias("dst_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    r = t.groupBy("src_type").agg(F.sum("n_transitions").alias("row_total"))
+    return (
+        t.join(F.broadcast(r), "src_type")
+        .select(
+            "src_type",
+            "dst_type",
+            "n_transitions",
+            F.expr("(n_transitions * 1000000) div row_total").alias("prob_micro"),
+        )
+    )
+
+
+# ------------------------------------------------ market-basket pairs
+ASSOC_TOP_K = 20
+
+_ASSOC_ORACLE = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM ob),
+singles AS (SELECT b, COUNT(*) AS c FROM ob GROUP BY b),
+pairs AS (
+  SELECT x.b AS brand_a, y.b AS brand_b, COUNT(*) AS c_ab
+  FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.brand_a, p.brand_b, p.c_ab,
+         (p.c_ab * 1000000) // n.n_orders AS support_micro,
+         (p.c_ab * 1000000) // sa.c AS confidence_micro,
+         (n.n_orders * p.c_ab * 1000000) // (sa.c * sb.c) AS lift_micro,
+         ROW_NUMBER() OVER (ORDER BY p.c_ab DESC, p.brand_a, p.brand_b) AS rank
+  FROM pairs p
+  JOIN singles sa ON sa.b = p.brand_a
+  JOIN singles sb ON sb.b = p.brand_b
+  CROSS JOIN n
+)
+SELECT brand_a, brand_b, c_ab, support_micro, confidence_micro, lift_micro, rank
+FROM scored WHERE rank <= {ASSOC_TOP_K}
+"""
+
+
+@query("assoc_pairs_lift", oracle=_ASSOC_ORACLE)
+def assoc_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association pairs: top-{ASSOC_TOP_K} brand pairs
+    co-purchased within an order, with support / confidence(a→b) /
+    lift in integer micro-units (exact counts, integer division —
+    the whole scorecard is value-hash-exact).
+
+    Plan shape: distinct (order, brand) first — the fan-in that
+    bounds everything after it; the pair build self-joins on the
+    order key so work per order is (brands-in-order choose 2), never
+    all-brands²; singles and the order count re-aggregate the small
+    distinct set. The part-dimension join broadcasts. Same
+    co-occurrence discipline as graph_triangles' edge build: at
+    100 TB the only big shuffle is the distinct, keyed by order."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = ob.agg(F.countDistinct("o").alias("n_orders"))
+    singles = ob.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    x, y = ob.alias("x"), ob.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.o") == F.col("y.o")) & (F.col("x.b") < F.col("y.b")))
+        .groupBy(F.col("x.b").alias("brand_a"), F.col("y.b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(singles.select(F.col("b").alias("brand_a"), F.col("c").alias("ca"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("b").alias("brand_b"), F.col("c").alias("cb"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "c_ab",
+            F.expr("(c_ab * 1000000) div n_orders").alias("support_micro"),
+            F.expr("(c_ab * 1000000) div ca").alias("confidence_micro"),
+            F.expr("(n_orders * c_ab * 1000000) div (ca * cb)").alias("lift_micro"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("c_ab").desc(), F.col("brand_a").asc(), F.col("brand_b").asc()
+    ).limit(ASSOC_TOP_K)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(
+            F.col("c_ab").desc(), F.col("brand_a").asc(), F.col("brand_b").asc()
+        )
+    )
+    return top.select(
+        "brand_a", "brand_b", "c_ab", "support_micro", "confidence_micro",
+        "lift_micro", rank.alias("rank"),
+    )
+
+
+# ------------------------------------------------ degree distribution
+DEGREE_TOP_K = 15
+
+_DEGREE_ORACLE = f"""
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+),
+und AS (SELECT u AS node, v AS other FROM edges
+        UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node),
+ranked AS (
+  SELECT node, degree,
+         ROW_NUMBER() OVER (ORDER BY degree DESC, node) AS rank
+  FROM deg
+)
+SELECT node, degree, rank FROM ranked WHERE rank <= {DEGREE_TOP_K}
+"""
+
+
+@query("graph_degree_topk", oracle=_DEGREE_ORACLE)
+def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DEGREE_TOP_K} hub nodes of the part co-purchase graph by
+    exact degree. Companion to graph_triangles: the hub degrees this
+    surfaces are precisely what the degree-orientation variant
+    documented there reorders by at 100 TB (hubs stop generating
+    deg² wedges when edges orient low-degree → high-degree). Same
+    bounded edge build (per-order pair expansion, distinct), one
+    count shuffle on the node, TakeOrderedAndProject for the top-K."""
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    und = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    top = deg.orderBy(F.col("degree").desc(), F.col("node").asc()).limit(DEGREE_TOP_K)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("degree").desc(), F.col("node").asc())
+    )
+    return top.select("node", "degree", rank.alias("rank"))
+
+
+# --------------------------------------------------- streak detection
+_STREAK_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rnt
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, COUNT(*) AS len, MIN(us) AS start_us
+  FROM o GROUP BY user_id, event_type, rn - rnt
+),
+best AS (
+  SELECT user_id, event_type, len, start_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_us ASC) AS rk
+  FROM runs
+)
+SELECT user_id, event_type AS streak_type, len AS streak_len,
+       start_us AS streak_start_us
+FROM best WHERE rk = 1
+"""
+
+
+@query("events_streak_runs", oracle=_STREAK_ORACLE)
+def events_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (the MATCH_RECOGNIZE family):
+    each user's LONGEST run of consecutive same-type events under
+    the (ts, event_id) total order — earliest run wins length ties
+    (the fold only replaces its best on a STRICTLY longer run, which
+    is chronologically the first maximum; the oracle's
+    (len DESC, start ASC) rank picks the same run).
+
+    One shuffle — the same per-user timeline fold as events_funnel:
+    sort the collected timeline, fold a (prev, current-run,
+    best-run) accumulator through it as a codegen'd higher-order
+    ``aggregate``. The oracle restates it as textbook
+    gaps-and-islands (rn - rn_per_type run keys). Per-user state is
+    one struct regardless of timeline length."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    timeline = F.array_sort(
+        F.collect_list(
+            F.struct("us", F.col("event_id").alias("eid"), F.col("event_type").alias("etype"))
+        )
+    )
+    folded = F.aggregate(
+        timeline,
+        F.struct(
+            F.lit(None).cast("string").alias("prev_type"),
+            F.lit(0).cast("long").alias("cur_len"),
+            F.lit(None).cast("long").alias("cur_start"),
+            F.lit(0).cast("long").alias("best_len"),
+            F.lit(None).cast("string").alias("best_type"),
+            F.lit(None).cast("long").alias("best_start"),
+        ),
+        lambda acc, e: F.struct(
+            e.etype.alias("prev_type"),
+            F.when(e.etype == acc.prev_type, acc.cur_len + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("cur_len"),
+            F.when(e.etype == acc.prev_type, acc.cur_start)
+            .otherwise(e.us)
+            .alias("cur_start"),
+            F.when(
+                F.when(e.etype == acc.prev_type, acc.cur_len + 1).otherwise(F.lit(1))
+                > acc.best_len,
+                F.when(e.etype == acc.prev_type, acc.cur_len + 1).otherwise(F.lit(1)),
+            )
+            .otherwise(acc.best_len)
+            .alias("best_len"),
+            F.when(
+                F.when(e.etype == acc.prev_type, acc.cur_len + 1).otherwise(F.lit(1))
+                > acc.best_len,
+                e.etype,
+            )
+            .otherwise(acc.best_type)
+            .alias("best_type"),
+            F.when(
+                F.when(e.etype == acc.prev_type, acc.cur_len + 1).otherwise(F.lit(1))
+                > acc.best_len,
+                F.when(e.etype == acc.prev_type, acc.cur_start).otherwise(e.us),
+            )
+            .otherwise(acc.best_start)
+            .alias("best_start"),
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(folded.alias("f"))
+        .select(
+            "user_id",
+            F.col("f.best_type").alias("streak_type"),
+            F.col("f.best_len").alias("streak_len"),
+            F.col("f.best_start").alias("streak_start_us"),
+        )
+    )

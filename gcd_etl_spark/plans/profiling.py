@@ -124,3 +124,67 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                            ORDER BY event_id DESC) AS dup_rn
+  FROM events WHERE event_type = 'signup'
+),
+c AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts)) AS version
+  FROM s WHERE dup_rn = 1
+),
+p AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_us,
+       c.version, c.value AS attr_value, epoch_us(c.ts) AS valid_from_us
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against a versioned dimension — the
+    read side of scd2_history: each purchase retrieves the signup
+    version in force AT its event time (latest change at-or-before;
+    purchases before any version get NULLs — the half-open SCD2
+    interval semantics without ever materializing intervals). Built
+    on operators/asof.py — union + carry-forward, ONE shuffle on the
+    entity key, no range-join explosion — and held to DuckDB's
+    NATIVE ASOF LEFT JOIN. Equal-timestamp changes dedup to the
+    highest event_id first (both engines), because as-of matching is
+    undefined under duplicate right timestamps."""
+    from gcd_etl_spark.operators.asof import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    dup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .withColumn("dup_rn", F.row_number().over(dup))
+        .where(F.col("dup_rn") == 1)
+    )
+    ver = Window.partitionBy("user_id").orderBy(F.unix_micros("ts").asc())
+    changes = s.select(
+        "user_id",
+        "ts",
+        F.col("value").alias("attr_value"),
+        F.row_number().over(ver).alias("version"),
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    m = asof_join(probes, changes, key="user_id", ts="ts")
+    return m.select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        "version",
+        "attr_value",
+        F.unix_micros("asof_ts").alias("valid_from_us"),
+    )

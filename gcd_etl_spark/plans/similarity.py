@@ -265,3 +265,89 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serialize_array_cols(
         m.select("vec_id", "mn", "mx", codes.alias("q_codes"))
     )
+
+
+@query("sim_ann_ivfpq_recall", oracle=_RECALL_ORACLE)
+def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + int8 scalar quantization — the memory-compressed ANN
+    index (FAISS's IVF-SQ8 shape), held to the same exact recall@10
+    floor as the other ANN paths.
+
+    The corpus never ships full-precision vectors past the scan: each
+    vector is min-max-quantized to 8-bit codes (emb_quantize_int8's
+    arithmetic — 4x smaller state per row, the difference between
+    fitting an index in cluster RAM or not at 100 TB), assigned to
+    its nearest IVF cell, and scored ASYMMETRICALLY: the float query
+    against the DEQUANTIZED corpus codes (mn + code/255*(mx-mn)),
+    reconstructed inside the scoring expression — so the only
+    full-precision embedding in flight is the 5-row query side.
+    Shuffle key is the cell id, exactly like sim_ann_ivf."""
+    import numpy as np
+
+    from gcd_etl_spark.functions.vector import dot_fixed, norm_fixed
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    q = _query_set(emb)
+
+    cent_rows = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id") % 62 == 0)
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    )
+    centroids = np.asarray([r["embedding"] for r in cent_rows], dtype=np.float64)
+
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                (x.cast("double") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255 + 0.5
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    corpus_q = (
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            mn.alias("mn"),
+            mx.alias("mx"),
+            "embedding",
+            F.element_at(S.ivf_cells_udf(centroids, 1)(F.col("embedding")), 1).alias("cell"),
+        )
+        .withColumn("q_codes", codes)
+        .drop("embedding")
+    )
+    dequant = F.transform(
+        F.col("q_codes"),
+        lambda c: (F.col("mn") + c.cast("double") / 255 * (F.col("mx") - F.col("mn"))).cast(
+            "float"
+        ),
+    )
+    queries = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.explode(S.ivf_cells_udf(centroids, 4)(F.col("embedding"))).alias("cell"),
+    )
+    cand = (
+        corpus_q.join(F.broadcast(queries), on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_vec", dequant)
+    )
+    denom = norm_fixed("query_vec", EMB_DIM) * norm_fixed("approx_vec", EMB_DIM)
+    cos = F.when(denom > 0, dot_fixed("query_vec", "approx_vec", EMB_DIM) / denom)
+    from pyspark.sql import Window
+
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(cos, 6).alias("cosine")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+    )
+    ann = scored.withColumn("rank", rank).where(F.col("rank") <= TOP_K)
+    exact = S.brute_force_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
+    return _recall_bound(ann, exact)

@@ -1,0 +1,414 @@
+"""Statistical profiling + sketch operators — engine extensions.
+
+Round-6 additions for the continuous-monitoring side of a 100 TB
+training-data pipeline (the reference has no statistics surface at
+all — its only numeric work is per-field casts, Main.java:253-258):
+
+* ``stat_corr_exact`` — per-group Pearson correlation + OLS slope
+  from EXACT integer second moments; the only float arithmetic is a
+  fixed sequence of scalar IEEE ops on already-exact inputs, so the
+  micro-quantized result is deterministic cross-engine.
+* ``dq_drift_psi`` — population-stability-index drift report between
+  two time slices of a fact table (the canonical "did my feature
+  distribution move" monitor), Laplace-smoothed, micro-quantized.
+* ``sketch_quantile_bound`` — ``approx_percentile`` (the GK sketch,
+  Spark's mergeable quantile summary) held to its rank-error
+  guarantee IN-PLAN against exact order statistics — the
+  recall-floor pattern (plans/similarity.py) applied to quantile
+  sketches, since sketch internals are not portable across engines.
+* ``audience_overlap_minhash`` — bottom-k (KMV) set-intersection
+  sketch over event-type audiences with the portable md5 hash
+  family: estimated vs exact Jaccard side by side, ALL integers, so
+  even the sketch estimate carries a full value-hash oracle
+  (the dedup_minhash_portable stance applied to audience overlap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table
+
+# --------------------------------------------------- exact correlation
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n AS n_rows,
+       CAST(floor((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  * 1000000 + 0.5) AS BIGINT) AS corr_micro,
+       CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000 + 0.5)
+            AS BIGINT) AS slope_cents_per_unit_e4
+FROM m
+"""
+
+
+@query("stat_corr_exact", oracle=_CORR_ORACLE)
+def stat_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag Pearson correlation (and OLS slope) between
+    l_quantity and l_extendedprice, deterministic cross-engine:
+
+    * the five second moments are EXACT BIGINT sums (quantity is
+      integer-valued; price becomes integer cents via round(x*100),
+      the same on both engines because fixture prices are 2-dp
+      doubles) — order-free, overflow-free at any shuffle order;
+    * everything after the aggregate is a FIXED sequence of scalar
+      IEEE double ops (int->double conversion is a single correctly
+      rounded operation on both engines; no libm beyond sqrt, which
+      IEEE 754 requires correctly rounded), quantized to integer
+      micro-units.
+
+    One map-side-combinable groupBy is the whole plan — the 100 TB
+    cost equals a count(*). The float-summation-order trap this
+    sidesteps is why a naive corr() over doubles can NEVER be
+    value-hash-matched across engines.
+
+    Overflow budget: the largest moment (cents²) stays under the
+    BIGINT ceiling through ~1e6 rows/group at these price magnitudes
+    (sf0.1 ≈ 3e18 < 2^63). Beyond that, center the cents by a
+    constant first (corr/slope are shift-invariant, moments shrink
+    quadratically) or lift the sums to decimal(38,0) — same plan,
+    wider accumulator."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    d1 = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.floor(num / F.sqrt(d1 * d2) * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("corr_micro"),
+        F.floor(num / d1 * 10_000 + 0.5)
+        .cast("bigint")
+        .alias("slope_cents_per_unit_e4"),
+    )
+
+
+# -------------------------------------------------------- drift (PSI)
+#: Bucket spec over o_totalprice; time split at 1995-01-01 gives two
+#: populated slices of the orders date range.
+PSI_LO = 0
+PSI_WIDTH = 50_000
+PSI_BUCKETS = 12
+PSI_SPLIT = "1998-01-01"
+
+_PSI_ORACLE = f"""
+WITH b AS (
+  SELECT LEAST(GREATEST(CAST(floor((o_totalprice - {PSI_LO}) / {PSI_WIDTH})
+                             AS BIGINT), 0), {PSI_BUCKETS - 1}) AS bucket,
+         CASE WHEN o_orderdate < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+c AS (
+  SELECT t.bucket,
+         COALESCE(SUM(CASE WHEN is_ref = 1 THEN 1 ELSE 0 END), 0) AS c_ref,
+         COALESCE(SUM(CASE WHEN is_ref = 0 THEN 1 ELSE 0 END), 0) AS c_cur
+  FROM (SELECT UNNEST(range({PSI_BUCKETS})) AS bucket) t
+  LEFT JOIN b ON b.bucket = t.bucket
+  GROUP BY t.bucket
+),
+n AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM c)
+SELECT bucket, CAST(c_ref AS BIGINT) AS c_ref, CAST(c_cur AS BIGINT) AS c_cur,
+       CAST(floor((CAST(c_ref + 1 AS DOUBLE) / (n_ref + {PSI_BUCKETS})
+                   - CAST(c_cur + 1 AS DOUBLE) / (n_cur + {PSI_BUCKETS}))
+                  * ln((CAST(c_ref + 1 AS DOUBLE) / (n_ref + {PSI_BUCKETS}))
+                       / (CAST(c_cur + 1 AS DOUBLE) / (n_cur + {PSI_BUCKETS})))
+                  * 1000000 + 0.5) AS BIGINT) AS psi_term_micro
+FROM c CROSS JOIN n
+"""
+
+
+@query("dq_drift_psi", oracle=_PSI_ORACLE)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: population stability index of
+    o_totalprice between pre/post-{PSI_SPLIT} order slices, per
+    histogram bucket. Counts are exact integers from ONE grouped
+    scan (both slices counted in the same aggregate — no second
+    pass); Laplace smoothing (+1 per bucket) keeps empty buckets
+    finite and deterministic; the per-bucket PSI term is quantized
+    to integer micro-units after a fixed scalar IEEE sequence (the
+    BM25 stance — residual risk is a 1-ulp ln() divergence landing
+    exactly on a .5 micro boundary, accepted and documented there).
+    Every bucket row also carries its raw counts, so the exact part
+    of the report dominates the hash even if ln() ever wobbles."""
+    orders = read_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - PSI_LO) / PSI_WIDTH).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(PSI_BUCKETS - 1).cast("bigint"),
+    )
+    is_ref = (F.col("o_orderdate") < F.lit(PSI_SPLIT).cast("timestamp")).cast("long")
+    c = (
+        orders.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("c_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("c_cur"),
+        )
+    )
+    # dense bucket spine: empty buckets must still report (and smooth)
+    spine = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    c = (
+        spine.join(c, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_ref", F.lit(0)).cast("bigint").alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).cast("bigint").alias("c_cur"),
+        )
+    )
+    n = c.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    j = c.crossJoin(F.broadcast(n))
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("n_ref") + PSI_BUCKETS)
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("n_cur") + PSI_BUCKETS)
+    term = F.floor((p - q) * F.log(p / q) * 1_000_000 + 0.5).cast("bigint")
+    return j.select("bucket", "c_ref", "c_cur", term.alias("psi_term_micro"))
+
+
+# ------------------------------------------- quantile-sketch bound gate
+#: approx_percentile accuracy parameter: rank error <= n / accuracy.
+QSKETCH_ACCURACY = 1000
+QSKETCH_LEVELS = (0.5, 0.9, 0.99)
+
+_QSKETCH_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT l_linestatus, {int(p * 100)} AS level_pct, 1 AS within_rank_bound "
+    f"FROM (SELECT DISTINCT l_linestatus FROM lineitem)"
+    for p in QSKETCH_LEVELS
+)
+
+
+@query("sketch_quantile_bound", oracle=_QSKETCH_ORACLE)
+def sketch_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` (Greenwald-Khanna sketch — Spark's
+    mergeable, map-side-combinable quantile summary; the 100 TB
+    quantile path, vs agg_percentiles_exact's window rank) verified
+    against its own guarantee: the sketch value's EXACT rank must lie
+    within n/accuracy of the target rank. Sketch internals aren't
+    cross-engine portable, so — like the ANN recall floors — the
+    driver hashes the literal bound flags while the bound itself is
+    computed in-plan from exact order statistics: rank_below(v) <=
+    hi_bound and rank_at_or_below(v) >= lo_bound, one grouped
+    aggregate for the sketch + one for the exact ranks."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_linestatus", "l_extendedprice")
+    sk = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(
+                f"approx_percentile(l_extendedprice, {p}, {QSKETCH_ACCURACY})"
+            ).alias(f"v{int(p * 100)}")
+            for p in QSKETCH_LEVELS
+        ],
+    )
+    j = li.join(F.broadcast(sk), "l_linestatus")
+    checks = []
+    for p in QSKETCH_LEVELS:
+        v = F.col(f"v{int(p * 100)}")
+        below = F.sum((F.col("l_extendedprice") < v).cast("long"))
+        at_or_below = F.sum((F.col("l_extendedprice") <= v).cast("long"))
+        checks.append((p, below, at_or_below))
+    ranks = j.groupBy("l_linestatus").agg(
+        F.max("n").alias("n"),
+        *[c[1].alias(f"below{int(c[0] * 100)}") for c in checks],
+        *[c[2].alias(f"atb{int(c[0] * 100)}") for c in checks],
+    )
+    rows = []
+    for p in QSKETCH_LEVELS:
+        tgt = F.col("n") * F.lit(p)
+        err = F.col("n") / QSKETCH_ACCURACY + 1
+        ok = (
+            (F.col(f"below{int(p * 100)}") <= tgt + err)
+            & (F.col(f"atb{int(p * 100)}") >= tgt - err)
+        ).cast("int")
+        rows.append(
+            ranks.select(
+                "l_linestatus",
+                F.lit(int(p * 100)).alias("level_pct"),
+                ok.alias("within_rank_bound"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ------------------------------------------ KMV audience overlap sketch
+#: Bottom-k signature size.
+KMV_K = 64
+
+#: Engine-portable 60-bit hash (operators/dedup.py portable_hash64).
+_DUCK_H = "CAST(('0x' || substr(md5('aud:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+_KMV_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT event_type, user_id, {_DUCK_H} AS h FROM events
+),
+sig AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM a
+  ) WHERE rn <= {KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM a),
+pairs AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b
+  FROM types x JOIN types y ON x.event_type < y.event_type
+),
+merged AS (
+  SELECT p.type_a, p.type_b, s.h,
+         MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sig s ON s.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3
+),
+bk AS (
+  SELECT type_a, type_b, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+  FROM merged
+),
+est AS (
+  SELECT type_a, type_b,
+         SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS matches,
+         COUNT(*) AS k_eff
+  FROM bk WHERE rn <= {KMV_K} GROUP BY 1, 2
+),
+au AS (SELECT event_type, COUNT(DISTINCT user_id) AS n FROM a GROUP BY 1),
+inter AS (
+  SELECT p.type_a, p.type_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN (SELECT DISTINCT event_type, user_id FROM a) x ON x.event_type = p.type_a
+  JOIN (SELECT DISTINCT event_type, user_id FROM a) y
+    ON y.event_type = p.type_b AND y.user_id = x.user_id
+  GROUP BY 1, 2
+)
+SELECT e.type_a, e.type_b,
+       (i.n_inter * 1000000) // (xa.n + xb.n - i.n_inter) AS exact_jaccard_micro,
+       (e.matches * 1000000) // e.k_eff AS est_jaccard_micro
+FROM est e
+JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+JOIN au xa ON xa.event_type = e.type_a
+JOIN au xb ON xb.event_type = e.type_b
+"""
+
+
+@query("audience_overlap_minhash", oracle=_KMV_ORACLE)
+def audience_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation: Jaccard similarity between the
+    user sets of every event-type pair, BOTH ways in one result —
+    exact (distinct-intersection counts) and a bottom-k (KMV) minhash
+    estimate on the portable md5 hash family, all in integer
+    micro-units so the whole sketch is value-hash-oracled.
+
+    Scale shape: the signature is a per-key bottom-k — ONE groupBy
+    whose state is K longs per key (mergeable partial aggregates;
+    same primitive as sample_consistent_hash) — after which pair
+    estimation touches only |types|² × K rows, independent of the
+    event count. The exact intersection exists to audit the sketch
+    at fixture scale; at 100 TB only the signature path runs. A
+    shared hash (seeded on user only) is what makes bottom-k(A ∪ B)
+    computable from the two signatures alone."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    a = (
+        read_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn(
+            "h",
+            portable_hash64(F.concat(F.lit("aud:"), F.col("user_id").cast("string"))),
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    sig = a.withColumn("rn", rn).where(F.col("rn") <= KMV_K).select("event_type", "h")
+    types = a.select("event_type").distinct()
+    pairs = (
+        types.alias("x")
+        .join(
+            types.alias("y"),
+            F.col("x.event_type") < F.col("y.event_type"),
+        )
+        .select(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(
+            sig,
+            (sig.event_type == F.col("type_a")) | (sig.event_type == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max((F.col("event_type") == F.col("type_a")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("type_b")).cast("int")).alias("in_b"),
+        )
+    )
+    bk = merged.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("type_a", "type_b").orderBy("h"))
+    ).where(F.col("rn") <= KMV_K)
+    est = bk.groupBy("type_a", "type_b").agg(
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")).alias("matches"),
+        F.count(F.lit(1)).alias("k_eff"),
+    )
+    au = a.groupBy("event_type").agg(F.countDistinct("user_id").alias("n"))
+    du = a.select("event_type", "user_id")
+    inter = (
+        F.broadcast(pairs)
+        .join(du.alias("ix"), F.col("ix.event_type") == F.col("type_a"))
+        .join(
+            du.alias("iy"),
+            (F.col("iy.event_type") == F.col("type_b"))
+            & (F.col("iy.user_id") == F.col("ix.user_id")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        est.join(inter, ["type_a", "type_b"])
+        .join(
+            F.broadcast(au.select(F.col("event_type").alias("type_a"), F.col("n").alias("xa_n"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(au.select(F.col("event_type").alias("type_b"), F.col("n").alias("xb_n"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            # integer div == DuckDB's // here (operands non-negative)
+            F.expr("(n_inter * 1000000) div (xa_n + xb_n - n_inter)")
+            .cast("bigint")
+            .alias("exact_jaccard_micro"),
+            F.expr("(matches * 1000000) div k_eff").cast("bigint").alias("est_jaccard_micro"),
+        )
+    )

@@ -230,3 +230,30 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in grp:
             os.utime(p, (now - 300 + i * 120, now - 300 + i * 120))
     return run_streaming_late_drop(spark, staged, name=f"stream_late_drop_{tag}")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join computed BY THE STREAMING ENGINE:
+    the click stream joined to the purchase stream (same user,
+    purchase within 10 minutes after the click), both sides
+    watermarked event-time streams replayed from file-source
+    micro-batches, append sink. The converged pair set must equal
+    the batch interval join — which is the oracle. Exact integer
+    lag_us rides along so the match TIMING, not just the pair ids,
+    is value-hashed."""
+    staged, tag = _stage_events(spark, sf_dir, "ssjoin")
+    from gcd_etl_spark.streaming.jobs import run_streaming_interval_join
+
+    return run_streaming_interval_join(spark, staged, name=f"stream_ssjoin_{tag}")

@@ -224,3 +224,80 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_grain(daily, "day"))
         .unionByName(_grain(monthly, "month"))
     )
+
+
+#: Incremental-maintenance split: events at/after this instant are the
+#: "new arrivals" delta; before it, the already-materialized base.
+#: (Same 2024-01-16 midpoint as the streaming late-data split.)
+ROLLUP_DELTA_SPLIT_US = 1_705_363_200_000_000
+
+
+@query(
+    "rollup_incremental_merge",
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the hourly rollup is built
+    as TWO partial-state aggregations — a "base" over the first half
+    of the timeline (standing in for the already-materialized
+    aggregate table) and a "delta" over the new arrivals — merged by
+    re-aggregating the partial states (counts and decimal sums add;
+    mins/maxes fold). The oracle is the from-scratch rollup: merging
+    partials must be indistinguishable from recomputing, which is
+    the algebraic property (commutative-monoid states) that makes
+    incremental materialized-view maintenance correct at all.
+
+    Scale story: at 100 TB the base is |buckets| pre-aggregated rows
+    read back from the rollup table — the daily refresh scans ONLY
+    the delta partition and re-aggregates states, never raw history
+    (the hypertable-refresh counterpart of rollup_time_hierarchy's
+    grain cascade). Decimal sums keep the merge exact — float
+    partials would make merged-vs-recomputed differ by summation
+    order, breaking the maintenance invariant this query proves."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        F.col("value").alias("raw_v"),
+    )
+
+    def hourly_states(df: DataFrame) -> DataFrame:
+        bucket = ((F.col("us") - F.pmod(F.col("us"), 3_600_000_000)) / 1_000_000).cast("bigint")
+        return df.groupBy(
+            bucket.alias("bucket_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sum_v"),
+            F.min("raw_v").alias("min_value"),
+            F.max("raw_v").alias("max_value"),
+        )
+
+    base = hourly_states(e.where(F.col("us") < ROLLUP_DELTA_SPLIT_US))
+    delta = hourly_states(e.where(F.col("us") >= ROLLUP_DELTA_SPLIT_US))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.col("sum_v").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )

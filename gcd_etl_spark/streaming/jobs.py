@@ -216,3 +216,69 @@ def run_streaming_late_drop(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_streaming_interval_join(
+    spark: SparkSession,
+    staged_dir: str,
+    max_lag: str = "10 minutes",
+    watermark: str = "100000 hours",
+    name: str = "stream_join",
+) -> DataFrame:
+    """Stream-stream interval join: clicks joined to the same user's
+    purchases landing within ``max_lag`` after the click, both sides
+    event-time streams over the same staged directory.
+
+    This is the Structured Streaming capability the batch as-of /
+    range joins (operators/asof.py, operators/rangejoin.py) map onto
+    when both inputs are unbounded: each side buffers rows in the
+    join state store; the time-range predicate plus the two
+    watermarks bound how long a row can wait for a future match, so
+    state is evicted once no counterpart can still arrive. The
+    bounded-parity harness uses an effectively-infinite watermark
+    (nothing may be evicted before the source drains — the
+    stream_sessions convention); a live deployment sets its real
+    lateness bound and gets bounded state for free, same plan."""
+    clicks = (
+        streaming_events(spark, staged_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        streaming_events(spark, staged_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval {max_lag}"
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -34,6 +34,14 @@ SCALAR_BROADCASTS = {
     "text_bm25_topk",  # one corpus-stats row (N, avgdl, per-term df)
     "text_tfidf_topk",  # one corpus-size row (N) broadcast into scoring
     "graph_triangles",  # two single-row count aggregates joined into the 1-row result
+    "dq_drift_psi",  # one (n_ref, n_cur) totals row broadcast across 12 bucket rows
+    "stat_corr_exact",  # pure aggregate, no join — listed for symmetry if refactored
+    "assoc_pairs_lift",  # one n_orders row broadcast into the pair scorecard
+    # OR-membership join of the K-row signatures against the constant
+    # |types|^2 pair table (10 rows) — bounded by the closed type set,
+    # never by data volume; the only data-scaled shuffle is the
+    # distinct + bottom-k signature build
+    "audience_overlap_minhash",
 }
 
 #: Streaming queries execute eagerly on build (memory-sink round
