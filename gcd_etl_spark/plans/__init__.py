@@ -73,8 +73,6 @@ _DRIVER_WINDOW = [
     "asof_join_events",
     "attribution_last_touch",
     # --- (b) no green row in r3/r4 ---
-    "agg_cube",
-    "agg_distinct",
     "anomaly_zscore_events",
     "data_split_grouped",
     "dedup_ngram_jaccard",
@@ -131,6 +129,12 @@ _DRIVER_WINDOW = [
     "graph_degree_topk",
     "events_streak_runs",
     "scd2_point_in_time",
+    # (batch 3: integer-exact power-iteration PCA and the interval-
+    # overlap session join — agg_cube/agg_distinct rotate out; their
+    # grouping family is r4-green via agg_rollup/agg_grouping_sets
+    # and dedup_exact, and both stay pytest-pinned)
+    "emb_pca_power",
+    "join_interval_overlap",
     # --- (d) flagship, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",

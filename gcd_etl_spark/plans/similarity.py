@@ -351,3 +351,99 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = scored.withColumn("rank", rank).where(F.col("rank") <= TOP_K)
     exact = S.brute_force_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
     return _recall_bound(ann, exact)
+
+
+# ------------------------------------------- power-iteration PCA
+#: Fixed power-method budget (static job graph + unrollable oracle).
+PCA_ITERS = 3
+#: Quantization scales: matrix entries and the iterate both live in
+#: exact integer milli-units. Overflow budget: |z_j| <= n_rows *
+#: a_max * y_max ~ 4e13 at sf0.1 (2k vectors), and z*1000 stays ~200x
+#: under the BIGINT ceiling; at larger corpora drop PCA_A_SCALE one
+#: decade per 100x rows (same plan, smaller scale).
+PCA_A_SCALE = 1000
+PCA_V_SCALE = 1000
+
+
+def _pca_oracle() -> str:
+    head = f"""
+WITH a AS (
+  SELECT vec_id AS i, t.j AS j,
+         CAST(floor(CAST(embedding[t.j] AS DOUBLE) * {PCA_A_SCALE}) AS BIGINT) AS a
+  FROM embeddings, (SELECT UNNEST(range(1, {64 + 1})) AS j) t
+),
+v0 AS (SELECT UNNEST(range(1, {64 + 1})) AS j, CAST({PCA_V_SCALE} AS BIGINT) AS v)"""
+    steps = []
+    prev = "v0"
+    for it in range(1, PCA_ITERS + 1):
+        # NB integer `//` in DuckDB TRUNCATES toward zero (measured:
+        # (-7)//2 = -3), exactly like Spark's `div` — the pair of
+        # truncating divisions below is therefore engine-identical
+        # even for the negative components a PCA iterate contains.
+        steps.append(f"""
+y{it} AS (SELECT a.i, SUM(a.a * v.v) AS y FROM a JOIN {prev} v USING (j) GROUP BY a.i),
+z{it} AS (SELECT a.j, SUM(a.a * y.y) AS z FROM a JOIN y{it} y USING (i) GROUP BY a.j),
+m{it} AS (SELECT GREATEST(MAX(ABS(z)), 1) AS m FROM z{it}),
+v{it} AS (SELECT j, (z * {PCA_V_SCALE}) // m AS v FROM z{it} CROSS JOIN m{it})""")
+        prev = f"v{it}"
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\nSELECT j AS dim_idx, CAST(v AS BIGINT) AS component_milli FROM {prev}"
+    )
+
+
+@query("emb_pca_power", oracle=_pca_oracle())
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by
+    fixed-budget power iteration (v ← normalize(AᵀA v), 3 rounds) —
+    distributed iterative LINEAR ALGEBRA carrying a full value-hash
+    oracle, because every operation is exact integer arithmetic:
+    matrix entries quantize once to milli-units, each half-step is a
+    join + integer-product sum, and the per-round renormalization is
+    a truncating integer division by max|z| (truncation, not floor,
+    because DuckDB's integer ``//`` truncates exactly like Spark's
+    ``div`` — measured, see the oracle comment; the nanorank stance
+    from graph_pagerank applied to signed values).
+
+    Plan shape per round: Aᵀ(Av) as two co-keyed join+aggregates
+    over the (i, j, a) long matrix — the 64-component iterate
+    broadcasts to the row-keyed product, the row vector y joins back
+    on the row key (sort-merge, co-partitioned), and the j-aggregate
+    is 64 rows. The long matrix is localCheckpoint'ed once (6 reuses
+    across 3 rounds — the kmeans-assignment precedent); each tiny
+    iterate is checkpointed so the lineage stays linear, exactly how
+    an iterative solver should sit on a cluster. No collect anywhere
+    — the iterate never leaves the executors."""
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    a_long = (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            F.col("vec_id").alias("i"),
+            (F.col("pos") + 1).alias("j"),
+            F.floor(F.col("x").cast("double") * PCA_A_SCALE).cast("bigint").alias("a"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = spark.range(1, 64 + 1).select(
+        F.col("id").alias("j"), F.lit(PCA_V_SCALE).cast("bigint").alias("v")
+    )
+    for _ in range(PCA_ITERS):
+        y = (
+            a_long.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("a") * F.col("v")).alias("y"))
+        )
+        z = (
+            a_long.join(y, "i")
+            .groupBy("j")
+            .agg(F.sum(F.col("a") * F.col("y")).alias("z"))
+        )
+        m = z.agg(F.greatest(F.max(F.abs(F.col("z"))), F.lit(1).cast("bigint")).alias("m"))
+        v = (
+            z.crossJoin(F.broadcast(m))
+            .select("j", F.expr(f"(z * {PCA_V_SCALE}) div m").alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    return v.select(F.col("j").alias("dim_idx"), F.col("v").cast("bigint").alias("component_milli"))

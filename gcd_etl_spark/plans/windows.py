@@ -12,7 +12,7 @@ compute on ``epoch_us(ts)`` integer arithmetic to match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcd_etl_spark.operators import windows as W
@@ -300,4 +300,125 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_v").cast("double").alias("sum_value"),
         "min_value",
         "max_value",
+    )
+
+
+#: Interval-overlap session families: browse vs transact event types,
+#: sessionized with the same 10-minute gap as win_session.
+OVERLAP_GAP_US = 600_000_000
+
+_OVERLAP_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+),
+browse AS (
+  SELECT user_id, us, event_id FROM e WHERE event_type IN ('view', 'click')
+),
+b2 AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w >= {OVERLAP_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM browse
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+b3 AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM b2
+),
+bs AS (
+  SELECT user_id, MIN(us) AS b_start, MAX(us) AS b_end
+  FROM b3 GROUP BY user_id, sess
+),
+buy AS (
+  SELECT user_id, us, event_id FROM e WHERE event_type IN ('purchase', 'signup')
+),
+t2 AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w >= {OVERLAP_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM buy
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+t3 AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM t2
+),
+ts AS (
+  SELECT user_id, MIN(us) AS t_start, MAX(us) AS t_end
+  FROM t3 GROUP BY user_id, sess
+)
+SELECT b.user_id,
+       b.b_start AS browse_start_us, b.b_end AS browse_end_us,
+       t.t_start AS buy_start_us, t.t_end AS buy_end_us,
+       LEAST(b.b_end, t.t_end) - GREATEST(b.b_start, t.t_start) AS overlap_us
+FROM bs b JOIN ts t
+  ON b.user_id = t.user_id
+ AND b.b_start <= t.t_end AND t.t_start <= b.b_end
+"""
+
+
+@query("join_interval_overlap", oracle=_OVERLAP_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join between two session families: each
+    user's browse sessions (view/click, 10-min gap islands) joined
+    to their transact sessions (purchase/signup) wherever the
+    closed intervals intersect — "was a purchase session concurrent
+    with a browse session", with the exact overlap duration.
+
+    Plan shape: each side is ONE window pass (gaps-and-islands break
+    flags + running sum — the win_session algebra) and a grouped
+    min/max; the overlap join is an equi-join ON THE USER KEY with
+    the interval inequality as a residual filter, so work per user
+    is |sessions|² of that user, never a global interval cross.
+    (Keyless interval overlap at 100 TB buckets intervals onto a
+    time grid and equi-joins on the bucket — the range_join_events
+    discipline; here the natural user key already bounds it.)"""
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+
+    def sessions(types: tuple[str, str], start_col: str, end_col: str) -> DataFrame:
+        side = ev.where(F.col("event_type").isin(*types))
+        w = Window.partitionBy("user_id").orderBy(F.col("us").asc(), F.col("event_id").asc())
+        brk = (
+            F.when(
+                F.lag("us").over(w).isNull()
+                | (F.col("us") - F.lag("us").over(w) >= OVERLAP_GAP_US),
+                1,
+            )
+            .otherwise(0)
+        )
+        run = Window.partitionBy("user_id").orderBy(F.col("us").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        marked = side.select("user_id", "us", brk.alias("brk"))
+        sess = marked.select(
+            "user_id", "us", F.sum("brk").over(run).alias("sess")
+        )
+        return sess.groupBy("user_id", "sess").agg(
+            F.min("us").alias(start_col), F.max("us").alias(end_col)
+        ).drop("sess")
+
+    bs = sessions(("view", "click"), "browse_start_us", "browse_end_us")
+    ts_ = sessions(("purchase", "signup"), "buy_start_us", "buy_end_us")
+    j = bs.join(ts_, "user_id").where(
+        (F.col("browse_start_us") <= F.col("buy_end_us"))
+        & (F.col("buy_start_us") <= F.col("browse_end_us"))
+    )
+    return j.select(
+        "user_id",
+        "browse_start_us",
+        "browse_end_us",
+        "buy_start_us",
+        "buy_end_us",
+        (
+            F.least("browse_end_us", "buy_end_us")
+            - F.greatest("browse_start_us", "buy_start_us")
+        ).alias("overlap_us"),
     )

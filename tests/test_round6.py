@@ -276,3 +276,83 @@ def test_ivfpq_quantization_fidelity(spark):
         exact = q @ v / (np.linalg.norm(q) * np.linalg.norm(v))
         approx = q @ vq / (np.linalg.norm(q) * np.linalg.norm(vq))
         assert abs(exact - approx) < 5e-3
+
+
+def test_pca_power_matches_integer_model(spark):
+    """The distributed power iteration must equal a sequential
+    numpy int64 model of the same quantized arithmetic, to the last
+    milli-unit (the oracle proves cross-engine equality; this proves
+    the arithmetic is the one documented)."""
+    import numpy as np
+
+    from gcd_etl_spark.plans.similarity import (
+        PCA_A_SCALE,
+        PCA_ITERS,
+        PCA_V_SCALE,
+        emb_pca_power,
+    )
+    from gcd_etl_spark.sources.catalog import read_table
+
+    got = {
+        r["dim_idx"]: r["component_milli"]
+        for r in emb_pca_power(spark, SF_SMOKE).collect()
+    }
+    vecs = [
+        r["embedding"]
+        for r in read_table(spark, SF_SMOKE, "embeddings").collect()
+    ]
+    A = np.floor(np.asarray(vecs, dtype=np.float64) * PCA_A_SCALE).astype(np.int64)
+    v = np.full(A.shape[1], PCA_V_SCALE, dtype=np.int64)
+    for _ in range(PCA_ITERS):
+        y = A @ v
+        z = A.T @ y
+        m = max(int(np.max(np.abs(z))), 1)
+        # truncating division toward zero (Spark div / DuckDB int //)
+        v = (z * PCA_V_SCALE // m) + ((z * PCA_V_SCALE % m != 0) & ((z < 0) != (m < 0)))
+        v = v.astype(np.int64)
+    want = {j + 1: int(v[j]) for j in range(A.shape[1])}
+    assert got == want
+    assert max(abs(x) for x in got.values()) == PCA_V_SCALE
+
+
+def test_interval_overlap_matches_sequential_model(spark):
+    """Overlap pairs must equal a per-user sequential sessionization
+    + O(s²) interval intersection."""
+    from gcd_etl_spark.plans.windows import OVERLAP_GAP_US, join_interval_overlap
+    from gcd_etl_spark.sources.catalog import read_table
+
+    got = {
+        (r["user_id"], r["browse_start_us"], r["buy_start_us"]): r["overlap_us"]
+        for r in join_interval_overlap(spark, SF_SMOKE).collect()
+    }
+    ev = read_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    ).collect()
+
+    def sessionize(times):
+        times.sort()
+        out, start, prev = [], None, None
+        for us in times:
+            if prev is None or us - prev >= OVERLAP_GAP_US:
+                if start is not None:
+                    out.append((start, prev))
+                start = us
+            prev = us
+        if start is not None:
+            out.append((start, prev))
+        return out
+
+    browse: dict[int, list[int]] = {}
+    buy: dict[int, list[int]] = {}
+    for r in ev:
+        if r["event_type"] in ("view", "click"):
+            browse.setdefault(r["user_id"], []).append(r["us"])
+        elif r["event_type"] in ("purchase", "signup"):
+            buy.setdefault(r["user_id"], []).append(r["us"])
+    want = {}
+    for uid in set(browse) & set(buy):
+        for b0, b1 in sessionize(browse[uid]):
+            for t0, t1 in sessionize(buy[uid]):
+                if b0 <= t1 and t0 <= b1:
+                    want[(uid, b0, t0)] = min(b1, t1) - max(b0, t0)
+    assert got == want
