@@ -80,11 +80,9 @@ _DRIVER_WINDOW = [
     "pandas_grouped_stats",
     "sql_exists_correlated",
     "sql_q18_large_orders",
-    "text_fingerprint",
     "text_lang_id",
     "text_pii_scrub",
     "text_quality",
-    "text_shingle_stats",
     # --- (c) NEW round-5 operators (first driver rows) ---
     "dq_expectations",
     "agg_histogram",
@@ -135,6 +133,13 @@ _DRIVER_WINDOW = [
     # and dedup_exact, and both stay pytest-pinned)
     "emb_pca_power",
     "join_interval_overlap",
+    # (batch 4: BPE tokenizer training and the BOM-style subtree
+    # rollup — text_fingerprint/text_shingle_stats rotate out; both
+    # primitives are exercised inside the still-windowed
+    # dedup_ngram_jaccard and the portable-minhash family, and stay
+    # pytest-pinned)
+    "bpe_learn_merges",
+    "agg_tree_rollup",
     # --- (d) flagship, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",

@@ -290,3 +290,135 @@ def chunk_sliding_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# ------------------------------------------------- BPE merge learning
+#: Fixed merge budget (static job graph + unrollable oracle) and the
+#: symbol separator used by the fold serialization — any non-alnum
+#: char is safe because tokens are [a-z0-9]+ by construction.
+BPE_ROUNDS = 3
+BPE_SEP = "-"
+
+
+def _bpe_fold_sql() -> str:
+    """Greedy left-to-right merge application as a string fold (the
+    lambda only uses ops with identical semantics in Spark SQL and
+    DuckDB); the acc carries BPE_SEP-joined symbols."""
+    return (
+        f"aggregate(slice(syms, 2, size(syms) - 1), syms[0], (acc, x) -> "
+        f"CASE WHEN substring_index(acc, '{BPE_SEP}', -1) = ma AND x = mb "
+        f"THEN concat(substring(acc, 1, length(acc) - length(ma)), merged) "
+        f"ELSE concat(acc, '{BPE_SEP}', x) END)"
+    )
+
+
+def _bpe_oracle() -> str:
+    head = """
+WITH t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+w0 AS (SELECT regexp_split_to_array(w, '') AS syms, COUNT(*) AS wc FROM t GROUP BY w)"""
+    steps = []
+    for r in range(1, BPE_ROUNDS + 1):
+        steps.append(f"""
+p{r} AS (
+  SELECT syms[t.i] AS a, syms[t.i + 1] AS b, CAST(SUM(wc) AS BIGINT) AS cnt
+  FROM w{r - 1}, LATERAL (SELECT UNNEST(range(1, length(syms))) AS i) t
+  GROUP BY 1, 2
+),
+top{r} AS (
+  SELECT a, b, a || b AS merged, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
+),
+w{r} AS (
+  SELECT wc,
+         CASE WHEN length(syms) < 2 THEN syms
+              ELSE regexp_split_to_array(
+                     list_reduce(syms, (acc, x) ->
+                       CASE WHEN regexp_extract(acc, '[^{BPE_SEP}]*$') = t.a
+                                 AND x = t.b
+                            THEN substr(acc, 1, length(acc) - length(t.a)) || t.merged
+                            ELSE acc || '{BPE_SEP}' || x END),
+                     '{BPE_SEP}') END AS syms
+  FROM w{r - 1} CROSS JOIN top{r} t
+)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, merged, cnt AS pair_count FROM top{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return head + "," + ",".join(steps) + "\n" + tail
+
+
+@query("bpe_learn_merges", oracle=_bpe_oracle())
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING on the corpus: learn the
+    first {BPE_ROUNDS} merge rules — repeatedly count adjacent symbol
+    pairs over the word-frequency dictionary, take the most frequent
+    pair ((count DESC, pair) tie-break, so the winner is unique), and
+    apply the merge greedily left-to-right to every word. Exact
+    integer counts end to end, so even the ITERATIVE trainer carries
+    a full cross-engine value-hash oracle (DuckDB restates each round
+    as CTEs with the same string-fold merge application).
+
+    Scale shape — the reason BPE training is tractable on a cluster:
+    after the first groupBy the working set is the WORD-FREQUENCY
+    dict (vocab-sized, not corpus-sized; Zipf makes this orders of
+    magnitude smaller than the text). Per round: one pair-count
+    shuffle over ~|vocab|·avg_len rows, a 1-row top-pair broadcast,
+    and a codegen'd per-word fold — no UDF, no driver loop over
+    data; only the single winning rule crosses to the driver-side
+    plan as a broadcast. The per-word fold is the same greedy scan a
+    single-node trainer does, just data-parallel over the vocab."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    words = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(F.split("w", "").alias("syms"), "wc")
+        .localCheckpoint(eager=False)
+    )
+    rules = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = words.where(F.size("syms") >= 2).select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("ma"), F.col("p.b").alias("mb"))
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("ma").asc(), F.col("mb").asc())
+            .limit(1)
+            .select("ma", "mb", F.concat("ma", "mb").alias("merged"), "cnt")
+            .localCheckpoint(eager=False)
+        )
+        rules.append(
+            top.select(
+                F.lit(r).alias("round"),
+                F.col("ma").alias("sym_a"),
+                F.col("mb").alias("sym_b"),
+                "merged",
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(
+                F.expr(
+                    f"CASE WHEN size(syms) < 2 THEN syms "
+                    f"ELSE split({_bpe_fold_sql()}, '{BPE_SEP}') END"
+                ).alias("syms"),
+                "wc",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = rules[0]
+    for rdf in rules[1:]:
+        out = out.unionByName(rdf)
+    return out

@@ -971,3 +971,63 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+# ------------------------------------------------ hierarchical rollup
+#: Implicit part hierarchy: parent(k) = k div 2, root = 1 — a binary
+#: tree over the part keys, ~log2(n) deep at any scale.
+TREE_MAX_DEPTH = 40
+
+_TREE_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS node, p_partkey AS anc,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+  UNION ALL
+  SELECT node, anc // 2, cents FROM anc WHERE anc > 1
+)
+SELECT anc AS node_id,
+       COUNT(*) AS subtree_size,
+       SUM(cents) AS subtree_cents
+FROM anc GROUP BY anc
+"""
+
+
+@query("agg_tree_rollup", oracle=_TREE_ORACLE)
+def agg_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (BOM-style) subtree rollup over the implicit
+    part tree parent(k) = k div 2: for every node, the count and
+    exact cent-sum of retail prices across its whole subtree.
+
+    Spark has no recursive CTE; the Spark-first move is to invert
+    the recursion — every node contributes to exactly its ~log2(n)
+    ancestors, which a codegen'd bit-shift sequence enumerates
+    per row (transform + filter + explode, no joins at all), then
+    ONE groupBy on the ancestor id. O(n·log n) exploded rows, one
+    shuffle, zero iterations — where the textbook per-level loop
+    would run depth() chained self-joins. The oracle states the
+    same closure as DuckDB's recursive CTE, so the inversion is
+    held to the real recursive semantics. Cents via round(x*100)
+    are exact integers (the stat_corr_exact convention)."""
+    part = read_table(spark, sf_dir, "part")
+    ancestors = F.array_distinct(
+        F.filter(
+            F.array(
+                *[F.shiftright(F.col("p_partkey"), i) for i in range(TREE_MAX_DEPTH + 1)]
+            ),
+            # keys are non-negative; key 0 is its own fixed point
+            # (parent(0) = 0), matching the oracle's anc > 1 stop
+            lambda a: (a >= 1) | (a == F.col("p_partkey")),
+        )
+    )
+    return (
+        part.select(
+            F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+            F.explode(ancestors).alias("node_id"),
+        )
+        .groupBy("node_id")
+        .agg(
+            F.count(F.lit(1)).alias("subtree_size"),
+            F.sum("cents").alias("subtree_cents"),
+        )
+    )

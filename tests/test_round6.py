@@ -356,3 +356,75 @@ def test_interval_overlap_matches_sequential_model(spark):
                 if b0 <= t1 and t0 <= b1:
                     want[(uid, b0, t0)] = min(b1, t1) - max(b0, t0)
     assert got == want
+
+
+def test_bpe_matches_sequential_trainer(spark):
+    """The distributed BPE rounds must equal a reference single-node
+    trainer over the same word-frequency dict (greedy left-to-right
+    application, (count DESC, pair) tie-break)."""
+    import re
+    from collections import Counter
+
+    from gcd_etl_spark.plans.corpus import BPE_ROUNDS, bpe_learn_merges
+    from gcd_etl_spark.sources.catalog import read_table
+
+    got = [
+        (r["round"], r["sym_a"], r["sym_b"], r["merged"], r["pair_count"])
+        for r in bpe_learn_merges(spark, SF_SMOKE).orderBy("round").collect()
+    ]
+    texts = [
+        r["text"] for r in read_table(spark, SF_SMOKE, "documents").collect()
+    ]
+    vocab = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", (t or "").lower()):
+            if w:
+                vocab[w] += 1
+    words = {tuple(w): c for w, c in ((list(w), c) for w, c in vocab.items())}
+    want = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        pc = Counter()
+        for syms, c in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = a + b
+        want.append((rnd, a, b, merged, cnt))
+        new_words = Counter()
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] += c
+        words = dict(new_words)
+    assert got == want
+
+
+def test_tree_rollup_root_covers_all_parts(spark):
+    """The root's subtree aggregates every part exactly once, and
+    each node's subtree sum equals its children's plus itself."""
+    from gcd_etl_spark.plans.relational import agg_tree_rollup
+    from gcd_etl_spark.sources.catalog import read_table
+
+    rows = {r["node_id"]: r for r in agg_tree_rollup(spark, SF_SMOKE).collect()}
+    part = read_table(spark, SF_SMOKE, "part").collect()
+    n = len(part)
+    total_cents = sum(round(p["p_retailprice"] * 100) for p in part)
+    assert rows[1]["subtree_size"] == sum(1 for p in part if p["p_partkey"] >= 1)
+    assert rows[1]["subtree_cents"] == sum(
+        round(p["p_retailprice"] * 100) for p in part if p["p_partkey"] >= 1
+    )
+    keys = {p["p_partkey"] for p in part}
+    for node, r in rows.items():
+        if node == 0 or node == 1:
+            continue
+        child_sizes = sum(
+            rows[c]["subtree_size"] for c in (2 * node, 2 * node + 1) if c in rows
+        )
+        self_size = 1 if node in keys else 0
+        assert r["subtree_size"] == child_sizes + self_size, node
