@@ -257,3 +257,45 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcd_etl_spark.streaming.jobs import run_streaming_interval_join
 
     return run_streaming_interval_join(spark, staged, name=f"stream_ssjoin_{tag}")
+
+
+@query(
+    "stream_sink_parquet",
+    oracle="""
+SELECT event_id, user_id, event_type, value,
+       CAST(epoch_us(ts) AS BIGINT) AS us,
+       strftime(ts, '%Y-%m-%d') AS event_date
+FROM events
+""",
+)
+def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S5 partitioned-parquet sink contract under Structured
+    Streaming (reference Main.java:96-105 re-expressed as a
+    streaming write): the event stream lands in a date-partitioned
+    parquet table through the checkpointed file sink (exactly-once
+    commit log, availableNow drain), and what was COMMITTED is read
+    back and value-hashed against the batch table — proving the
+    sink wrote exactly the input, once, with the partition column
+    derived correctly. Output dirs are wiped with their checkpoint
+    per build (a stale checkpoint with fresh dirs would no-op the
+    stream)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.streaming.jobs import run_streaming_to_parquet
+
+    staged, tag = _stage_events(spark, sf_dir, "sink")
+    out = f"/tmp/gcd_etl_stream_sink_out_{tag}"
+    ckpt = f"/tmp/gcd_etl_stream_sink_ckpt_{tag}"
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    committed = run_streaming_to_parquet(spark, staged, out, ckpt)
+    return committed.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
+    )

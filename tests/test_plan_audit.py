@@ -21,6 +21,7 @@ QUADRATIC_ANCHORS = {
     "sim_bruteforce_topk",  # exact top-k baseline (broadcast q x corpus)
     "sim_ann_lsh_recall",  # embeds the exact baseline as recall denominator
     "sim_ann_ivf_recall",  # embeds the exact baseline as recall denominator
+    "sim_ann_ivfpq_recall",  # embeds the exact baseline as recall denominator
     "dedup_ngram_jaccard",  # all-pairs Jaccard ground truth
     "dedup_clusters",  # built on the ngram_jaccard pair derivation
     "corpus_curation",  # composite that reuses the anchor pair stage
