@@ -48,23 +48,19 @@ from gcd_etl_spark.plans import stats  # noqa: E402,F401
 #: summed BIGINTs into DuckDB HUGEINT; both lag sums now CAST
 #: BIGINT) — plus the queries whose code changed this round (BM25
 #: rescored in integer micro-units, resample/as-of floor-division
-#: semantics, attribution tolerance floor); then (b) every name with
-#: NO green driver row in rounds 3-4 (the r2-green tail the last two
-#: rotations left out and the round-4 operators that missed the r4
-#: window — except the rows-only dedup/ANN/k-means variants, which
-#: stay out per test_driver_window_all_oracled and are covered by
-#: their oracled siblings); then (c) the 17 NEW round-5 operators
-#: (data-quality expectations, histogram, exact percentiles,
-#: count-min heavy hitters, bigram counts, TF-IDF, token packing,
-#: cohort retention, path mining, triangle counting, rolling RANGE
-#: window, consistent-hash sampling, mode with deterministic ties,
-#: int8 embedding quantization, sliding token chunking, watermark
-#: late-data drop, hypertable rollup hierarchy) taking their first
-#: driver rows; then (d) flagship + lineage re-verification slots
-#: that stay under the gate every round. Union coverage r4-green ∪
-#: r5-window = every registered query except the r4-green mid-list
-#: (sql suite, scalar family, stream/win family, multimodal,
-#: portable dedup) — all r4-green on code unchanged this round.
+#: semantics, attribution tolerance floor); then (b) names with NO
+#: green driver row in rounds 3-4 (except the rows-only variants,
+#: which stay out per test_driver_window_all_oracled, and a few
+#: simple shapes whose exact plan families are green elsewhere —
+#: displacements documented inline below); then (c) the 17 round-5
+#: operators taking their first driver rows; then (e) the 19 NEW
+#: round-6 operators (stats/sketches, Markov/assoc/streaks, PIT +
+#: interval-overlap temporal joins, incremental merge, stream-stream
+#: join, IVF-SQ8 ANN, power-iteration PCA, BPE training, tree
+#: rollup — 16 of the 17 round-6 additions; stream_sink_parquet
+#: debuts next rotation), batches annotated inline; then (d)
+#: flagship slots that re-verify every round. Whole-window green at sf0.01 re-checked
+#: via tests/verify_window_sf001.py after every rotation this round.
 _DRIVER_WINDOW = [
     # --- (a) round-4 red, fixed + this round's changed queries ---
     "events_funnel",
