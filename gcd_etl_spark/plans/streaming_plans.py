@@ -299,3 +299,36 @@ def stream_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
         F.date_format("event_date", "yyyy-MM-dd").alias("event_date"),
     )
+
+
+@query(
+    "stream_apply_cdc",
+    oracle="""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, value, event_type FROM events
+),
+r AS (
+  SELECT user_id, us, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY us DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_updates
+  FROM e
+)
+SELECT user_id, n_updates, us AS last_us, value AS last_value,
+       event_type AS last_event_type
+FROM r WHERE rn = 1
+""",
+)
+def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert maintenance BY THE STREAMING ENGINE: micro-batches
+    fold into a versioned per-user state table through foreachBatch
+    (count adds, last-writer-wins struct max on the (ts, event_id)
+    total order), and the converged state must equal the batch
+    last-per-key restatement — batch-boundary- and order-independent
+    because the merge is a commutative monoid."""
+    staged, tag = _stage_events(spark, sf_dir, "cdc")
+    from gcd_etl_spark.streaming.jobs import run_streaming_apply_cdc
+
+    return run_streaming_apply_cdc(
+        spark, staged, f"/tmp/gcd_etl_stream_cdc_state_{tag}", name=f"stream_cdc_{tag}"
+    )

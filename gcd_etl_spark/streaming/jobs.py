@@ -282,3 +282,68 @@ def run_streaming_interval_join(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_streaming_apply_cdc(
+    spark: SparkSession,
+    staged_dir: str,
+    state_root: str,
+    name: str = "stream_apply_cdc",
+) -> DataFrame:
+    """Streaming UPSERT maintenance via ``foreachBatch``: each
+    micro-batch merges into a persistent per-key state table —
+    last-writer-wins on the (ts, event_id) total order plus a
+    running update count — the MERGE-INTO pattern under Structured
+    Streaming (the streaming face of the batch snapshot_apply_cdc
+    operator).
+
+    The merge is a commutative-monoid fold (count adds, the "last"
+    struct is an associative max), so the converged state is
+    independent of batch boundaries and replay order — which is what
+    makes the value-hash parity against the batch restatement exact.
+    State versions are written to fresh directories (v0, v1, ...);
+    a production deployment replaces the rewrite with a Delta/
+    Iceberg MERGE so each batch touches only changed files — same
+    fold, transactional sink."""
+    import shutil
+
+    shutil.rmtree(state_root, ignore_errors=True)
+    versions: list[str] = []
+
+    last_struct = F.struct(
+        F.col("last_us"), F.col("last_eid"), F.col("last_value"), F.col("last_event_type")
+    )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select(
+            "user_id",
+            F.lit(1).cast("bigint").alias("n_updates"),
+            F.struct(
+                F.unix_micros("ts").alias("last_us"),
+                F.col("event_id").alias("last_eid"),
+                F.col("value").alias("last_value"),
+                F.col("event_type").alias("last_event_type"),
+            ).alias("last"),
+        )
+        if versions:
+            prev = batch.sparkSession.read.parquet(versions[-1])
+            b = b.unionByName(prev)
+        merged = b.groupBy("user_id").agg(
+            F.sum("n_updates").alias("n_updates"),
+            F.max("last").alias("last"),
+        )
+        out = f"{state_root}/v{len(versions)}"
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    events = streaming_events(spark, staged_dir)
+    q = events.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    final = spark.read.parquet(versions[-1])
+    return final.select(
+        "user_id",
+        "n_updates",
+        F.col("last.last_us").alias("last_us"),
+        F.col("last.last_value").alias("last_value"),
+        F.col("last.last_event_type").alias("last_event_type"),
+    )
