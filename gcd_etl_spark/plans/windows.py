@@ -303,9 +303,13 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Interval-overlap session families: browse vs transact event types,
-#: sessionized with the same 10-minute gap as win_session.
-OVERLAP_GAP_US = 600_000_000
+#: Interval-overlap session families: browse vs transact event types.
+#: The gap is 6 h, not win_session's 10 min: the synthetic stream
+#: averages ~11 h between a user's events, so 10-min sessions are
+#: all singletons and the overlap set is vacuously empty — a 6 h
+#: gap yields real multi-event intervals (and a non-trivial overlap
+#: join) at every fixture scale.
+OVERLAP_GAP_US = 21_600_000_000
 
 _OVERLAP_ORACLE = f"""
 WITH e AS (
