@@ -1211,3 +1211,78 @@ def events_streak_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f.best_start").alias("streak_start_us"),
         )
     )
+
+
+# ------------------------------------------------- link prediction
+LINKPRED_TOP_K = 20
+
+_LINKPRED_ORACLE = f"""
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+),
+und AS (SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges),
+wedges AS (
+  SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS common_neighbors
+  FROM und a JOIN und b ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.u, w.v, w.common_neighbors
+  FROM wedges w LEFT JOIN edges e ON e.u = w.u AND e.v = w.v
+  WHERE e.u IS NULL
+),
+ranked AS (
+  SELECT u, v, common_neighbors,
+         ROW_NUMBER() OVER (ORDER BY common_neighbors DESC, u, v) AS rank
+  FROM cand
+)
+SELECT u, v, common_neighbors, rank FROM ranked WHERE rank <= {LINKPRED_TOP_K}
+"""
+
+
+@query("graph_link_prediction", oracle=_LINKPRED_ORACLE)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the part co-purchase
+    graph: the top-{LINKPRED_TOP_K} NON-adjacent pairs ranked by
+    shared-neighbor count — "parts never yet bought together that
+    the graph says should be". Completes the graph family
+    (pagerank / triangles / degrees / components): the same bounded
+    wedge join as graph_triangles (each wedge center contributes
+    deg² pairs; orient by degree at 100 TB, see graph_triangles),
+    one grouped count on the candidate pair, a LEFT-ANTI join
+    against the edge set to drop existing links, and
+    TakeOrderedAndProject for the top-K. Exact integers, full
+    value-hash oracle."""
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    wa, wb = und.alias("wa"), und.alias("wb")
+    wedges = (
+        wa.join(wb, (F.col("wa.node") == F.col("wb.node")) & (F.col("wa.nbr") < F.col("wb.nbr")))
+        .groupBy(F.col("wa.nbr").alias("u"), F.col("wb.nbr").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    cand = wedges.join(edges, ["u", "v"], "left_anti")
+    top = cand.orderBy(
+        F.col("common_neighbors").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(LINKPRED_TOP_K)
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(
+            F.col("common_neighbors").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+    )
+    return top.select("u", "v", "common_neighbors", rank.alias("rank"))
