@@ -422,3 +422,98 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rdf in rules[1:]:
         out = out.unionByName(rdf)
     return out
+
+
+# -------------------------------------------- benchmark decontamination
+#: Shingle width for contamination matching (production uses 8-13
+#: token shingles; 5 fits the synthetic corpus' n-gram diversity) and
+#: the eval-set boundary (doc_id < 10 plays the held-out benchmark).
+DECON_NGRAM = 5
+DECON_BENCH_MAX_ID = 10
+
+#: Engine-portable 60-bit shingle hash (operators/dedup.py
+#: portable_hash64): both engines match on md5-derived keys, so the
+#: result is identical even under (astronomically unlikely) collisions.
+_DECON_DUCK_HASH = "CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)"
+
+_DECON_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, {_DECON_DUCK_HASH} AS h
+  FROM (
+    SELECT doc_id, array_to_string(t[i.i:i.i + {DECON_NGRAM - 1}], ' ') AS g
+    FROM toks, LATERAL (SELECT UNNEST(range(1, length(t) - {DECON_NGRAM - 2})) AS i) i
+  )
+),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < {DECON_BENCH_MAX_ID}),
+corpus AS (SELECT doc_id, h FROM sh WHERE doc_id >= {DECON_BENCH_MAX_ID}),
+m AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM corpus c LEFT JOIN bench b ON c.h = b.h
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_shingles, n_matched,
+       CASE WHEN n_matched > 0 THEN 1 ELSE 0 END AS contaminated
+FROM m
+"""
+
+
+@query("decontaminate_ngrams", oracle=_DECON_ORACLE)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION — the training-data hygiene pass
+    every LLM pipeline runs before training: every corpus document
+    is checked for {DECON_NGRAM}-token shingle overlap against a
+    held-out eval set, reporting per-doc shingle totals, matched
+    counts, and the contamination flag.
+
+    Scale shape: shingles hash to portable 60-bit keys BEFORE any
+    shuffle (64-bit keys instead of strings across the wire); the
+    eval-set side is distinct-deduped and BROADCAST — eval sets are
+    tiny by nature, so the corpus-side scan never shuffles at all:
+    one broadcast left join + one per-doc count. Both engines match
+    on the same md5-derived keys, so the result is value-hash exact
+    by construction. At real scale the bench set is a prebuilt
+    bloom/exact hash table shipped to executors — the same plan."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    grams = F.expr(
+        f"transform(sequence(1, size(t) - {DECON_NGRAM - 1}), "
+        f"i -> array_join(slice(t, i, {DECON_NGRAM}), ' '))"
+    )
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= DECON_NGRAM)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", portable_hash64("g").alias("h"))
+        .distinct()
+    )
+    bench = (
+        sh.where(F.col("doc_id") < DECON_BENCH_MAX_ID)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.where(F.col("doc_id") >= DECON_BENCH_MAX_ID)
+    m = (
+        corpus.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_matched"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        (F.col("n_matched") > 0).cast("int").alias("contaminated"),
+    )
