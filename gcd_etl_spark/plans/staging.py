@@ -79,3 +79,56 @@ def dump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+@query("dump_datasource_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def dump_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same ingest round-trip as dump_roundtrip, but through the
+    Spark 4 Python DataSource surface (``format("gcddump")``,
+    sources/dump_datasource.py) instead of the text+mapInPandas
+    staging path: dump text written to real files, read back with
+    one input partition per file, tokenized executor-side by the
+    SAME tokenizer, joined, and held to the identical oracle — so
+    the two reader frontends are provably semantics-equal."""
+    import os
+    import shutil
+
+    from gcd_etl_spark.sources.dump_datasource import GcdDumpDataSource
+
+    try:
+        spark.dataSource.register(GcdDumpDataSource)
+    except Exception:
+        pass  # already registered in this session
+    sup_rows = [tuple(r) for r in read_table(spark, sf_dir, "supplier").collect()]
+    nat_rows = [tuple(r) for r in read_table(spark, sf_dir, "nation").collect()]
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    dump_dir = f"/tmp/gcd_etl_dump_ds_{tag}"
+    shutil.rmtree(dump_dir, ignore_errors=True)
+    os.makedirs(dump_dir)
+    # two files, as a real per-table dump directory would arrive
+    with open(f"{dump_dir}/supplier.sql", "w", encoding="utf-8") as f:
+        f.write("\n".join(format_insert_statements("supplier", sup_rows, 50)) + "\n")
+    with open(f"{dump_dir}/nation.sql", "w", encoding="utf-8") as f:
+        f.write("\n".join(format_insert_statements("nation", nat_rows, 50)) + "\n")
+
+    def load(table: str, schema: T.StructType) -> DataFrame:
+        return (
+            spark.read.format("gcddump")
+            .schema(schema)
+            .option("table", table)
+            .option("path", dump_dir)
+            .load()
+        )
+
+    supplier = load("supplier", _SUPPLIER_SCHEMA)
+    nation = load("nation", _NATION_SCHEMA)
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("s_acctbal").alias("acctbal"),
+        )
+        .orderBy("suppkey")
+    )
