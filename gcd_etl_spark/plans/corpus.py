@@ -319,7 +319,7 @@ WITH t AS (
                             x -> x <> '')) AS w
   FROM documents
 ),
-w0 AS (SELECT regexp_split_to_array(w, '') AS syms, COUNT(*) AS wc FROM t GROUP BY w)"""
+w0 AS (SELECT w, regexp_split_to_array(w, '') AS syms, COUNT(*) AS wc FROM t GROUP BY w)"""
     steps = []
     for r in range(1, BPE_ROUNDS + 1):
         steps.append(f"""
@@ -332,7 +332,7 @@ top{r} AS (
   SELECT a, b, a || b AS merged, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1
 ),
 w{r} AS (
-  SELECT wc,
+  SELECT w, wc,
          CASE WHEN length(syms) < 2 THEN syms
               ELSE regexp_split_to_array(
                      list_reduce(syms, (acc, x) ->
@@ -370,13 +370,25 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     data; only the single winning rule crosses to the driver-side
     plan as a broadcast. The per-word fold is the same greedy scan a
     single-node trainer does, just data-parallel over the vocab."""
+    _, rules = _bpe_train(spark, sf_dir)
+    out = rules[0]
+    for rdf in rules[1:]:
+        out = out.unionByName(rdf)
+    return out
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE training loop: returns (final word table with
+    ``w`` / ``syms`` / ``wc`` after BPE_ROUNDS merges, per-round rule
+    DataFrames). Used by both the learn and the encode plans so the
+    two are the same trainer by construction."""
     docs = read_table_spread(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
     words = (
         docs.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
-        .select(F.split("w", "").alias("syms"), "wc")
+        .select("w", F.split("w", "").alias("syms"), "wc")
         .localCheckpoint(eager=False)
     )
     rules = []
@@ -410,6 +422,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = (
             words.crossJoin(F.broadcast(top))
             .select(
+                "w",
                 F.expr(
                     f"CASE WHEN size(syms) < 2 THEN syms "
                     f"ELSE split({_bpe_fold_sql()}, '{BPE_SEP}') END"
@@ -418,10 +431,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    out = rules[0]
-    for rdf in rules[1:]:
-        out = out.unionByName(rdf)
-    return out
+    return words, rules
 
 
 # -------------------------------------------- benchmark decontamination
@@ -516,4 +526,60 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_matched",
         (F.col("n_matched") > 0).cast("int").alias("contaminated"),
+    )
+
+
+def _bpe_apply_oracle() -> str:
+    chain = _bpe_oracle()
+    # reuse the training chain up to the final merged word table, then
+    # encode the per-document token stream against it
+    chain = chain.split("\nSELECT 1 AS round")[0]
+    return f"""{chain},
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+enc AS (SELECT w, length(syms) AS n_syms FROM w{BPE_ROUNDS})
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
+       CAST(SUM(e.n_syms) AS BIGINT) AS n_symbols,
+       (SUM(length(t.w)) * 100) // SUM(e.n_syms) AS chars_per_100_symbols
+FROM tok t JOIN enc e USING (w)
+GROUP BY t.doc_id
+"""
+
+
+@query("tokenizer_apply_bpe", oracle=_bpe_apply_oracle())
+def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of BPE: every document's token stream encoded
+    with the merges learned by bpe_learn_merges (same `_bpe_train`
+    loop, so trainer and encoder cannot drift), reporting per-doc
+    token / character / post-merge symbol counts and the integer
+    compression ratio (chars per 100 symbols).
+
+    Scale shape: encoding is a broadcast-shaped equi-join of the
+    token stream against the VOCAB-sized (word -> symbol-count)
+    table — the corpus-scale side never shuffles on anything wider
+    than the word key, and in production the trained vocab table is
+    the broadcast artifact shipped with the tokenizer. Exact integer
+    counts, full value-hash oracle."""
+    words, _ = _bpe_train(spark, sf_dir)
+    enc = words.select("w", F.size("syms").alias("n_syms"))
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    return (
+        tok.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            F.sum("n_syms").cast("bigint").alias("n_symbols"),
+            F.expr("(sum(length(w)) * 100) div sum(n_syms)").alias(
+                "chars_per_100_symbols"
+            ),
+        )
     )
