@@ -583,3 +583,68 @@ def tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------- unigram LM scoring
+_UNIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS w FROM documents
+),
+v AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+n AS (SELECT SUM(c) AS total_tokens, COUNT(*) AS vocab FROM v),
+cost AS (
+  SELECT w,
+         CAST(floor(-ln(CAST(c + 1 AS DOUBLE) / (total_tokens + vocab))
+                    * 1000000 + 0.5) AS BIGINT) AS nll_micro
+  FROM v CROSS JOIN n
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(cost.nll_micro) AS BIGINT) AS nll_total_micro,
+       SUM(cost.nll_micro) // COUNT(*) AS nll_mean_micro
+FROM tok t JOIN cost USING (w)
+GROUP BY t.doc_id
+"""
+
+
+@query("quality_unigram_nll", oracle=_UNIGRAM_ORACLE)
+def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring — the perplexity-proxy filter
+    (KenLM's role in a curation pipeline) as a self-trained unigram
+    LM: corpus token counts with Laplace smoothing give every token
+    a cost of -ln p(w), quantized to integer micro-units PER TOKEN
+    so the per-document sums are exact integer arithmetic (never an
+    order-dependent float sum); the mean is an integer division.
+    High mean-NLL docs are rare-token-heavy — the curation signal.
+
+    Scale shape: the vocab (word, cost) table is the broadcast
+    artifact (Zipf-small); scoring is one broadcast join over the
+    token stream + one per-doc aggregate — the tokenizer_apply_bpe
+    plan with a different payload. Residual ln() 1-ulp risk at a .5
+    micro boundary accepted as in BM25/PSI (documented there)."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    v = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = v.agg(
+        F.sum("c").alias("total_tokens"), F.count(F.lit(1)).alias("vocab")
+    )
+    cost = v.crossJoin(F.broadcast(n)).select(
+        "w",
+        F.floor(
+            -F.log((F.col("c") + 1).cast("double") / (F.col("total_tokens") + F.col("vocab")))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("nll_micro"),
+    )
+    return (
+        tok.join(F.broadcast(cost), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_micro").cast("bigint").alias("nll_total_micro"),
+            F.expr("sum(nll_micro) div count(1)").alias("nll_mean_micro"),
+        )
+    )

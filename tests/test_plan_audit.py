@@ -43,6 +43,7 @@ SCALAR_BROADCASTS = {
     # never by data volume; the only data-scaled shuffle is the
     # distinct + bottom-k signature build
     "audience_overlap_minhash",
+    "quality_unigram_nll",  # one (total_tokens, vocab) row broadcast into the vocab costs
 }
 
 #: Streaming queries execute eagerly on build (memory-sink round
