@@ -57,10 +57,10 @@ from gcd_etl_spark.plans import stats  # noqa: E402,F401
 #: round-6 operators (stats/sketches, Markov/assoc/streaks, PIT +
 #: interval-overlap temporal joins, incremental merge, stream-stream
 #: join, IVF-SQ8 ANN, power-iteration PCA, BPE training, tree
-#: rollup — 16 of the 23 round-6 additions; stream_sink_parquet,
+#: rollup — 16 of the 24 round-6 additions; stream_sink_parquet,
 #: stream_apply_cdc, graph_link_prediction, decontaminate_ngrams,
-#: dump_datasource_roundtrip, tokenizer_apply_bpe and
-#: quality_unigram_nll debut next rotation), batches annotated inline; then (d)
+#: dump_datasource_roundtrip, tokenizer_apply_bpe,
+#: quality_unigram_nll and ml_ols_exact debut next rotation), batches annotated inline; then (d)
 #: flagship slots that re-verify every round. Whole-window green at sf0.01 re-checked
 #: via tests/verify_window_sf001.py after every rotation this round.
 _DRIVER_WINDOW = [

@@ -412,3 +412,120 @@ def audience_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(matches * 1000000) div k_eff").cast("bigint").alias("est_jaccard_micro"),
         )
     )
+
+
+# ------------------------------------------------ exact OLS regression
+def _ols_det_sql(pre: str = "") -> dict[str, str]:
+    """The 3x3 Cramer determinant expressions over the named moment
+    columns — ONE canonical parenthesization, emitted identically
+    into the Spark plan and the DuckDB oracle so the double-precision
+    evaluation trees match operation for operation."""
+    p = pre
+    return {
+        "det": (
+            f"{p}n * ({p}s11 * {p}s22 - {p}s12 * {p}s12) "
+            f"- {p}s1 * ({p}s1 * {p}s22 - {p}s12 * {p}s2) "
+            f"+ {p}s2 * ({p}s1 * {p}s12 - {p}s11 * {p}s2)"
+        ),
+        "det0": (
+            f"{p}sy * ({p}s11 * {p}s22 - {p}s12 * {p}s12) "
+            f"- {p}s1 * ({p}s1y * {p}s22 - {p}s12 * {p}s2y) "
+            f"+ {p}s2 * ({p}s1y * {p}s12 - {p}s11 * {p}s2y)"
+        ),
+        "det1": (
+            f"{p}n * ({p}s1y * {p}s22 - {p}s12 * {p}s2y) "
+            f"- {p}sy * ({p}s1 * {p}s22 - {p}s12 * {p}s2) "
+            f"+ {p}s2 * ({p}s1 * {p}s2y - {p}s1y * {p}s2)"
+        ),
+        "det2": (
+            f"{p}n * ({p}s11 * {p}s2y - {p}s1y * {p}s12) "
+            f"- {p}s1 * ({p}s1 * {p}s2y - {p}s1y * {p}s2) "
+            f"+ {p}sy * ({p}s1 * {p}s12 - {p}s11 * {p}s2)"
+        ),
+    }
+
+
+_OLS_MOMENTS = """
+  COUNT(*) AS n_rows,
+  CAST(COUNT(*) AS DOUBLE) AS n,
+  CAST(SUM(x1) AS DOUBLE) AS s1,
+  CAST(SUM(x2) AS DOUBLE) AS s2,
+  CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+  CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+  CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+  CAST(SUM(y) AS DOUBLE) AS sy,
+  CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+  CAST(SUM(x2 * y) AS DOUBLE) AS s2y
+"""
+
+_D = _ols_det_sql()
+
+_OLS_ORACLE = f"""
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag, {_OLS_MOMENTS}
+  FROM b GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       CAST(floor(({_D["det0"]}) / ({_D["det"]}) * 1000 + 0.5) AS BIGINT)
+         AS b0_millicents,
+       CAST(floor(({_D["det1"]}) / ({_D["det"]}) * 1000 + 0.5) AS BIGINT)
+         AS b1_millicents,
+       CAST(floor(({_D["det2"]}) / ({_D["det"]}) * 1000 + 0.5) AS BIGINT)
+         AS b2_millicents
+FROM m
+"""
+
+
+@query("ml_ols_exact", oracle=_OLS_ORACLE)
+def ml_ols_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS — ML model TRAINING under the value-hash gate:
+    price-cents regressed on (quantity, discount-points) per return
+    flag by solving the 3x3 normal equations with Cramer's rule.
+    The nine moments are EXACT integer sums (one map-side-combinable
+    groupBy — the whole training pass); the determinants are a
+    single canonical double-precision expression tree emitted
+    IDENTICALLY into both engines (``_ols_det_sql``), so the fitted
+    coefficients match to the quantized milli-cent with no libm
+    anywhere — unlike iterative solvers, nothing here depends on
+    step count or summation order. The overflow budget matches
+    stat_corr_exact (cents² sums; same mitigation note)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = b.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("s1"),
+        F.sum("x2").cast("double").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+    )
+    d = _ols_det_sql()
+    return m.select(
+        "l_returnflag",
+        "n_rows",
+        F.expr(
+            f"CAST(floor(({d['det0']}) / ({d['det']}) * 1000 + 0.5) AS BIGINT)"
+        ).alias("b0_millicents"),
+        F.expr(
+            f"CAST(floor(({d['det1']}) / ({d['det']}) * 1000 + 0.5) AS BIGINT)"
+        ).alias("b1_millicents"),
+        F.expr(
+            f"CAST(floor(({d['det2']}) / ({d['det']}) * 1000 + 0.5) AS BIGINT)"
+        ).alias("b2_millicents"),
+    )
