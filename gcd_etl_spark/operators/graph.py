@@ -70,3 +70,31 @@ def pagerank(edges: DataFrame, iters: int = 2, src: str = "src", dst: str = "dst
             ).alias("rank_nano"),
         )
     return ranks
+
+
+def bfs_layers(edges: DataFrame, seeds: DataFrame, hops: int,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Multi-source BFS, bounded depth: minimum hop distance (0..hops)
+    from the seed set, for reached nodes only.
+
+    One frontier-expansion join + one anti-join per hop — the
+    Pregel-style iteration expressed as DataFrames. ``localCheckpoint``
+    truncates the growing lineage exactly like the k-means/pagerank
+    loops; the per-hop shuffle is keyed on node id only, and a fixed
+    ``hops`` budget keeps the job graph static (and the SQL oracle
+    unrollable). Returns (node_id, dist INT).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("node_id")).distinct()
+    visited = frontier.withColumn("dist", F.lit(0))
+    for k in range(1, hops + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node_id)
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(visited.select("node_id"), "node_id", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt.withColumn("dist", F.lit(k)))
+        frontier = nxt
+    return visited

@@ -1,0 +1,456 @@
+"""Lakehouse / table-maintenance operators — engine extensions (batch 8).
+
+Operational capabilities around the core query surface, each with a
+full cross-engine value-hash oracle:
+
+* ``table_checksum`` — order-insensitive table fingerprint (sum of
+  per-row md5-derived integers, dual modulus): the migration /
+  replication validation primitive — exactly the check THIS repo's
+  driver gate performs, offered as an engine operator.
+* ``feature_quantile_bins`` — equal-frequency (decile) binning of a
+  numeric column with per-bin stats: the feature-engineering
+  discretizer, deterministic via a total tie-broken order.
+* ``reshape_unpivot`` — wide->long melt of a pivoted aggregate
+  (pivot and its inverse in one plan) via the native ``unpivot``.
+* ``setjoin_containment_exact`` — directed containment join
+  (|x∩y|/|x| >= 1/2): finds documents mostly CONTAINED in another
+  (quote/subset detection), the asymmetric sibling of
+  ``setjoin_prefix_exact``.
+* ``sample_reservoir_per_group`` — exactly-k-per-group deterministic
+  uniform sample via portable hash ranking (the distributed
+  "reservoir" with replayable results).
+* ``stream_static_enrich`` — Structured Streaming micro-batches
+  joined against a broadcast static dimension, converged aggregate
+  hash-matched to the batch join (streaming/jobs.py).
+* ``source_orc_roundtrip`` — columnar interchange: write ORC, read
+  it back, aggregate — proving a second columnar format end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans.registry import query
+from gcd_etl_spark.sources.catalog import read_table, read_table_spread
+
+# ----------------------------------------------------- table checksum
+#: Dual moduli: two independent residues make a 60-bit-ish digest
+#: collision-resistant enough for validation while keeping the SUM
+#: inside BIGINT headroom (n_rows * p < 2^63 up to ~9e9 rows; at full
+#: 100 TB scale lift the accumulator to decimal(38,0) — same plan).
+CK_P1 = 1_000_000_007
+CK_P2 = 998_244_353
+
+#: NULL marker that cannot collide with real values in the fixtures
+#: (U+2400 SYMBOL FOR NULL — printable, so it embeds in SQL literals;
+#: a raw NUL byte terminates DuckDB's string parser).
+_NULLM = "␀"
+
+
+def _row_sig_sql(cols: list[str]) -> str:
+    parts = ", ".join(f"COALESCE({c}, '{_NULLM}')" for c in cols)
+    return f"concat_ws('\x1f', {parts})"
+
+
+def _ck_oracle() -> str:
+    specs = {
+        "orders": [
+            "CAST(o_orderkey AS VARCHAR)",
+            "CAST(o_custkey AS VARCHAR)",
+            "o_orderstatus",
+            "o_orderpriority",
+            "strftime(o_orderdate, '%Y%m%d')",
+        ],
+        "customer": [
+            "CAST(c_custkey AS VARCHAR)",
+            "c_name",
+            "CAST(c_nationkey AS VARCHAR)",
+            "c_mktsegment",
+        ],
+        "supplier": [
+            "CAST(s_suppkey AS VARCHAR)",
+            "s_name",
+            "CAST(s_nationkey AS VARCHAR)",
+        ],
+    }
+    selects = []
+    for t, cols in specs.items():
+        sig = _row_sig_sql(cols)
+        selects.append(
+            f"SELECT '{t}' AS table_name, COUNT(*) AS n_rows,\n"
+            f"  CAST(SUM(('0x' || substr(md5({sig}), 1, 15))::BIGINT"
+            f" % {CK_P1}) AS BIGINT) AS digest1,\n"
+            f"  CAST(SUM(('0x' || substr(md5({sig}), 1, 15))::BIGINT"
+            f" % {CK_P2}) AS BIGINT) AS digest2\n"
+            f"FROM {t}"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+@query("table_checksum", oracle=_ck_oracle())
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprints for three tables in one
+    result: canonical row serialization (typed columns -> strings,
+    NULL marker, unit separator) -> md5 -> 60-bit integer -> modular
+    SUM under two primes + row count. Equal digests across engines /
+    replicas / migrations certify equal content without moving rows
+    — the validation primitive behind this repo's own driver gate.
+
+    The serialized projection deliberately excludes raw doubles
+    (float repr is engine-dialect; integer cents belong in a digest,
+    raw doubles do not) — typed casts make the digest well-defined.
+    Plan: pure map-side expression + one partial-aggregable SUM per
+    table; no shuffle wider than 1 row per table."""
+    specs = {
+        "orders": lambda df: [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.date_format("o_orderdate", "yyyyMMdd"),
+        ],
+        "customer": lambda df: [
+            F.col("c_custkey").cast("string"),
+            F.col("c_name"),
+            F.col("c_nationkey").cast("string"),
+            F.col("c_mktsegment"),
+        ],
+        "supplier": lambda df: [
+            F.col("s_suppkey").cast("string"),
+            F.col("s_name"),
+            F.col("s_nationkey").cast("string"),
+        ],
+    }
+    outs = []
+    for t, colf in specs.items():
+        df = read_table(spark, sf_dir, t)
+        sig = F.concat_ws(
+            "\x1f", *[F.coalesce(c, F.lit(_NULLM)) for c in colf(df)]
+        )
+        h = F.conv(F.substring(F.md5(sig), 1, 15), 16, 10).cast("bigint")
+        outs.append(
+            df.select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("h") % CK_P1).alias("digest1"),
+                F.sum(F.col("h") % CK_P2).alias("digest2"),
+            )
+            .select(
+                F.lit(t).alias("table_name"), "n_rows", "digest1", "digest2"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# ------------------------------------------------ quantile (decile) bins
+BIN_N = 10
+
+_BINS_ORACLE = f"""
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         NTILE({BIN_N}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin, COUNT(*) AS n,
+       MIN(cents) AS min_cents, MAX(cents) AS max_cents
+FROM r GROUP BY bin
+"""
+
+
+@query("feature_quantile_bins", oracle=_BINS_ORACLE)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) discretization of o_totalprice with
+    per-bin stats — the feature-engineering binner. NTILE over a
+    total order (price, orderkey tie-break) is deterministic on both
+    engines even under price ties; bin edges come out as exact
+    integer cents. One sort + one groupBy; at scale NTILE's total
+    order is the same range-partitioned sort the z-order layout uses
+    — and in practice you'd compute approximate edges with the GK
+    sketch (sketch_quantile_bound) and keep THIS as the exact
+    auditor."""
+    r = read_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.ntile(BIN_N)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    return r.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+# ------------------------------------------------------------- unpivot
+_UNPIVOT_ORACLE = """
+WITH w AS (
+  SELECT o_orderpriority,
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS cnt_F,
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS cnt_O,
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS cnt_P
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'cnt_F' AS status_col, cnt_F AS n FROM w
+UNION ALL SELECT o_orderpriority, 'cnt_O', cnt_O FROM w
+UNION ALL SELECT o_orderpriority, 'cnt_P', cnt_P FROM w
+"""
+
+
+@query("reshape_unpivot", oracle=_UNPIVOT_ORACLE)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot and its inverse in one plan: per-priority status counts
+    go wide (pivot on the closed status domain) and then back to
+    long via the native ``DataFrame.unpivot`` (Spark's melt) — the
+    reshape pair every feature/reporting pipeline needs. Pivoting on
+    an explicitly listed domain keeps the plan static (no collect of
+    distinct values); unpivot is a zero-shuffle expression."""
+    w = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("cnt_F"),
+            F.coalesce("O", F.lit(0)).alias("cnt_O"),
+            F.coalesce("P", F.lit(0)).alias("cnt_P"),
+        )
+    )
+    return w.unpivot(
+        ["o_orderpriority"],
+        ["cnt_F", "cnt_O", "cnt_P"],
+        "status_col",
+        "n",
+    )
+
+
+# ----------------------------------------- containment set join (directed)
+#: Containment threshold |x ∩ y| / |x| >= C_NUM/C_DEN.
+C_NUM, C_DEN = 1, 2
+
+_DUCK_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_DUCK_SH = (
+    "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' ')))"
+    " ELSE [] END"
+)
+
+_CONTAIN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, {_DUCK_SH} AS sh FROM t
+), e AS (
+  SELECT doc_id, UNNEST(sh) AS gram FROM s
+), sz AS (
+  SELECT doc_id, len(sh) AS sz FROM s WHERE len(sh) > 0
+), df AS (
+  SELECT gram, COUNT(*) AS df FROM e GROUP BY gram
+), ranked AS (
+  SELECT e.doc_id, e.gram,
+         ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                            ORDER BY df.df, e.gram) AS rn
+  FROM e JOIN df ON e.gram = df.gram
+), pfx AS (
+  SELECT r.doc_id, r.gram
+  FROM ranked r JOIN sz ON r.doc_id = sz.doc_id
+  WHERE r.rn <= sz.sz - CAST(ceil(sz.sz * {C_NUM}.0 / {C_DEN}) AS BIGINT) + 1
+), cand AS (
+  SELECT DISTINCT p.doc_id AS id_x, e.doc_id AS id_y
+  FROM pfx p JOIN e ON p.gram = e.gram AND p.doc_id <> e.doc_id
+), inter AS (
+  SELECT c.id_x, c.id_y, COUNT(*) AS inter
+  FROM cand c
+  JOIN e ex ON ex.doc_id = c.id_x
+  JOIN e ey ON ey.doc_id = c.id_y AND ey.gram = ex.gram
+  GROUP BY c.id_x, c.id_y
+)
+SELECT i.id_x, i.id_y, i.inter, sx.sz AS sz_x,
+       i.inter * 1000000 // sx.sz AS containment_ppm
+FROM inter i JOIN sz sx ON i.id_x = sx.doc_id
+WHERE {C_DEN} * i.inter >= {C_NUM} * sx.sz
+"""
+
+
+@query("setjoin_containment_exact", oracle=_CONTAIN_ORACLE)
+def setjoin_containment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment join: (x, y) pairs where at least half of
+    x's word-3-shingles also occur in y — subset/quote detection,
+    the asymmetric sibling of setjoin_prefix_exact (a tiny doc can be
+    contained in a huge one at near-zero Jaccard). Prefix filtering
+    applies on the CONTAINED side only (if |x∩y|/|x| >= t then y hits
+    one of x's first |x|-ceil(t|x|)+1 df-ordered shingles), joined
+    against the full posting list of y. All arithmetic integer:
+    d*inter >= n*|x|, ppm by floor division."""
+    from gcd_etl_spark.functions.text import shingles
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    s = docs.select("doc_id", shingles("text", 3).alias("sh"))
+    e = s.select("doc_id", F.explode("sh").alias("gram"))
+    sz = s.where(F.size("sh") > 0).select("doc_id", F.size("sh").alias("sz"))
+    dfreq = e.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = e.join(dfreq, "gram").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "gram")),
+    )
+    pfx_len = F.col("sz") - F.ceil(F.col("sz") * C_NUM / C_DEN) + 1
+    pfx = (
+        ranked.join(sz, "doc_id")
+        .where(F.col("rn") <= pfx_len)
+        .select("doc_id", "gram")
+    )
+    cand = (
+        pfx.alias("p")
+        .join(
+            e.alias("q"),
+            (F.col("p.gram") == F.col("q.gram"))
+            & (F.col("p.doc_id") != F.col("q.doc_id")),
+        )
+        .select(F.col("p.doc_id").alias("id_x"), F.col("q.doc_id").alias("id_y"))
+        .distinct()
+    )
+    ex = e.select(F.col("doc_id").alias("id_x"), "gram")
+    ey = e.select(F.col("doc_id").alias("id_y"), "gram")
+    inter = (
+        cand.join(ex, "id_x")
+        .join(ey, ["id_y", "gram"])
+        .groupBy("id_x", "id_y")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    szx = sz.select(F.col("doc_id").alias("id_x"), F.col("sz").alias("sz_x"))
+    return (
+        inter.join(F.broadcast(szx), "id_x")
+        .where(C_DEN * F.col("inter") >= C_NUM * F.col("sz_x"))
+        .select(
+            "id_x",
+            "id_y",
+            "inter",
+            "sz_x",
+            F.expr("inter * 1000000 div sz_x").alias("containment_ppm"),
+        )
+    )
+
+
+# ----------------------------------------- reservoir-per-group sample
+RESERVOIR_K = 20
+
+_RESERVOIR_ORACLE = f"""
+WITH r AS (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY substr(md5(event_type || ':' || CAST(event_id AS VARCHAR)),
+                           1, 16), event_id) AS rn
+  FROM events
+)
+SELECT event_type, event_id FROM r WHERE rn <= {RESERVOIR_K}
+"""
+
+
+@query("sample_reservoir_per_group", oracle=_RESERVOIR_ORACLE)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-min(k, n) rows per group, uniform and REPLAYABLE: rank
+    rows inside each group by a portable keyed hash (md5 prefix) and
+    keep the first k — the deterministic reservoir. Unlike rand()-
+    seeded sampling, re-running on any engine (or after a backfill)
+    selects the same rows, which is what makes sampled eval sets
+    reproducible. One window shuffle on the group key; at scale the
+    rank is a per-group top-k (no full sort needed)."""
+    r = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("event_type"), F.col("event_id").cast("string")
+                        )
+                    ),
+                    1,
+                    16,
+                ),
+                "event_id",
+            )
+        )
+        .alias("rn"),
+    )
+    return r.where(F.col("rn") <= RESERVOIR_K).select("event_type", "event_id")
+
+
+# ------------------------------------------------ stream-static enrich
+_ENRICH_ORACLE = """
+SELECT n.n_name AS dim_key, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
+
+
+@query("stream_static_enrich", oracle=_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: file-source micro-batches of events are
+    enriched against a broadcast static dimension (customer -> nation
+    name) inside the STREAMING engine, aggregated per (nation, type),
+    and the converged memory-sink state must hash-match the batch
+    3-table join — the standard reference-data-enrichment topology.
+    The static side is planned once and rebroadcast per micro-batch;
+    join itself is stateless so the only streaming state is the
+    aggregate. Integer cents keep stream/batch equality exact."""
+    from gcd_etl_spark.streaming.jobs import run_streaming_static_enrich
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_stream_enrich_{tag}"
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").parquet(staged)
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nat = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        "user_id", F.col("n_name").alias("dim_key")
+    )
+    return run_streaming_static_enrich(
+        spark, staged, dim, name=f"stream_enrich_{tag}"
+    )
+
+
+# --------------------------------------------------- ORC round-trip
+_ORC_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("source_orc_roundtrip", oracle=_ORC_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format end-to-end: orders -> ORC (snappy,
+    typed schema preserved) -> read back -> aggregate; must equal SQL
+    over the original parquet. Proves the engine's source/sink
+    surface isn't parquet-shaped only — ORC shares the same
+    pushdown/pruning machinery (predicate + column pruning reach the
+    ORC scan the same way), which is what matters on a mixed-format
+    lake. Doubles survive bit-exactly through the round trip (cents
+    cast happens after re-read)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_orc_orders_{tag}"
+    read_table(spark, sf_dir, "orders").write.mode("overwrite").orc(staged)
+    back = spark.read.orc(staged)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+    )

@@ -347,3 +347,27 @@ def run_streaming_apply_cdc(
         F.col("last.last_value").alias("last_value"),
         F.col("last.last_event_type").alias("last_event_type"),
     )
+
+
+def run_streaming_static_enrich(
+    spark: SparkSession,
+    staged_dir: str,
+    dim: DataFrame,
+    name: str = "stream_static_enrich",
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a
+    bounded dimension (broadcast — the static side is planned once
+    and reused every micro-batch), then aggregate per dimension
+    attribute. The canonical "enrich the event stream with reference
+    data" topology; state is only the final aggregate, the join
+    itself is stateless.
+
+    ``dim`` must have columns (user_id, dim_key). Returns the
+    memory-sink view (dim_key, event_type, n_events, sum_cents)."""
+    events = streaming_events(spark, staged_dir)
+    enriched = events.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("dim_key", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+    )
+    return _run_to_memory(agg, spark, name)
