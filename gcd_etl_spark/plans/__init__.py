@@ -43,6 +43,7 @@ from gcd_etl_spark.plans import stats  # noqa: E402,F401
 from gcd_etl_spark.plans import indexing  # noqa: E402,F401
 from gcd_etl_spark.plans import sequential  # noqa: E402,F401
 from gcd_etl_spark.plans import lakehouse  # noqa: E402,F401
+from gcd_etl_spark.plans import ml  # noqa: E402,F401
 
 #: The first ~50 registry entries = the driver's correctness window,
 #: ROTATED each round (round-3 verdict #7) so every registered query

@@ -1286,3 +1286,121 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.select("u", "v", "common_neighbors", rank.alias("rank"))
+
+
+# ----------------------------------------------- hybrid rank fusion
+#: Reciprocal-rank-fusion constant (the standard k=60) and the
+#: example-query vector for the semantic leg.
+RRF_K = 60
+RRF_QUERY_VEC = 0
+_RRF_DIM = 64
+
+
+def _rrf_oracle() -> str:
+    dot = " + ".join(f"q.qv[{i}] * t.qv[{i}]" for i in range(1, _RRF_DIM + 1))
+    return f"""
+WITH bm AS (SELECT * FROM ({_bm25_oracle()}) x),
+e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+q AS (SELECT qv FROM e WHERE vec_id = {RRF_QUERY_VEC}),
+dots AS (
+  SELECT t.vec_id AS doc_id, CAST({dot} AS BIGINT) AS dot
+  FROM e t CROSS JOIN q WHERE t.vec_id <> {RRF_QUERY_VEC}
+),
+sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS dot_rank
+  FROM dots QUALIFY dot_rank <= {BM25_TOP_K}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, sem.doc_id) AS doc_id,
+         bm.rank AS bm25_rank, sem.dot_rank,
+         COALESCE(1000000 // ({RRF_K} + bm.rank), 0)
+           + COALESCE(1000000 // ({RRF_K} + sem.dot_rank), 0) AS rrf_ppm
+  FROM bm FULL OUTER JOIN sem ON bm.doc_id = sem.doc_id
+)
+SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       CAST(dot_rank AS BIGINT) AS dot_rank,
+       CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM fused
+"""
+
+
+@query("rank_fusion_rrf", oracle=_rrf_oracle())
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    top-20 (text_bm25_topk, integer micro-scores) with a semantic
+    query-by-example top-20 ranked by EXACT integer inner product
+    against vector {RRF_QUERY_VEC} (the ml_knn_confusion
+    quantize-once discipline — no cosine division, no float
+    compare). RRF keeps each leg's scores incomparable-by-design and
+    fuses on RANKS alone: ``sum(1e6 div (60 + rank))`` in integer
+    ppm, so the fused ordering is bit-exact cross-engine.
+
+    Shape at scale: each leg is its own top-k (TakeOrderedAndProject
+    — never a global sort), the fusion full-outer join runs on two
+    k-row inputs (tiny, broadcast), and doc_id==vec_id is the
+    fixture's 1:1 text-embedding pairing. This is the operator a
+    RAG/search stack runs on every query; here it is a batch plan
+    over the same engine primitives.
+    """
+    from pyspark.sql import Window as W
+
+    bm = text_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    e = read_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: F.floor(v.cast("double") * 1_000_000 + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    q = e.where(F.col("vec_id") == RRF_QUERY_VEC).select(F.col("qv").alias("qq"))
+    dot = F.aggregate(
+        F.zip_with("qv", "qq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dots = (
+        e.where(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), dot.alias("dot"))
+    )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject), THEN rank
+    # the <= K survivors — the text_bm25_topk stance; never a global
+    # row_number window over the corpus
+    sem = (
+        dots.orderBy(F.desc("dot"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+        .withColumn(
+            "dot_rank", F.row_number().over(W.orderBy(F.desc("dot"), F.asc("doc_id")))
+        )
+        .select("doc_id", "dot_rank")
+    )
+    fused = (
+        bm.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "dot_rank",
+            (
+                F.coalesce(F.expr(f"1000000 div ({RRF_K} + bm25_rank)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000 div ({RRF_K} + dot_rank)"), F.lit(0))
+            ).alias("rrf_ppm"),
+        )
+    )
+    return fused.select(
+        "doc_id",
+        F.col("bm25_rank").cast("long").alias("bm25_rank"),
+        F.col("dot_rank").cast("long").alias("dot_rank"),
+        F.col("rrf_ppm").cast("long").alias("rrf_ppm"),
+        F.row_number()
+        .over(W.orderBy(F.desc("rrf_ppm"), F.asc("doc_id")))
+        .cast("long")
+        .alias("fused_rank"),
+    )

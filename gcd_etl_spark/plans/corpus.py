@@ -648,3 +648,88 @@ def quality_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(nll_micro) div count(1)").alias("nll_mean_micro"),
         )
     )
+
+
+# ------------------------------------------------- mixture sampling
+#: Mixture spec: even-numbered sources are upweighted (training-mix
+#: style domain weighting), in parts-per-million of each source's own
+#: volume. Literal constants so both engines fold them.
+MIX_PPM_EVEN = 600_000
+MIX_PPM_ODD = 200_000
+
+_MIX_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+              THEN {MIX_PPM_EVEN} ELSE {MIX_PPM_ODD} END AS ppm
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, ppm,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_source
+  FROM d
+)
+SELECT doc_id, source,
+       CAST(rk AS BIGINT) AS rk,
+       CAST(n_source AS BIGINT) AS n_source,
+       CAST(n_source * ppm // 1000000 AS BIGINT) AS quota
+FROM r
+WHERE rk <= n_source * ppm // 1000000
+"""
+
+
+@query("corpus_mix_sampling", oracle=_MIX_ORACLE)
+def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling — the data-mixing step
+    of LLM corpus assembly: each source contributes a configured
+    share of ITS OWN volume (even-numbered sources 60%, odd 20%),
+    selected as the bottom-`quota` documents by the engine-portable
+    md5 hash family (operators/dedup.py portable_hash64) with a
+    doc_id tie-break.
+
+    Properties that matter at 100 TB: the sample is a pure FUNCTION
+    of (doc_id, source) — no RNG state, so reruns, retries and
+    incremental extensions of the corpus select consistently (a doc
+    stays in-sample as its source grows only if its hash rank
+    stays under the moving quota — the consistent-hash 'reservoir'
+    stance of sample_consistent_hash); quotas come from exact
+    per-source window counts, positive truncating division
+    (`div`/`//` agree on non-negatives). One shuffle on source for
+    the rank window.
+    """
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    d = read_table_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        portable_hash64(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(MIX_PPM_EVEN)
+        )
+        .otherwise(F.lit(MIX_PPM_ODD))
+        .alias("ppm"),
+    )
+    w = Window.partitionBy("source")
+    r = d.select(
+        "doc_id",
+        "source",
+        "ppm",
+        F.row_number().over(w.orderBy("h", "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_source"),
+    )
+    quota = F.expr("n_source * ppm div 1000000")
+    return (
+        r.where(F.col("rk") <= quota)
+        .select(
+            "doc_id",
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("n_source").cast("long").alias("n_source"),
+            quota.cast("long").alias("quota"),
+        )
+    )

@@ -454,3 +454,73 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
     )
+
+
+# ---------------------------------------------- zone-map data skipping
+#: Synthetic file chunking (orderkey-clustered, ~1000 keys per file)
+#: and the range predicate the zone maps are probed with (cents).
+ZM_KEYS_PER_FILE = 1000
+ZM_LO_CENTS = 20_000_000
+ZM_HI_CENTS = 30_000_000
+
+_ZONEMAP_ORACLE = f"""
+WITH f AS (
+  SELECT o_orderkey // {ZM_KEYS_PER_FILE} AS file_id,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+z AS (
+  SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+         CAST(SUM(CASE WHEN cents BETWEEN {ZM_LO_CENTS} AND {ZM_HI_CENTS}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+  FROM f GROUP BY file_id
+)
+SELECT file_id, n_rows, min_cents, max_cents, n_matching,
+       max_cents < {ZM_LO_CENTS} OR min_cents > {ZM_HI_CENTS} AS pruned
+FROM z
+"""
+
+
+@query("scan_zonemap_prune", oracle=_ZONEMAP_ORACLE)
+def scan_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) data-skipping report: the
+    orders fact is chunked into orderkey-clustered pseudo-files, a
+    per-file (min, max, count) zone map is built in one grouped
+    pass, and a cents-range predicate is answered against the maps —
+    each file reports whether the zone map alone PRUNES it
+    (``max < lo OR min > hi``) alongside its exact in-range count,
+    so soundness is IN the hashed result: a pruned file must show
+    ``n_matching = 0`` (asserted in tests/test_r5_ops.py).
+
+    This is the operator-level statement of what
+    parquet row-group statistics + ``PushedFilters`` do physically
+    in every scan of this engine (and what layout_zorder_cluster
+    optimizes FOR): skipping effectiveness is a function of layout —
+    orderkey-clustered files give near-random totalprice ranges, so
+    most files survive; re-clustering by the filter column collapses
+    them. Prices quantize to exact BIGINT cents (round-half-even on
+    the same doubles both engines — the table_checksum stance).
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") / ZM_KEYS_PER_FILE).cast("long").alias("file_id"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    z = o.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum(
+            F.col("cents").between(ZM_LO_CENTS, ZM_HI_CENTS).cast("long")
+        ).alias("n_matching"),
+    )
+    return z.select(
+        "file_id",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        "n_matching",
+        (
+            (F.col("max_cents") < ZM_LO_CENTS) | (F.col("min_cents") > ZM_HI_CENTS)
+        ).alias("pruned"),
+    )

@@ -86,3 +86,76 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1:N frame-sampling fan-out via mapInPandas (stub demuxer)."""
     docs = read_table(spark, sf_dir, "documents")
     return M.frame_sample_plan(M.attach_binary_payload(docs), every_n=2)
+
+
+# ---------------------------------------------------------- tiling
+#: Patch size for vision-model tiling (pixels).
+TILE = 512
+
+_TILES_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         CAST(64 + CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 1920
+              AS INT) AS width,
+         CAST(64 + (CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) // 256)
+              % 1080 AS INT) AS height
+  FROM documents
+),
+rows_y AS (
+  SELECT media_id, width, height,
+         unnest(generate_series(0, (height + {TILE} - 1) // {TILE} - 1)) AS ty
+  FROM meta
+),
+grid AS (
+  SELECT media_id, width, height, ty,
+         unnest(generate_series(0, (width + {TILE} - 1) // {TILE} - 1)) AS tx
+  FROM rows_y
+)
+SELECT media_id, CAST(ty AS INT) AS tile_row, CAST(tx AS INT) AS tile_col,
+       CAST(tx * {TILE} AS INT) AS x0,
+       CAST(ty * {TILE} AS INT) AS y0,
+       CAST(LEAST({TILE}, width - tx * {TILE}) AS INT) AS tile_w,
+       CAST(LEAST({TILE}, height - ty * {TILE}) AS INT) AS tile_h
+FROM grid
+"""
+
+
+@query("mm_image_tiles", oracle=_TILES_ORACLE)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-tiling fan-out for vision-model preprocessing: decode
+    metadata (Arrow-batched stub codec, mapInPandas) -> one row per
+    TILE x TILE patch with clipped edge-tile geometry.
+
+    The decode stage is the only Python; the 1:N tile fan-out itself
+    is JVM-side codegen (two nested ``sequence`` explodes on the
+    ceil-divided grid) — the right split at 100 TB, where the
+    explode multiplies rows ~12x and should not pay Arrow transfer
+    twice. Real-codec swap point stays inside decode_media_meta
+    (operators/multimodal.py); the tile geometry contract — offsets,
+    clipped widths ``least(TILE, width - x0)``, full coverage with no
+    overlap (property-tested in tests/test_r5_ops.py) — is decoder-
+    independent and fully value-hash-oracled.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    meta = M.decode_media_meta(M.attach_binary_payload(docs)).select(
+        "media_id", "width", "height"
+    )
+    n_y = F.expr(f"(height + {TILE} - 1) div {TILE}")
+    n_x = F.expr(f"(width + {TILE} - 1) div {TILE}")
+    g = (
+        meta.withColumn("ty", F.explode(F.sequence(F.lit(0), (n_y - 1).cast("int"))))
+        .withColumn("tx", F.explode(F.sequence(F.lit(0), (n_x - 1).cast("int"))))
+    )
+    return g.select(
+        "media_id",
+        F.col("ty").cast("int").alias("tile_row"),
+        F.col("tx").cast("int").alias("tile_col"),
+        (F.col("tx") * TILE).cast("int").alias("x0"),
+        (F.col("ty") * TILE).cast("int").alias("y0"),
+        F.least(F.lit(TILE), F.col("width") - F.col("tx") * TILE)
+        .cast("int")
+        .alias("tile_w"),
+        F.least(F.lit(TILE), F.col("height") - F.col("ty") * TILE)
+        .cast("int")
+        .alias("tile_h"),
+    )

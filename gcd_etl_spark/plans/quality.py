@@ -359,3 +359,107 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "user_id", "exact_count", "est_count", "overcount", rank.alias("rank")
     )
+
+
+# -------------------------------------------- repetition (Gopher-style)
+#: ASCII token pattern shared with BM25/NB (java.regex == RE2 safe).
+_TOKEN_SPLIT = "[^a-z0-9]+"
+#: A doc fails the repetition filter when more than this many parts
+#: per million of its trigram slots are repeats of an earlier trigram.
+REP_DUP_PPM_MAX = 150_000
+
+_REP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         unnest(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tri
+  FROM d
+  WHERE len(toks) >= 3
+),
+c AS (SELECT doc_id, n_tokens, tri, COUNT(*) AS cnt
+      FROM g GROUP BY doc_id, n_tokens, tri),
+m AS (
+  SELECT doc_id, n_tokens,
+         SUM(cnt) AS n_trigrams,
+         SUM(cnt) - COUNT(*) AS n_dup_slots,
+         MAX(cnt) AS top_trigram_cnt
+  FROM c GROUP BY doc_id, n_tokens
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_trigrams AS BIGINT) AS n_trigrams,
+       CAST(n_dup_slots AS BIGINT) AS n_dup_slots,
+       CAST(top_trigram_cnt AS BIGINT) AS top_trigram_cnt,
+       CAST(n_dup_slots * 1000000 // n_trigrams AS BIGINT) AS dup_ppm,
+       n_dup_slots * 1000000 // n_trigrams <= {REP_DUP_PPM_MAX} AS keep
+FROM m
+"""
+
+
+@query("quality_repetition_ngrams", oracle=_REP_ORACLE)
+def quality_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per document, the fraction of
+    word-trigram slots occupied by a repeat of an earlier trigram
+    (plus the hottest trigram's count), with a keep/drop verdict —
+    the boilerplate/template-spam signal every crawl-scale curation
+    pipeline applies after exact/near dedup (which only sees
+    WHOLE-document duplication; this operator sees INTERNAL
+    duplication).
+
+    All-integer: duplicate-slot counts are exact (sum - distinct per
+    doc), and the ppm ratio is a positive-integer truncating
+    division, spelled ``div`` in Spark and ``//`` in DuckDB — those
+    differ on negatives (truncate vs floor) but both inputs here are
+    >= 0 by construction, where the two agree exactly. Shape: one
+    trigram explode into a (doc_id, trigram) count with map-side
+    partials, then a per-doc re-aggregate on the SAME doc_id key —
+    the n-gram discipline of text_ngram_counts at document grain.
+    """
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    d = read_table_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    g = (
+        d.where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("toks", i),
+                        F.element_at("toks", i + 1),
+                        F.element_at("toks", i + 2),
+                    ),
+                )
+            ).alias("tri"),
+        )
+    )
+    c = g.groupBy("doc_id", "n_tokens", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.groupBy("doc_id", "n_tokens").agg(
+        F.sum("cnt").alias("n_trigrams"),
+        (F.sum("cnt") - F.count(F.lit(1))).alias("n_dup_slots"),
+        F.max("cnt").alias("top_trigram_cnt"),
+    )
+    dup_ppm = F.expr("n_dup_slots * 1000000 div n_trigrams")
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_trigrams").cast("long").alias("n_trigrams"),
+        F.col("n_dup_slots").cast("long").alias("n_dup_slots"),
+        F.col("top_trigram_cnt").cast("long").alias("top_trigram_cnt"),
+        dup_ppm.cast("long").alias("dup_ppm"),
+        (dup_ppm <= REP_DUP_PPM_MAX).alias("keep"),
+    )

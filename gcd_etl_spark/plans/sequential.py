@@ -279,3 +279,78 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(counts, "dist", "left").select(
         "dist", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_nodes")
     )
+
+
+# --------------------------------------------------- sessionize ids
+#: Session gap (microseconds): a >30-min silence starts a new session.
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSIONIZE_ORACLE = f"""
+WITH q AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+b AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN us - LAG(us) OVER w > {SESSION_GAP_US}
+                   OR LAG(us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, event_id, us, is_start,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+  FROM b
+)
+SELECT user_id, event_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY us, event_id) AS BIGINT) AS pos_in_session,
+       MIN(us) OVER (PARTITION BY user_id, session_seq) AS session_start_us
+FROM s
+"""
+
+
+@query("events_sessionize_ids", oracle=_SESSIONIZE_ORACLE)
+def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session assignment (gaps-and-islands): each event
+    gets its user's running session number, its position inside that
+    session, and the session's start time — the enrichment form of
+    sessionization that win_session/intervals_merge_coverage only
+    expose as aggregates, and the precursor every behavioral join
+    (funnel-within-session, path-within-session) builds on.
+
+    One (user_id) shuffle carries all three window passes — the
+    boundary LAG, the running-sum island numbering, and the
+    per-session position/start — because every window is keyed by
+    user_id (+ the derived session_seq), so Catalyst plans a single
+    exchange + sort. All integers (event-time microseconds; strict
+    ``>`` gap rule with (us, event_id) total order)."""
+    q = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    b = q.withColumn(
+        "is_start",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = b.withColumn(
+        "session_seq",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    ws = Window.partitionBy("user_id", "session_seq")
+    return s.select(
+        "user_id",
+        "event_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        F.row_number()
+        .over(ws.orderBy("us", "event_id"))
+        .cast("long")
+        .alias("pos_in_session"),
+        F.min("us").over(ws).alias("session_start_us"),
+    )

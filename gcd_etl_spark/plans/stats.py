@@ -529,3 +529,286 @@ def ml_ols_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(({d['det2']}) / ({d['det']}) * 1000 + 0.5) AS BIGINT)"
         ).alias("b2_millicents"),
     )
+
+
+# ------------------------------------------------- chi² independence
+_CHI2_ORACLE = """
+WITH cells AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY seg, prio
+),
+tot AS (
+  SELECT seg, prio, n_obs,
+         SUM(n_obs) OVER (PARTITION BY seg) AS r_total,
+         SUM(n_obs) OVER (PARTITION BY prio) AS c_total,
+         SUM(n_obs) OVER () AS n
+  FROM cells
+)
+SELECT seg, prio, n_obs,
+       CAST(r_total AS BIGINT) AS r_total,
+       CAST(c_total AS BIGINT) AS c_total,
+       CAST(floor(CAST(n_obs * n - r_total * c_total AS DOUBLE)
+                  * CAST(n_obs * n - r_total * c_total AS DOUBLE)
+                  / (CAST(r_total AS DOUBLE) * CAST(c_total AS DOUBLE)
+                     * CAST(n AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS chi2_term_micro
+FROM tot
+"""
+
+
+@query("stat_chi2_independence", oracle=_CHI2_ORACLE)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between customer market segment
+    and order priority — the categorical-feature drift/leakage check
+    of a feature pipeline. One join + ONE grouped count builds the
+    contingency table; row/column/grand totals are window sums over
+    the (|seg| x |prio|) cell table, which is tiny by construction,
+    so the windows never see the fact table. The per-cell statistic
+    ``(O*N - R*C)^2 / (R*C*N)`` (the standard (O-E)^2/E with E=RC/N,
+    cleared of the inner division) is computed on EXACT BIGINT
+    counts with one fixed IEEE double sequence and micro-quantized —
+    no ln, no sqrt, so the only float ops are two multiplies, one
+    divide and the quantize, identical cross-engine. The BIGINT
+    products are safe to ~3e9 fact rows (O*N < 2^63).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = cells.select(
+        "seg",
+        "prio",
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy("seg")).alias("r_total"),
+        F.sum("n_obs").over(Window.partitionBy("prio")).alias("c_total"),
+        F.sum("n_obs").over(Window.partitionBy()).alias("n"),
+    )
+    diff = (F.col("n_obs") * F.col("n") - F.col("r_total") * F.col("c_total")).cast(
+        "double"
+    )
+    return tot.select(
+        "seg",
+        "prio",
+        "n_obs",
+        F.col("r_total").cast("long").alias("r_total"),
+        F.col("c_total").cast("long").alias("c_total"),
+        F.floor(
+            diff
+            * diff
+            / (
+                F.col("r_total").cast("double")
+                * F.col("c_total").cast("double")
+                * F.col("n").cast("double")
+            )
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("chi2_term_micro"),
+    )
+
+
+# ------------------------------------------------- CUSUM changepoint
+#: Alarm threshold for the one-sided CUSUM, in value micro-units.
+CUSUM_H_MICRO = 500_000_000
+
+
+_CUSUM_ORACLE = f"""
+WITH q AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+ref AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         CAST((SUM(x) - ((SUM(x) % COUNT(*)) + COUNT(*)) % COUNT(*))
+              / COUNT(*) AS BIGINT) AS ref_micro
+  FROM q GROUP BY user_id
+),
+p0 AS (
+  SELECT q.user_id, q.event_id, q.us,
+         ROW_NUMBER() OVER w AS seq,
+         SUM(q.x - ref.ref_micro) OVER w AS pfx
+  FROM q JOIN ref USING (user_id)
+  WINDOW w AS (PARTITION BY q.user_id ORDER BY q.us, q.event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+p AS (
+  SELECT user_id, event_id, seq, pfx,
+         MIN(pfx) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS min_pfx
+  FROM p0
+),
+s AS (
+  SELECT user_id, seq,
+         pfx - LEAST(CAST(0 AS BIGINT), min_pfx) AS cusum
+  FROM p
+)
+SELECT s.user_id,
+       CAST(ref.n_events AS BIGINT) AS n_events,
+       ref.ref_micro,
+       CAST(MAX(s.cusum) AS BIGINT) AS max_cusum_micro,
+       MIN(CASE WHEN s.cusum > {CUSUM_H_MICRO} THEN s.seq END)
+         AS first_alarm_seq,
+       CAST(SUM(CASE WHEN s.cusum > {CUSUM_H_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms
+FROM s JOIN ref USING (user_id)
+GROUP BY s.user_id, ref.n_events, ref.ref_micro
+"""
+
+
+@query("ts_changepoint_cusum", oracle=_CUSUM_ORACLE)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detector per user over the event
+    value series — WITHOUT the sequential recurrence: ``S_k = max(0,
+    S_(k-1) + d_k)`` is restated through the prefix identity
+    ``S_k = P_k - min(0, min_(j<=k) P_j)`` (P = running sum of
+    deviations), so an inherently iterative control chart becomes
+    two stacked window passes over ONE (user_id) shuffle — the
+    at-scale answer to per-entity sequential state, same stance as
+    the funnel fold (plans/analytics.py).
+
+    Exactness: values quantize once to BIGINT micros; the per-user
+    reference is a SIGN-SAFE integer floor division
+    ``(s - ((s % n + n) % n)) / n`` — Spark ``div`` truncates toward
+    zero while DuckDB ``//`` floors, and ``%`` takes the dividend's
+    sign in both, so this expression is the one floor-division
+    spelling that matches bit-for-bit on BOTH engines for either
+    sign (the round-4 advice item on resample_ffill/asof, now made
+    structural). Everything downstream is BIGINT compares.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("x"),
+    )
+    s, n = F.sum("x"), F.count(F.lit(1))
+    ref = ev.groupBy("user_id").agg(
+        n.alias("n_events"),
+        ((s - ((s % n + n) % n)) / n).cast("long").alias("ref_micro"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = (
+        ev.join(ref, "user_id")
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn("pfx", F.sum(F.col("x") - F.col("ref_micro")).over(w))
+        .withColumn("min_pfx", F.min("pfx").over(w))
+    )
+    cusum = F.col("pfx") - F.least(F.lit(0).cast("long"), F.col("min_pfx"))
+    alarmed = p.select(
+        "user_id", "n_events", "ref_micro", "seq", cusum.alias("cusum")
+    )
+    return alarmed.groupBy("user_id", "n_events", "ref_micro").agg(
+        F.max("cusum").alias("max_cusum_micro"),
+        F.min(F.when(F.col("cusum") > CUSUM_H_MICRO, F.col("seq"))).alias(
+            "first_alarm_seq"
+        ),
+        F.sum((F.col("cusum") > CUSUM_H_MICRO).cast("long")).alias("n_alarms"),
+    )
+
+
+# --------------------------------------------------- MAD robust outliers
+#: Outlier rule: |x - median| > MAD_K * MAD (integer cross-multiply).
+MAD_K = 3
+
+
+_MAD_ORACLE = f"""
+WITH q AS (
+  SELECT user_id, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY x, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM q
+),
+med AS (SELECT user_id, x AS median_micro FROM r WHERE rk = (n + 1) // 2),
+d AS (
+  SELECT q.user_id, q.event_id, q.x,
+         abs(q.x - med.median_micro) AS dev, med.median_micro
+  FROM q JOIN med USING (user_id)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rk2,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM d
+),
+mad AS (SELECT user_id, dev AS mad_micro FROM r2 WHERE rk2 = (n + 1) // 2)
+SELECT d.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       d.median_micro, mad.mad_micro,
+       CAST(SUM(CASE WHEN d.dev > {MAD_K} * mad.mad_micro THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (user_id)
+GROUP BY d.user_id, d.median_micro, mad.mad_micro
+"""
+
+
+@query("ts_anomaly_mad", oracle=_MAD_ORACLE)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier report per user — the ROBUST
+    counterpart to anomaly_zscore_events (a single wild value drags a
+    z-score's mean AND stddev; it barely moves the median).
+
+    Exact order statistics: the median and the MAD are VALUES FROM
+    THE DATA selected by rank windows (the agg_percentiles_exact
+    stance — no interpolation, no floats anywhere), with the
+    lower-median ``rk = (n+1) div 2`` convention and (value,
+    event_id) tie-break; the outlier rule ``dev > k*MAD`` is an
+    integer cross-multiply, so the whole operator is BIGINT-exact.
+    Shape: both rank passes shuffle on the SAME user_id key (AQE
+    reuses the partitioning), and the deviation join is co-keyed —
+    nothing global, no fact-table window without a partition.
+    """
+    q = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("x"),
+    )
+    wu = Window.partitionBy("user_id")
+    r = q.withColumn("rk", F.row_number().over(wu.orderBy("x", "event_id"))).withColumn(
+        "n", F.count(F.lit(1)).over(wu)
+    )
+    med = r.where(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "user_id", F.col("x").alias("median_micro")
+    )
+    d = q.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "x",
+        "median_micro",
+        F.abs(F.col("x") - F.col("median_micro")).alias("dev"),
+    )
+    r2 = d.withColumn(
+        "rk2", F.row_number().over(wu.orderBy("dev", "event_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(wu))
+    mad = r2.where(F.col("rk2") == F.expr("(n + 1) div 2")).select(
+        "user_id", F.col("dev").alias("mad_micro")
+    )
+    return (
+        d.join(mad, "user_id")
+        .groupBy("user_id", "median_micro", "mad_micro")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum((F.col("dev") > MAD_K * F.col("mad_micro")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "user_id", "n_events", "median_micro", "mad_micro", "n_outliers"
+        )
+    )
