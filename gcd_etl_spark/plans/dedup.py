@@ -274,3 +274,172 @@ def dedup_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         # token-less docs: fingerprint 0, matching simhash64's fold
         .select("doc_id", "content_fp", F.coalesce("fp", F.lit(0)).alias("simhash_fp"))
     )
+
+
+# ----------------------------------------- portable SRP semantic dedup
+#: 8 LSH tables x 6 sign bits; cosine accept threshold 0.40 (squared
+#: literal below) — sized to THIS fixture's similarity ceiling (the
+#: synthetic corpus is near-orthogonal: max pairwise cosine ~0.51, so
+#: a 0.9-style near-dup bar would select nothing; production corpora
+#: with real dupes raise the bar, which only HELPS recall). Hyperplane
+#: signs derive from md5 of a fixed label, so BOTH engines rebuild the
+#: identical matrix from constants.
+SRP_TABLES = 8
+SRP_BITS = 6
+SRP_COS2 = 0.16  # 0.40^2
+_SRP_DIM = 64
+
+
+def _srp_signs(table: int, bit: int) -> list[int]:
+    import hashlib
+
+    out = []
+    for i in range(_SRP_DIM):
+        h = hashlib.md5(f"srp:{table}:{bit}:{i}".encode()).hexdigest()
+        out.append(1 if int(h[:15], 16) % 2 == 0 else -1)
+    return out
+
+
+def _srp_bucket_sql(table: int, one_based: bool) -> str:
+    terms = []
+    for j in range(SRP_BITS):
+        signs = _srp_signs(table, j)
+        dot = " + ".join(
+            f"({s} * qv[{i + 1 if one_based else i}])" for i, s in enumerate(signs)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _srp_self_dot(one_based: bool) -> str:
+    return " + ".join(
+        f"qv[{i + 1 if one_based else i}] * qv[{i + 1 if one_based else i}]"
+        for i in range(_SRP_DIM)
+    )
+
+
+def _srp_oracle() -> str:
+    pair_dot = " + ".join(f"p.qa[{i}] * p.qb[{i}]" for i in range(1, _SRP_DIM + 1))
+    buckets = ", ".join(
+        f"{_srp_bucket_sql(t, True)} AS b{t}" for t in range(SRP_TABLES)
+    )
+    any_shared = " OR ".join(f"a.b{t} = c.b{t}" for t in range(SRP_TABLES))
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, qv, CAST({_srp_self_dot(True)} AS BIGINT) AS nrm, {buckets}
+  FROM e
+),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         a.qv AS qa, c.qv AS qb, a.nrm AS na, c.nrm AS nb
+  FROM b a JOIN b c ON a.vec_id < c.vec_id AND ({any_shared})
+),
+v AS (
+  SELECT id_a, id_b, CAST({pair_dot} AS BIGINT) AS dot, na, nb
+  FROM p
+)
+SELECT id_a, id_b, dot,
+       CAST(floor(CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+FROM v
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= {SRP_COS2} * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+"""
+
+
+@query("dedup_semantic_srp", oracle=_srp_oracle())
+def dedup_semantic_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) near-duplicate pairs via PORTABLE
+    signed-random-projection LSH — the SemDeDup-family primitive:
+    8 tables x 6 sign-bit buckets, candidates = pairs sharing ANY
+    bucket, accepted at cosine >= 0.40 (the fixture's similarity
+    ceiling is ~0.51 — see the constants note).
+
+    Portability trick: the hyperplane sign matrix is derived from
+    md5 of fixed labels at PLAN BUILD TIME and embedded as literal
+    +-1 coefficients in both engines' expressions — so unlike the
+    xxhash64 SRP tables of sim_ann_lsh (rows-only check), this LSH
+    family is bit-identical in DuckDB and carries a FULL value-hash
+    oracle. Verification avoids all float compares except one fixed
+    IEEE sequence: integer dot > 0 AND dot^2 >= 0.7225*|a|^2*|b|^2
+    (cosine cleared of its sqrt), with cos_ppm reported via the
+    correctly-rounded sqrt. The dot>0 guard makes the squared
+    comparison sign-safe.
+
+    Scale: Spark builds each table's buckets once (codegen'd literal
+    dot products), shuffles on (table, bucket) equi-keys — never the
+    OR-join the oracle can afford at sf0.01 — and unions candidates
+    before one distinct + verify pass; recall at 0.85 cosine is
+    1-(1-(1-0.18)^8)^4 ~ 0.66 per table-or, the documented
+    recall/cost dial (more tables => more recall, same per-table
+    cost). The exact-pair ground truth for recall audits is
+    sim_embedding_neardup_blas.
+    """
+    from pyspark.sql import Window as W
+
+    e = read_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: F.floor(v.cast("double") * 1_000_000 + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    b = e.select(
+        "vec_id",
+        "qv",
+        F.expr(f"CAST({_srp_self_dot(False)} AS BIGINT)").alias("nrm"),
+        *[
+            F.expr(_srp_bucket_sql(t, False)).alias(f"b{t}")
+            for t in range(SRP_TABLES)
+        ],
+    )
+    # per-table equi-join on the bucket key (the scale shape), then
+    # union + distinct — same pair set as the oracle's OR-join
+    cand = None
+    for t in range(SRP_TABLES):
+        a = b.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("qv").alias("qa"),
+            F.col("nrm").alias("na"),
+            F.col(f"b{t}").alias("bk"),
+        )
+        c = b.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("qv").alias("qb"),
+            F.col("nrm").alias("nb"),
+            F.col(f"b{t}").alias("bk"),
+        )
+        p = a.join(c, "bk").where(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", "qa", "qb", "na", "nb"
+        )
+        cand = p if cand is None else cand.unionAll(p)
+    pairs = cand.dropDuplicates(["id_a", "id_b"])
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    v = pairs.select("id_a", "id_b", dot.alias("dot"), "na", "nb")
+    dd = F.col("dot").cast("double")
+    return v.where(
+        (F.col("dot") > 0)
+        & (dd * dd >= F.lit(SRP_COS2) * F.col("na").cast("double") * F.col("nb").cast("double"))
+    ).select(
+        "id_a",
+        "id_b",
+        "dot",
+        F.floor(
+            dd / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("cos_ppm"),
+    )

@@ -812,3 +812,148 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "n_events", "median_micro", "mad_micro", "n_outliers"
         )
     )
+
+
+# --------------------------------------------- KMV distinct sketch
+#: Bottom-k size for the KMV cardinality estimator and the hash-space
+#: modulus of portable_hash64 (15 hex digits = 2^60).
+KMV_DIST_K = 64
+_KMV_M = float(1 << 60)
+
+_KMV_DISTINCT_ORACLE = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_hashes
+  FROM h
+),
+kth AS (
+  SELECT event_type, h AS kth_hash, n_hashes FROM r WHERE rk = {KMV_DIST_K}
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+  GROUP BY event_type
+)
+SELECT exact.event_type,
+       CAST(exact.n_exact AS BIGINT) AS n_exact,
+       kth.kth_hash,
+       CASE WHEN kth.kth_hash IS NULL THEN CAST(exact.n_exact AS BIGINT)
+            ELSE CAST(floor(CAST({KMV_DIST_K - 1} AS DOUBLE) * {_KMV_M!r}
+                            / kth.kth_hash) AS BIGINT) END AS est_distinct
+FROM exact LEFT JOIN kth USING (event_type)
+"""
+
+
+@query("sketch_distinct_kmv", oracle=_KMV_DISTINCT_ORACLE)
+def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct-count sketch (KMV / bottom-k): the k-th
+    smallest portable-md5 hash of the group's members estimates the
+    group's cardinality as ``(k-1) * M / h_k`` — the mergeable,
+    engine-portable alternative to HLL internals (which no two
+    engines serialize alike), shown beside the EXACT distinct count
+    so the estimation error itself is inside the hashed result (the
+    sketch_heavy_hitters stance applied to cardinality).
+
+    Groups smaller than k fall back to their exact count (the sketch
+    is exact below k by construction — every member hash is kept).
+    Determinism: hash space is integers in [0, 2^60); the estimator
+    is one fixed IEEE sequence (exactly-representable k-1 and M,
+    one divide, floor). At 100 TB the bottom-k per group is a
+    mergeable partial aggregate — only (group, 64 hashes) ever
+    shuffles, the audience_overlap_minhash discipline.
+    """
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        portable_hash64(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "h",
+        F.row_number().over(w.orderBy("h")).alias("rk"),
+    )
+    kth = r.where(F.col("rk") == KMV_DIST_K).select(
+        "event_type", F.col("h").alias("kth_hash")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    est = F.when(F.col("kth_hash").isNull(), F.col("n_exact")).otherwise(
+        F.floor(
+            F.lit(float(KMV_DIST_K - 1)) * F.lit(_KMV_M) / F.col("kth_hash")
+        ).cast("long")
+    )
+    return exact.join(kth, "event_type", "left").select(
+        "event_type", "n_exact", "kth_hash", est.alias("est_distinct")
+    )
+
+
+# ------------------------------------------- time-weighted average
+_TWA_ORACLE = """
+WITH q AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x_milli
+  FROM events
+),
+d AS (
+  SELECT user_id, x_milli,
+         (LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us)
+           // 1000 AS dur_ms
+  FROM q
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(dur_ms) AS BIGINT) AS total_ms,
+       CAST(SUM(x_milli * dur_ms) // SUM(dur_ms) AS BIGINT) AS twa_milli
+FROM d WHERE dur_ms IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("window_time_weighted_avg", oracle=_TWA_ORACLE)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user (TWAP /
+    hypertable ``time_weight`` shape): each observation holds until
+    the next one, so the mean weighs values by their holding
+    DURATION, not their count — the correct aggregate for
+    irregularly sampled series, where a plain AVG over-counts busy
+    periods. LOCF semantics; the last observation (no successor)
+    carries no weight.
+
+    All-integer: values quantize to millis, durations to exact
+    event-time milliseconds via one LEAD over the (user_id) shuffle,
+    and the final ratio is a truncating division of non-negative
+    BIGINTs (``div``/``//`` agree there). The milli/milli scaling
+    bounds the dot product by value_max * total-time-span per user
+    (~1e16 per year-long user) — no overflow at any fixture scale.
+    """
+    q = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("x_milli"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    d = q.select(
+        "user_id",
+        "x_milli",
+        F.expr("(lead(us) over (partition by user_id order by us, event_id) - us) div 1000").alias(
+            "dur_ms"
+        ),
+    ).where(F.col("dur_ms").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum("dur_ms").cast("long").alias("total_ms"),
+        F.expr("sum(x_milli * dur_ms) div sum(dur_ms)").cast("long").alias("twa_milli"),
+    )
