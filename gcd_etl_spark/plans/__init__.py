@@ -68,48 +68,47 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: flagship slots that re-verify every round. Whole-window green at sf0.01 re-checked
 #: via tests/verify_window_sf001.py after every rotation this round.
 _DRIVER_WINDOW = [
-    # --- (a) round-4 red, fixed + this round's changed queries ---
+    # --- (a) round-4's one red, fixed (funnel oracle HUGEINT cast)
+    # + the queries whose arithmetic changed late in round 4 (BM25
+    # integer micro-scores, resample/as-of floor-division,
+    # attribution tolerance) — all must re-verify on current code ---
     "events_funnel",
     "text_bm25_topk",
     "resample_ffill",
     "asof_join_events",
     "attribution_last_touch",
-    # --- (b) no green row in r3/r4 ---
-    "anomaly_zscore_events",
-    "data_split_grouped",
-    "dedup_ngram_jaccard",
-    "entity_clusters",
-    "pandas_grouped_stats",
-    "sql_exists_correlated",
-    "sql_q18_large_orders",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_quality",
-    # --- (c) NEW round-5 operators (first driver rows) ---
-    "dq_expectations",
-    "agg_histogram",
-    "agg_percentiles_exact",
-    "sketch_heavy_hitters",
-    "text_ngram_counts",
-    "text_tfidf_topk",
-    "pack_token_budget",
-    "events_retention_cohorts",
-    "events_path_topk",
-    "graph_triangles",
-    "window_rolling_range",
-    "sample_consistent_hash",
-    "agg_mode_per_group",
-    "emb_quantize_int8",
-    # --- (e) NEW round-6 operators (first driver rows): exact-moment
-    # correlation, PSI drift, quantile-sketch rank-bound gate, KMV
-    # audience overlap, Markov transitions, market-basket lift,
-    # incremental rollup merge, stream-stream interval join. They
-    # take the slots of round-3-green re-verification stand-ins
-    # (snapshot_denorm, dump_roundtrip, q1_pricing_summary,
-    # dedup_minhash_portable, sim_ann_lsh_recall, term_table,
-    # udtf_token_runs, mm_frame_sample — all ≤2 rounds green, code
-    # unchanged, pytest-pinned; the two flagships below still
-    # re-verify every round and subsume the denorm/dump lineage) ---
+    # --- (b) NEW round-5 operators (first driver rows): supervised
+    # classifiers, robust monitoring, curation, retrieval fusion,
+    # layout, sketching, portable semantic LSH ---
+    "ml_naive_bayes_confusion",
+    "ml_knn_confusion",
+    "stat_chi2_independence",
+    "ts_changepoint_cusum",
+    "ts_anomaly_mad",
+    "quality_repetition_ngrams",
+    "scan_zonemap_prune",
+    "mm_image_tiles",
+    "corpus_mix_sampling",
+    "events_sessionize_ids",
+    "rank_fusion_rrf",
+    "sketch_distinct_kmv",
+    "window_time_weighted_avg",
+    "dedup_semantic_srp",
+    # --- (c) round-4 additions whose debut was deferred last
+    # rotation (announced there): streaming sink/CDC maintenance,
+    # link prediction, decontamination, the Python DataSource dump
+    # reader, BPE application, unigram-LM quality, closed-form OLS ---
+    "stream_sink_parquet",
+    "stream_apply_cdc",
+    "graph_link_prediction",
+    "decontaminate_ngrams",
+    "dump_datasource_roundtrip",
+    "tokenizer_apply_bpe",
+    "quality_unigram_nll",
+    "ml_ols_exact",
+    # --- (d) round-4 debuts keeping their promised first rows:
+    # stats/sketches, behavioral, temporal joins, incremental +
+    # stream-stream, compressed ANN, PCA, BPE training, tree rollup ---
     "stat_corr_exact",
     "dq_drift_psi",
     "sketch_quantile_bound",
@@ -118,36 +117,33 @@ _DRIVER_WINDOW = [
     "assoc_pairs_lift",
     "rollup_incremental_merge",
     "stream_stream_join",
-    # (batch 2: compressed ANN, graph degrees, sequential patterns,
-    # PIT temporal join — they take the slots of four simple (b)
-    # relational shapes whose exact plan families are green elsewhere
-    # in this window or r4: join_inner_chain ~ sql_q18/snapshot joins,
-    # sort_limit_topk ~ every top-k here, sample_weighted ~
-    # sample_consistent_hash/stratified, skew_salted_distinct ~
-    # skew_salted_join r4-green; all four stay pytest-pinned)
     "sim_ann_ivfpq_recall",
     "graph_degree_topk",
     "events_streak_runs",
     "scd2_point_in_time",
-    # (batch 3: integer-exact power-iteration PCA and the interval-
-    # overlap session join — agg_cube/agg_distinct rotate out; their
-    # grouping family is r4-green via agg_rollup/agg_grouping_sets
-    # and dedup_exact, and both stay pytest-pinned)
     "emb_pca_power",
     "join_interval_overlap",
-    # (batch 4: BPE tokenizer training and the BOM-style subtree
-    # rollup — text_fingerprint/text_shingle_stats rotate out; both
-    # primitives are exercised inside the still-windowed
-    # dedup_ngram_jaccard and the portable-minhash family, and stay
-    # pytest-pinned)
     "bpe_learn_merges",
     "agg_tree_rollup",
-    # --- (d) flagship, re-verified every round ---
-    "gcd_snapshot",
-    "gcd_snapshot_from_dump",
     "rollup_time_hierarchy",
     "chunk_sliding_tokens",
     "stream_late_drop",
+    # (two high-semantics entries with no driver row in r3-r4 keep
+    # their slots from last rotation)
+    "entity_clusters",
+    "dedup_ngram_jaccard",
+    # --- (e) flagship, re-verified every round ---
+    "gcd_snapshot",
+    "gcd_snapshot_from_dump",
+    # Rotated OUT to the r06 window (all strict-verified in-session
+    # via the driver-sim sweep this round, pytest-pinned):
+    # anomaly_zscore_events, data_split_grouped, pandas_grouped_stats,
+    # sql_exists_correlated, sql_q18_large_orders, text_lang_id,
+    # text_pii_scrub, text_quality, dq_expectations, agg_histogram,
+    # agg_percentiles_exact, sketch_heavy_hitters, text_ngram_counts,
+    # text_tfidf_topk, pack_token_budget, events_retention_cohorts,
+    # events_path_topk, graph_triangles, window_rolling_range,
+    # sample_consistent_hash, agg_mode_per_group, emb_quantize_int8.
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -524,3 +524,74 @@ def scan_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_cents") < ZM_LO_CENTS) | (F.col("min_cents") > ZM_HI_CENTS)
         ).alias("pruned"),
     )
+
+
+# ----------------------------------------------- CSV / JSON round-trips
+_CSV_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+@query("source_csv_roundtrip", oracle=_CSV_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-format ingestion end-to-end: customer -> CSV (header,
+    explicit quote/escape defaults) -> read back with a DECLARED
+    schema (never inferSchema in production: one extra full scan and
+    type drift across files) -> aggregate; must equal SQL over the
+    original parquet. Doubles survive because Spark writes the
+    shortest round-tripping decimal representation and the typed
+    read parses it back to the identical bit pattern. CSV is the
+    interchange format every dump/export lands in (the reference's
+    own source is a mysqldump variant — sources/dump.py); this pins
+    that the engine's CSV path is lossless for the relational core.
+    """
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_csv_customer_{tag}"
+    cust = read_table(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").option("header", True).csv(staged)
+    back = (
+        spark.read.schema(cust.schema).option("header", True).csv(staged)
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+        .cast("long")
+        .alias("bal_cents"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(p_size) AS BIGINT) AS total_size,
+       CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS retail_cents
+FROM part GROUP BY p_brand
+"""
+
+
+@query("source_json_roundtrip", oracle=_JSON_ORACLE)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion end-to-end: part -> JSONL -> typed
+    read-back -> aggregate, equal to SQL over the original parquet.
+    Same declared-schema stance as the CSV path (schema inference
+    over JSON is worse: it unions types across the whole dataset).
+    JSONL is the landing format of most event/API feeds; with the
+    CSV and ORC round-trips this closes the S-surface triangle —
+    text row formats, columnar formats, and the parquet core all
+    proven lossless through one aggregate contract."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_json_part_{tag}"
+    part = read_table(spark, sf_dir, "part")
+    part.write.mode("overwrite").json(staged)
+    back = spark.read.schema(part.schema).json(staged)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p_size").cast("long").alias("total_size"),
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint"))
+        .cast("long")
+        .alias("retail_cents"),
+    )

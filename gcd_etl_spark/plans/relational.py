@@ -1031,3 +1031,57 @@ def agg_tree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("subtree_cents"),
         )
     )
+
+
+# ------------------------------------------- user feature matrix
+#: Closed event-type set (fixture contract, FIXTURES.md).
+FEATURE_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_FEATURES_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) "
+           f"AS BIGINT) AS n_{t}" for t in FEATURE_EVENT_TYPES)},
+       CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS value_milli,
+       CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+         AS days_active
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("pivot_user_features", oracle=_FEATURES_ORACLE)
+def pivot_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity feature-matrix construction — the feature-store shape
+    every model in plans/ml.py consumes: one row per user with
+    per-event-type counts (pivot over the CLOSED type set as five
+    conditional aggregates — stable schema, no two-pass pivot()
+    inference), exact integer engagement value, and distinct active
+    days (integer epoch-day floor division).
+
+    ONE map-side-combinable groupBy builds every count feature; the
+    distinct-days feature rides the same shuffle (partial distinct
+    on (user, day) pairs). The conditional-agg-over-closed-set
+    choice is the SURVEY §7.5 credit-pivot discipline applied to
+    feature engineering: ``pivot()`` without explicit values scans
+    twice and lets new types silently widen the schema downstream.
+    """
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("value_milli"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    return ev.groupBy("user_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == t, 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"n_{t}")
+            for t in FEATURE_EVENT_TYPES
+        ],
+        F.sum("value_milli").cast("long").alias("value_milli"),
+        F.countDistinct("day").cast("long").alias("days_active"),
+    )

@@ -180,3 +180,80 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_variant_get(v, "$.k", "string").alias("k_str"),
         (k_int * F.lit(2)).alias("k_doubled"),
     )
+
+
+# --------------------------------------- cogrouped pandas surface
+_COGROUP_ORACLE = """
+WITH e AS (
+  SELECT user_id AS key, COUNT(*) AS n_events,
+         SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS value_milli
+  FROM events GROUP BY user_id
+),
+o AS (
+  SELECT o_custkey AS key, COUNT(*) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(e.key, o.key) AS key,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CAST(COALESCE(e.value_milli, 0) AS BIGINT) AS value_milli,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(o.cents, 0) AS BIGINT) AS cents
+FROM e FULL OUTER JOIN o ON e.key = o.key
+"""
+
+
+@query("cogroup_pandas_join", oracle=_COGROUP_ORACLE)
+def cogroup_pandas_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped Arrow-batched Python (``groupBy().cogroup().
+    applyInPandas``) — the remaining face of the §2.10 UDF surface
+    after scalar pandas_udf, grouped applyInPandas, UDTF, mapInArrow
+    and mapInPandas: BOTH tables' rows for one key arrive as two
+    pandas DataFrames in the same kernel call (either possibly
+    empty — full-outer semantics), the canonical shape for custom
+    merge/reconciliation logic that needs whole-key context from two
+    sides at once.
+
+    The kernel only does exact integer sums (values pre-quantized to
+    millis/cents JVM-side, so the Python boundary never touches a
+    float), making the full-outer reconciliation value-hash-exact
+    against DuckDB. Scale: one co-partitioned shuffle on the key for
+    both inputs — identical movement to a sort-merge join — and the
+    kernel sees bounded per-key batches."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("value_milli"),
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("value_milli", T.LongType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = left["key"].iloc[0] if len(left) else right["key"].iloc[0]
+        return pd.DataFrame(
+            {
+                "key": [int(key)],
+                "n_events": [int(len(left))],
+                "value_milli": [int(left["value_milli"].sum()) if len(left) else 0],
+                "n_orders": [int(len(right))],
+                "cents": [int(right["cents"].sum()) if len(right) else 0],
+            }
+        )
+
+    return ev.groupBy("key").cogroup(orders.groupBy("key")).applyInPandas(
+        merge, schema=schema
+    )
