@@ -1404,3 +1404,79 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fused_rank"),
     )
+
+
+# ------------------------------------------------- RFM segmentation
+_RFM_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS custkey,
+         MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+         COUNT(*) AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY o_custkey
+),
+g AS (SELECT MAX(last_day) AS ref_day FROM o),
+m AS (
+  SELECT custkey, CAST(ref_day - last_day AS BIGINT) AS recency_days,
+         CAST(frequency AS BIGINT) AS frequency, cents
+  FROM o CROSS JOIN g
+)
+SELECT custkey, recency_days, frequency, cents,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, custkey) AS BIGINT) AS r_tile,
+       CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS BIGINT) AS f_tile,
+       CAST(NTILE(5) OVER (ORDER BY cents DESC, custkey) AS BIGINT) AS m_tile,
+       CAST(NTILE(5) OVER (ORDER BY recency_days, custkey) * 100
+            + NTILE(5) OVER (ORDER BY frequency DESC, custkey) * 10
+            + NTILE(5) OVER (ORDER BY cents DESC, custkey) AS BIGINT) AS rfm
+FROM m
+"""
+
+
+@query("events_rfm_segments", oracle=_RFM_ORACLE)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order,
+    integer epoch-day arithmetic), frequency and monetary cents, each
+    quintiled with NTILE(5) under a TOTAL order ((metric, custkey)
+    tie-break: ntile without a total order is nondeterministic by
+    shuffle schedule, the agg_mode_per_group lesson) and composed
+    into the classic 3-digit segment code.
+
+    NTILE is deterministic across engines once the order is total:
+    both implement the SQL-standard larger-buckets-first split. The
+    three global NTILEs do sort the customer aggregate — at 100 TB
+    segment on quantile BOUNDARIES from approx_percentile instead
+    (sketch_quantile_bound is the gate for that swap); here the
+    windowed form doubles as the exactness oracle for it."""
+    o = read_table(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(
+        # o_orderdate is TIMESTAMP_NTZ in the fixture parquet; the cast
+        # to TIMESTAMP is UTC-pinned (session.py) = DuckDB's naive read
+        F.max(
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+    )
+    g = o.agg(F.max("last_day").alias("ref_day"))
+    m = o.crossJoin(F.broadcast(g)).select(
+        "custkey",
+        (F.col("ref_day") - F.col("last_day")).cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "cents",
+    )
+    from pyspark.sql import Window as W
+
+    r_t = F.ntile(5).over(W.orderBy("recency_days", "custkey"))
+    f_t = F.ntile(5).over(W.orderBy(F.desc("frequency"), F.asc("custkey")))
+    m_t = F.ntile(5).over(W.orderBy(F.desc("cents"), F.asc("custkey")))
+    return m.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "cents",
+        r_t.cast("long").alias("r_tile"),
+        f_t.cast("long").alias("f_tile"),
+        m_t.cast("long").alias("m_tile"),
+        (r_t * 100 + f_t * 10 + m_t).cast("long").alias("rfm"),
+    )

@@ -733,3 +733,69 @@ def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             quota.cast("long").alias("quota"),
         )
     )
+
+
+# ---------------------------------------------- feature hashing (BOW)
+#: Hashed vocabulary size (buckets) for the hashing-trick vectorizer.
+HASHVEC_BUCKETS = 256
+
+_HASHVEC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+h AS (
+  SELECT doc_id, word,
+         CAST(('0x' || substr(md5('hv:' || word), 1, 15)) AS BIGINT)
+           % {HASHVEC_BUCKETS} AS bucket
+  FROM d
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS total_count,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_terms
+FROM h GROUP BY bucket
+"""
+
+
+@query("text_hashing_vectorizer", oracle=_HASHVEC_ORACLE)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (the vocabulary-free BOW featurizer
+    of Vowpal-Wabbit/sklearn lineage): tokens hash straight into a
+    fixed 256-bucket feature space — no vocabulary build, no second
+    pass, no OOV problem — reported here as the per-bucket corpus
+    profile (occurrences, document frequency, collision load
+    ``n_terms``). On the engine-portable md5 family, so the whole
+    feature space is value-hash-oracled, unlike native hashing
+    vectorizers whose murmur seeds differ per library.
+
+    Why it matters at 100 TB: a learned vocabulary is cluster state
+    that must be built, broadcast and versioned; the hashed space is
+    stateless — each executor featurizes rows independently (one
+    explode + one groupBy with map-side partials here, and the
+    per-doc sparse-vector form is the same expression grouped by
+    (doc_id, bucket)). Collisions are the accepted trade — surfaced
+    per bucket in ``n_terms``.
+    """
+    d = read_table_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+        ).alias("word"),
+    )
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    h = d.select(
+        "doc_id",
+        "word",
+        (portable_hash64(F.concat(F.lit("hv:"), F.col("word"))) % HASHVEC_BUCKETS).alias(
+            "bucket"
+        ),
+    )
+    return h.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("total_count"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("word").cast("long").alias("n_terms"),
+    )

@@ -369,7 +369,7 @@ def dedup_semantic_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 SRP tables of sim_ann_lsh (rows-only check), this LSH
     family is bit-identical in DuckDB and carries a FULL value-hash
     oracle. Verification avoids all float compares except one fixed
-    IEEE sequence: integer dot > 0 AND dot^2 >= 0.7225*|a|^2*|b|^2
+    IEEE sequence: integer dot > 0 AND dot^2 >= SRP_COS2*|a|^2*|b|^2
     (cosine cleared of its sqrt), with cos_ppm reported via the
     correctly-rounded sqrt. The dot>0 guard makes the squared
     comparison sign-safe.
@@ -377,10 +377,17 @@ def dedup_semantic_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: Spark builds each table's buckets once (codegen'd literal
     dot products), shuffles on (table, bucket) equi-keys — never the
     OR-join the oracle can afford at sf0.01 — and unions candidates
-    before one distinct + verify pass; recall at 0.85 cosine is
-    1-(1-(1-0.18)^8)^4 ~ 0.66 per table-or, the documented
-    recall/cost dial (more tables => more recall, same per-table
-    cost). The exact-pair ground truth for recall audits is
+    before one distinct + verify pass; recall at the 0.40 bar is
+    ~1-(1-p^6)^8 with p = 1 - acos(0.40)/pi ~ 0.63, rising steeply
+    with similarity — more tables buy recall at constant per-table
+    cost. The OTHER dial is bucket width: SRP_BITS stays a literal 6
+    here because the oracle must embed identical constants, which
+    leaves wide buckets as the corpus grows (measured 24.9 s at
+    sf0.1 from ~150M verified candidates); production sizes
+    SRP_BITS ~ log2(n / target_bucket_size) — the xxhash-based
+    sim_ann_lsh is that path, and THIS operator is its
+    value-hash-oracled anchor configuration (the portable_hash64
+    stance). Exact-pair ground truth for recall audits:
     sim_embedding_neardup_blas.
     """
     from pyspark.sql import Window as W

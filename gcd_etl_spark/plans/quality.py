@@ -463,3 +463,73 @@ def quality_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_ppm.cast("long").alias("dup_ppm"),
         (dup_ppm <= REP_DUP_PPM_MAX).alias("keep"),
     )
+
+
+# ---------------------------------------------- exact weighted median
+_WMEDIAN_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, cents, w,
+         SUM(w) OVER (PARTITION BY l_returnflag
+                      ORDER BY cents, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM b
+)
+SELECT l_returnflag,
+       CAST(MIN(tot_w) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cum_w >= tot_w THEN cents END) AS BIGINT)
+         AS wmedian_cents
+FROM r
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_median", oracle=_WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per group (price cents weighted by
+    quantity) — the order statistic a revenue-weighted SLA/pricing
+    report actually needs, which neither percentile_disc (unweighted)
+    nor avg expresses. Lower-weighted-median convention: the first
+    value, in (cents, orderkey, linenumber) total order, whose
+    running weight reaches half the group's total.
+
+    Same discipline as agg_percentiles_exact — the selected value
+    comes FROM the data, the running and total weights share one
+    (group) shuffle and sort, and every comparison is BIGINT
+    (``2*cum >= tot`` instead of any division). Map-side nothing:
+    weighted medians fundamentally need the sorted prefix, which is
+    exactly one exchange + in-partition sort at any scale.
+    """
+    b = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wg = Window.partitionBy("l_returnflag")
+    r = b.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w")
+        .over(
+            wg.orderBy("cents", "l_orderkey", "l_linenumber").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum_w"),
+        F.sum("w").over(wg).alias("tot_w"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.min("tot_w").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cum_w") >= F.col("tot_w"), F.col("cents")))
+        .cast("long")
+        .alias("wmedian_cents"),
+    )

@@ -426,3 +426,107 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest("browse_start_us", "buy_start_us")
         ).alias("overlap_us"),
     )
+
+
+# ------------------------------------------------ nearest-event join
+_NEAREST_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS user_id,
+         epoch_us(o_orderdate) AS t_us
+  FROM orders
+),
+e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+prev AS (
+  SELECT o.o_orderkey, MAX(e.us) AS prev_us
+  FROM o JOIN e ON e.user_id = o.user_id AND e.us <= o.t_us
+  GROUP BY o.o_orderkey
+),
+nxt AS (
+  SELECT o.o_orderkey, MIN(e.us) AS next_us
+  FROM o JOIN e ON e.user_id = o.user_id AND e.us > o.t_us
+  GROUP BY o.o_orderkey
+)
+SELECT o.o_orderkey, o.user_id, o.t_us, prev.prev_us, nxt.next_us,
+       CASE
+         WHEN prev.prev_us IS NULL AND nxt.next_us IS NULL THEN NULL
+         WHEN nxt.next_us IS NULL THEN prev.prev_us
+         WHEN prev.prev_us IS NULL THEN nxt.next_us
+         WHEN o.t_us - prev.prev_us <= nxt.next_us - o.t_us THEN prev.prev_us
+         ELSE nxt.next_us
+       END AS nearest_us
+FROM o
+LEFT JOIN prev ON prev.o_orderkey = o.o_orderkey
+LEFT JOIN nxt ON nxt.o_orderkey = o.o_orderkey
+"""
+
+
+@query("asof_join_nearest", oracle=_NEAREST_ORACLE)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event temporal join: each order finds its user's
+    closest event in time on EITHER side (backward like a plain
+    as-of, or forward), tie to the earlier event — the semantic a
+    point-in-time feature join wants when 'most recent' is wrong for
+    sparse entities (asof_join_events covers the backward-only case).
+
+    Spark side is the MERGE shape, not the oracle's per-side
+    aggregate joins: both tables union into one (user_id)-keyed
+    stream sorted by (us, kind) — events sort before orders at equal
+    timestamps so the backward pass sees same-instant events (<=)
+    and the forward pass excludes them (strict >) BY THE SORT ORDER
+    alone — then one running MAX gives every order its previous
+    event and one reversed running MIN its next. Two window passes
+    over a single shuffle, linear at any scale, against the oracle's
+    O(orders x user-events) restatement DuckDB can afford at sf0.01.
+    All integer microseconds, including the tie rule
+    ``t - prev <= next - t``.
+    """
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("us"),
+        F.lit(1).alias("kind"),
+    )
+    e = read_table(spark, sf_dir, "events").select(
+        F.lit(None).cast("long").alias("o_orderkey"),
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(0).alias("kind"),
+    )
+    u = e.unionByName(o.select("o_orderkey", "user_id", "us", "kind"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_us = F.when(F.col("kind") == 0, F.col("us"))
+    m = u.select(
+        "o_orderkey",
+        "user_id",
+        "us",
+        "kind",
+        F.max(ev_us).over(wb).alias("prev_us"),
+        F.min(ev_us).over(wf).alias("next_us"),
+    ).where(F.col("kind") == 1)
+    nearest = (
+        F.when(F.col("prev_us").isNull() & F.col("next_us").isNull(), F.lit(None))
+        .when(F.col("next_us").isNull(), F.col("prev_us"))
+        .when(F.col("prev_us").isNull(), F.col("next_us"))
+        .when(
+            F.col("us") - F.col("prev_us") <= F.col("next_us") - F.col("us"),
+            F.col("prev_us"),
+        )
+        .otherwise(F.col("next_us"))
+    )
+    return m.select(
+        "o_orderkey",
+        "user_id",
+        F.col("us").alias("t_us"),
+        "prev_us",
+        "next_us",
+        nearest.cast("long").alias("nearest_us"),
+    )
