@@ -2,9 +2,10 @@
 
 The reference ends at the denormalized snapshot (reference
 Main.java:134-216); a training-data pipeline also needs the model-side
-primitives that CONSUME such tables. Two classifiers, both trained and
-evaluated entirely as DataFrame plans, both with full DuckDB
-confusion-matrix oracles:
+primitives that CONSUME such tables. Three classifier families, all
+trained and evaluated entirely as DataFrame plans, all with full
+DuckDB confusion-matrix oracles (``ml_nearest_centroid`` below adds
+the Rocchio/centroid family to the two here):
 
 * ``ml_naive_bayes_confusion`` — multinomial Naive Bayes language
   classifier over ``documents``: exact token counts, Laplace
@@ -303,4 +304,110 @@ def ml_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pred.groupBy("label_true", F.col("label").alias("label_pred"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+# ------------------------------------------------- nearest centroid
+def _centroid_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim),
+tr AS (
+  SELECT e.label, d.dim, SUM(e.qv[d.dim]) AS s, COUNT(*) AS n
+  FROM e CROSS JOIN dims d
+  WHERE e.vec_id % {KNN_FOLD} <> 0
+  GROUP BY e.label, d.dim
+),
+c AS (
+  SELECT label, dim,
+         (s - ((s % n) + n) % n) / n AS c_micro
+  FROM tr
+),
+t AS (
+  SELECT e.vec_id AS test_id, e.label AS label_true, d.dim, e.qv[d.dim] AS v
+  FROM e CROSS JOIN dims d
+  WHERE e.vec_id % {KNN_FOLD} = 0
+),
+dist AS (
+  SELECT t.test_id, t.label_true, c.label,
+         SUM((t.v - c.c_micro) * (t.v - c.c_micro)) AS d2
+  FROM t JOIN c ON c.dim = t.dim
+  GROUP BY t.test_id, t.label_true, c.label
+),
+pred AS (
+  SELECT test_id, label_true, label AS label_pred,
+         ROW_NUMBER() OVER (PARTITION BY test_id ORDER BY d2, label) AS rk
+  FROM dist
+)
+SELECT label_true, label_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY label_true, label_pred
+"""
+
+
+@query("ml_nearest_centroid", oracle=_centroid_oracle())
+def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification over embeddings —
+    the third classifier family beside NB and kNN, and the one whose
+    TRAINED MODEL is a legitimate tiny artifact (|labels| x dim
+    integer centroids) rather than the whole corpus.
+
+    Training is one (label, dim) grouped sum over the exploded
+    training split; centroids are SIGN-SAFE integer floor means
+    (``(s - ((s%n)+n)%n)/n`` — the ts_changepoint_cusum spelling,
+    required here because embedding components are negative), so the
+    model is BIGINT-exact and the per-dimension truncation (<1
+    micro) is identical on both engines. Classification re-explodes
+    the evaluation split and joins centroids on the dimension key —
+    the relational form of a matrix-vector distance that needs no
+    UDF; distances, argmin and the confusion matrix are all
+    integer-exact (the ml_knn_confusion guarantee at 1/n of its
+    cost: |test| x |labels| x dim instead of |test| x |train| x
+    dim).
+    """
+    emb = read_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1_000_000 + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    ex = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("qv").alias("dim0", "v"),
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "v")
+    tr = (
+        ex.where(F.col("vec_id") % KNN_FOLD != 0)
+        .groupBy("label", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    s, n = F.col("s"), F.col("n")
+    c = tr.select(
+        "label", "dim", ((s - ((s % n + n) % n)) / n).cast("long").alias("c_micro")
+    )
+    t = ex.where(F.col("vec_id") % KNN_FOLD == 0).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("label").alias("label_true"),
+        "dim",
+        "v",
+    )
+    dist = (
+        t.join(F.broadcast(c.withColumnRenamed("label", "label_c")), "dim")
+        .groupBy("test_id", "label_true", F.col("label_c").alias("label"))
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c_micro")) * (F.col("v") - F.col("c_micro"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("test_id").orderBy(F.asc("d2"), F.asc("label"))
+    pred = dist.withColumn("rk", F.row_number().over(w)).where("rk = 1")
+    return pred.groupBy("label_true", F.col("label").alias("label_pred")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
     )

@@ -957,3 +957,83 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur_ms").cast("long").alias("total_ms"),
         F.expr("sum(x_milli * dur_ms) div sum(dur_ms)").cast("long").alias("twa_milli"),
     )
+
+
+# --------------------------------------------------- Gini / Lorenz
+_GINI_ORACLE = """
+WITH cust AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey AS custkey,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY seg, custkey
+),
+r AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, custkey) AS i,
+         COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM cust
+),
+m AS (
+  SELECT seg,
+         CAST(MIN(n) AS BIGINT) AS n_customers,
+         SUM(cents) AS total_cents,
+         SUM((2 * i - n - 1) * cents) AS num
+  FROM r GROUP BY seg
+)
+SELECT seg, n_customers,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       CAST(floor(CAST(num AS DOUBLE)
+                  / (CAST(n_customers AS DOUBLE) * CAST(total_cents AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS gini_ppm
+FROM m
+"""
+
+
+@query("stat_gini_lorenz", oracle=_GINI_ORACLE)
+def stat_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of customer revenue per market
+    segment — the inequality/skew monitor that tells a pipeline
+    whether a segment's revenue (or a partition key's row count —
+    same operator, different column) is drifting toward a hot head.
+
+    Uses the rank formulation ``G = sum((2i-n-1)·x_i) / (n·sum(x))``
+    over ascending (cents, custkey) order — one rank window over the
+    per-segment shuffle and one grouped sum; the numerator and both
+    denominator factors are EXACT BIGINTs (the rank identity needs
+    no pair-wise |x_i - x_j| cross join, which is the naive O(n²)
+    formulation), and only the final ratio is one fixed IEEE
+    divide+floor into ppm. Both factors stay under 2^53 through
+    ~1e7 customers/segment at these magnitudes, so the double
+    conversion is exact where it matters."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    wseg = Window.partitionBy("seg")
+    r = cust.select(
+        "seg",
+        "cents",
+        F.row_number().over(wseg.orderBy("cents", "custkey")).alias("i"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    m = r.groupBy("seg").agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).alias("num"),
+    )
+    return m.select(
+        "seg",
+        "n_customers",
+        "total_cents",
+        F.floor(
+            F.col("num").cast("double")
+            / (F.col("n_customers").cast("double") * F.col("total_cents").cast("double"))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
