@@ -1480,3 +1480,126 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_t.cast("long").alias("m_tile"),
         (r_t * 100 + f_t * 10 + m_t).cast("long").alias("rfm"),
     )
+
+
+# ------------------------------------------- PMI event co-occurrence
+_PMI_ORACLE = f"""
+WITH q AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+b AS (
+  SELECT user_id, event_id, event_type, us,
+         CASE WHEN us - LAG(us) OVER w > {30 * 60 * 1_000_000}
+                   OR LAG(us) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT user_id, event_type,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM b
+),
+sess AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM s
+),
+n AS (SELECT COUNT(DISTINCT (user_id, session_seq)) AS n_sessions FROM sess),
+ca AS (SELECT event_type, COUNT(*) AS c FROM sess GROUP BY event_type),
+cab AS (
+  SELECT a.event_type AS type_a, b2.event_type AS type_b, COUNT(*) AS c_ab
+  FROM sess a JOIN sess b2
+    ON a.user_id = b2.user_id AND a.session_seq = b2.session_seq
+   AND a.event_type < b2.event_type
+  GROUP BY type_a, type_b
+)
+SELECT cab.type_a, cab.type_b,
+       CAST(cab.c_ab AS BIGINT) AS c_ab,
+       CAST(ca1.c AS BIGINT) AS c_a,
+       CAST(ca2.c AS BIGINT) AS c_b,
+       CAST(floor(ln(CAST(cab.c_ab AS DOUBLE) * n.n_sessions
+                     / (CAST(ca1.c AS DOUBLE) * ca2.c))
+                  * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+FROM cab
+JOIN ca ca1 ON ca1.event_type = cab.type_a
+JOIN ca ca2 ON ca2.event_type = cab.type_b
+CROSS JOIN n
+"""
+
+
+@query("events_pmi_cooccurrence", oracle=_PMI_ORACLE)
+def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring
+    in the SAME session (30-min gap rule, the events_sessionize_ids
+    islands) — the association measure behind word2vec-era embedding
+    objectives and market-basket lift, here over behavioral sessions:
+    PMI > 0 means the pair co-occurs more than independent chance.
+
+    Counts are exact: session set-membership via DISTINCT (user,
+    session, type), the pair count a self-join on the session key
+    with ``type_a < type_b`` (bounded per session by |type-set|² —
+    the assoc_pairs_lift per-basket discipline, never a global cross
+    join), and PMI quantized after one fixed IEEE ln over exact
+    integer ratios (the PSI/BM25 stance; raw counts ride along so
+    the exact part dominates the hash)."""
+    from gcd_etl_spark.plans.sequential import SESSION_GAP_US
+
+    q = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    b = q.withColumn(
+        "is_start",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > SESSION_GAP_US)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = b.withColumn(
+        "session_seq",
+        F.sum("is_start").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = s.select("user_id", "session_seq", "event_type").distinct()
+    n = sess.select("user_id", "session_seq").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    ca = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = sess.select("user_id", "session_seq", F.col("event_type").alias("type_a"))
+    b2 = sess.select("user_id", "session_seq", F.col("event_type").alias("type_b"))
+    cab = (
+        a.join(b2, ["user_id", "session_seq"])
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    out = (
+        cab.join(
+            F.broadcast(ca.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(ca.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("c_ab").cast("long").alias("c_ab"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.floor(
+            F.log(
+                F.col("c_ab").cast("double")
+                * F.col("n_sessions")
+                / (F.col("c_a").cast("double") * F.col("c_b"))
+            )
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("pmi_micro"),
+    )

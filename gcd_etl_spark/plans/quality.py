@@ -533,3 +533,86 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wmedian_cents"),
     )
+
+
+# ------------------------------------------ daily volume anomalies
+#: Volume outlier rule: |day_count - median| > VOL_MAD_K * MAD.
+VOL_MAD_K = 3
+
+_VOLUME_ORACLE = f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS n_events
+  FROM events GROUP BY event_type, day
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n_events, day) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+med AS (SELECT event_type, n_events AS med FROM r WHERE rk = (n + 1) // 2),
+dev AS (
+  SELECT d.event_type, d.day, d.n_events, med.med,
+         abs(d.n_events - med.med) AS dv
+  FROM d JOIN med USING (event_type)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv, day) AS rk2,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (SELECT event_type, dv AS mad FROM r2 WHERE rk2 = (n + 1) // 2)
+SELECT dev.event_type, CAST(dev.day AS BIGINT) AS day,
+       CAST(dev.n_events AS BIGINT) AS n_events,
+       CAST(dev.med AS BIGINT) AS median_daily,
+       CAST(mad.mad AS BIGINT) AS mad_daily,
+       dev.dv > {VOL_MAD_K} * mad.mad AS is_anomaly
+FROM dev JOIN mad USING (event_type)
+"""
+
+
+@query("dq_volume_anomaly_daily", oracle=_VOLUME_ORACLE)
+def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-observability volume monitor: daily row counts per event
+    type, flagged against the stream's own robust baseline (median +
+    MAD of its daily counts — the ts_anomaly_mad machinery applied
+    to PIPELINE HEALTH instead of values: a collector outage or a
+    double-delivery shows up as a flagged day regardless of the
+    value distribution).
+
+    All integers end-to-end: counts, epoch-day floor division,
+    rank-selected median/MAD, integer cross-multiplied threshold.
+    The first aggregate collapses the fact table to (type, day)
+    grain, so every window after it runs on ~366 rows per type —
+    the monitor costs one count(*) scan at any corpus size."""
+    d = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    wt = Window.partitionBy("event_type")
+    r = d.withColumn(
+        "rk", F.row_number().over(wt.orderBy("n_events", "day"))
+    ).withColumn("n", F.count(F.lit(1)).over(wt))
+    med = r.where(F.col("rk") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("n_events").alias("med")
+    )
+    dev = d.join(med, "event_type").withColumn(
+        "dv", F.abs(F.col("n_events") - F.col("med"))
+    )
+    r2 = dev.withColumn(
+        "rk2", F.row_number().over(wt.orderBy("dv", "day"))
+    ).withColumn("n", F.count(F.lit(1)).over(wt))
+    mad = r2.where(F.col("rk2") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("dv").alias("mad")
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("med").cast("long").alias("median_daily"),
+        F.col("mad").cast("long").alias("mad_daily"),
+        (F.col("dv") > VOL_MAD_K * F.col("mad")).alias("is_anomaly"),
+    )

@@ -354,3 +354,111 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos_in_session"),
         F.min("us").over(ws).alias("session_start_us"),
     )
+
+
+# ------------------------------------------------ peak/valley runs
+_PEAKS_ORACLE = """
+WITH q AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+s AS (
+  SELECT user_id, x,
+         ROW_NUMBER() OVER w AS k,
+         LAG(x) OVER w AS prev,
+         LEAD(x) OVER w AS nxt,
+         CASE WHEN x > LAG(x) OVER w THEN 1 ELSE 0 END AS up
+  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+runs AS (
+  SELECT user_id, k - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY k)
+           AS island
+  FROM s WHERE up = 1
+),
+longest AS (
+  SELECT user_id, MAX(run_len) AS longest_up_run
+  FROM (SELECT user_id, island, COUNT(*) AS run_len
+        FROM runs GROUP BY user_id, island)
+  GROUP BY user_id
+)
+SELECT s.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                      AND prev < x AND x > nxt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_peaks,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+                      AND prev > x AND x < nxt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valleys,
+       CAST(COALESCE(MIN(longest.longest_up_run), 0) AS BIGINT)
+         AS longest_up_run
+FROM s LEFT JOIN longest ON longest.user_id = s.user_id
+GROUP BY s.user_id
+"""
+
+
+@query("window_pattern_peaks", oracle=_PEAKS_ORACLE)
+def window_pattern_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric shape detection per user series — strict local peaks,
+    strict valleys, and the longest strictly-rising run (the
+    MATCH_RECOGNIZE ``A B+ C`` family on VALUES, complementing
+    events_streak_runs' categorical runs): the building blocks of
+    technical-indicator and spike-mining pipelines.
+
+    One (user) shuffle carries LAG/LEAD/ROW_NUMBER; the rising-run
+    length is gaps-and-islands on the up-step flag (``k - rn``
+    grouping — no iteration, no fold); everything compares quantized
+    BIGINTs, strict inequalities so ties (flat steps) break runs
+    identically on both engines."""
+    q = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 1_000_000 + 0.5).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = q.select(
+        "user_id",
+        "x",
+        F.row_number().over(w).alias("k"),
+        F.lag("x").over(w).alias("prev"),
+        F.lead("x").over(w).alias("nxt"),
+        F.when(F.col("x") > F.lag("x").over(w), 1).otherwise(0).alias("up"),
+    )
+    runs = s.where("up = 1").select(
+        "user_id",
+        (
+            F.col("k")
+            - F.row_number().over(Window.partitionBy("user_id").orderBy("k"))
+        ).alias("island"),
+    )
+    longest = (
+        runs.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("user_id")
+        .agg(F.max("run_len").alias("longest_up_run"))
+    )
+    peak = (
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("prev") < F.col("x"))
+        & (F.col("x") > F.col("nxt"))
+    )
+    valley = (
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("prev") > F.col("x"))
+        & (F.col("x") < F.col("nxt"))
+    )
+    return (
+        s.join(longest, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.sum(peak.cast("long")).cast("long").alias("n_peaks"),
+            F.sum(valley.cast("long")).cast("long").alias("n_valleys"),
+            F.coalesce(F.min("longest_up_run"), F.lit(0))
+            .cast("long")
+            .alias("longest_up_run"),
+        )
+    )
