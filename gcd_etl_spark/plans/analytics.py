@@ -1603,3 +1603,51 @@ def events_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pmi_micro"),
     )
+
+
+# ------------------------------------------------- A/B assignment
+_AB_ORACLE = """
+WITH a AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
+         CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2 AS arm
+  FROM events
+)
+SELECT arm, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v_milli) AS BIGINT) AS value_milli
+FROM a GROUP BY arm, event_type
+"""
+
+
+@query("ab_test_assignment", oracle=_AB_ORACLE)
+def ab_test_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment bucketing + per-arm outcome readout:
+    users hash into two arms on the engine-portable md5 family (a
+    salted, stateless assignment — the property an experimentation
+    platform needs so a user keeps their arm across sessions, jobs
+    and reruns, with no assignment table to join or version), then
+    one grouped pass reads out users / events / exact engagement
+    value per (arm, event_type).
+
+    The salt ('ab:') isolates this experiment's randomization from
+    every other hash use of user_id (mixture sampling, KMV, splits)
+    — uncorrelated assignments from one identity column, which is
+    the practical point of the salted-hash idiom."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    a = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v_milli"),
+        (
+            portable_hash64(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
+        ).alias("arm"),
+    )
+    return a.groupBy("arm", "event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v_milli").cast("long").alias("value_milli"),
+    )

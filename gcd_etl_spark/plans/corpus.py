@@ -799,3 +799,105 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.countDistinct("word").cast("long").alias("n_terms"),
     )
+
+
+# -------------------------------------------- cross-doc boilerplate
+#: A trigram is boilerplate when it appears in at least this percent
+#: of the corpus' documents.
+BOILER_DF_PCT = 20
+#: Keep rule: at most this many ppm of a doc's trigram slots may be
+#: boilerplate.
+BOILER_PPM_MAX = 500_000
+
+_BOILER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n_docs FROM d),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tri
+  FROM d WHERE len(toks) >= 3
+),
+df AS (SELECT tri, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY tri),
+slots AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_slots,
+         SUM(CASE WHEN df.df * 100 >= {BOILER_DF_PCT} * n.n_docs
+                  THEN 1 ELSE 0 END) AS boiler_slots
+  FROM g JOIN df USING (tri) CROSS JOIN n
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+       CAST(n_slots AS BIGINT) AS n_slots,
+       CAST(boiler_slots AS BIGINT) AS boiler_slots,
+       CAST(boiler_slots * 1000000 // n_slots AS BIGINT) AS boiler_ppm,
+       boiler_slots * 1000000 // n_slots <= {BOILER_PPM_MAX} AS keep
+FROM slots
+"""
+
+
+@query("corpus_boilerplate_ngrams", oracle=_BOILER_ORACLE)
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate detection — the corpus-level
+    complement to quality_repetition_ngrams' intra-doc signal: a
+    trigram occurring in >= {BOILER_DF_PCT}% of all documents is
+    template/boilerplate text (nav bars, license headers, scraper
+    artifacts), and each document reports what fraction of its
+    trigram slots that boilerplate occupies, with a keep verdict.
+
+    Two shuffles at corpus scale: the (trigram -> document
+    frequency) aggregate (map-side combinable; the vocabulary is the
+    working set, not the corpus) and the slot-join back on the
+    trigram key; the relative DF threshold is an integer
+    cross-multiply against the corpus count, so no ratio ever
+    materializes. Truncating non-negative division for the ppm (the
+    quality_repetition_ngrams convention)."""
+    d = read_table_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    g = d.where(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("tri"),
+    )
+    df = g.groupBy("tri").agg(F.countDistinct("doc_id").alias("df"))
+    slots = (
+        g.join(df, "tri")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_slots"),
+            F.sum(
+                (F.col("df") * 100 >= BOILER_DF_PCT * F.col("n_docs")).cast("long")
+            )
+            .cast("long")
+            .alias("boiler_slots"),
+        )
+    )
+    ppm = F.expr("boiler_slots * 1000000 div n_slots")
+    return slots.select(
+        "doc_id",
+        "n_slots",
+        "boiler_slots",
+        ppm.cast("long").alias("boiler_ppm"),
+        (ppm <= BOILER_PPM_MAX).alias("keep"),
+    )

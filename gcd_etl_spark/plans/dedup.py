@@ -450,3 +450,120 @@ def dedup_semantic_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cos_ppm"),
     )
+
+
+# ------------------------------------------- minhash mergeability
+#: Signature width for the mergeability demonstration (independent of
+#: the 32-hash production family; same (a·h+b) mod p permutations).
+MERGE_NH = 16
+_MERGE_P = (1 << 61) - 1
+
+
+def _merge_minhash_oracle() -> str:
+    p = _MERGE_P
+
+    def perm(i: int, h: str) -> str:
+        return f"({2 * i + 1} * {h} + {1_000_003 * (i + 1)}) % {p}"
+
+    full = ", ".join(f"MIN({perm(i, 'h32')}) AS f{i}" for i in range(MERGE_NH))
+    even = ", ".join(
+        f"MIN(CASE WHEN par = 0 THEN {perm(i, 'h32')} END) AS e{i}"
+        for i in range(MERGE_NH)
+    )
+    odd = ", ".join(
+        f"MIN(CASE WHEN par = 1 THEN {perm(i, 'h32')} END) AS o{i}"
+        for i in range(MERGE_NH)
+    )
+    match = " AND ".join(
+        f"LEAST(COALESCE(e{i}, {p}), COALESCE(o{i}, {p})) = f{i}"
+        for i in range(MERGE_NH)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, unnest({_DUCK_SHINGLES}) AS g FROM t
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4294967296 AS h32,
+         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 2 AS par
+  FROM s
+), m AS (
+  SELECT doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+         {full}, {even}, {odd}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_even,
+       CAST(f0 AS BIGINT) AS sig0,
+       ({match}) AS merged_matches
+FROM m
+"""
+
+
+@query("sketch_minhash_mergeable", oracle=_merge_minhash_oracle())
+def sketch_minhash_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROOF-CARRYING mergeability check for minhash signatures — the
+    commutative-monoid property (elementwise min, identity = the
+    all-p signature) that makes distributed and incremental minhash
+    correct: each doc's shingles are split into two arbitrary
+    partitions (by hash parity), the two partial signatures are
+    min-merged, and the result is asserted EQUAL to the whole-doc
+    signature in the hashed output (``merged_matches`` must be
+    uniformly true — rollup_incremental_merge's invariant applied to
+    the sketch family). Empty partitions take the monoid identity
+    via COALESCE(., p).
+
+    One explode + ONE grouped aggregate computes all three signature
+    variants (full/even/odd) as conditional mins over the same rows
+    — the partials are map-side-combinable, which IS the property
+    being demonstrated. Portable md5 family end-to-end, so DuckDB
+    replays the whole theorem."""
+    from gcd_etl_spark.functions.text import shingles
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    p = _MERGE_P
+    docs = read_table_spread(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(shingles("text", k=3)).alias("g")
+    ).select(
+        "doc_id",
+        (portable_hash64("g") % F.lit(1 << 32)).alias("h32"),
+        (portable_hash64("g") % 2).alias("par"),
+    )
+
+    def perm(i, h):
+        return (F.lit(2 * i + 1) * h + F.lit(1_000_003 * (i + 1))) % F.lit(p)
+
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum((F.col("par") == 0).cast("long")).cast("long").alias("n_even"),
+    ]
+    for i in range(MERGE_NH):
+        aggs.append(F.min(perm(i, F.col("h32"))).alias(f"f{i}"))
+        aggs.append(
+            F.min(F.when(F.col("par") == 0, perm(i, F.col("h32")))).alias(f"e{i}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("par") == 1, perm(i, F.col("h32")))).alias(f"o{i}")
+        )
+    m = ex.groupBy("doc_id").agg(*aggs)
+    match = None
+    for i in range(MERGE_NH):
+        eq = (
+            F.least(
+                F.coalesce(F.col(f"e{i}"), F.lit(p)),
+                F.coalesce(F.col(f"o{i}"), F.lit(p)),
+            )
+            == F.col(f"f{i}")
+        )
+        match = eq if match is None else (match & eq)
+    return m.select(
+        "doc_id",
+        "n_shingles",
+        "n_even",
+        F.col("f0").cast("long").alias("sig0"),
+        match.alias("merged_matches"),
+    )
