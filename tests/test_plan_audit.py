@@ -25,6 +25,10 @@ QUADRATIC_ANCHORS = {
     "dedup_ngram_jaccard",  # all-pairs Jaccard ground truth
     "dedup_clusters",  # built on the ngram_jaccard pair derivation
     "corpus_curation",  # composite that reuses the anchor pair stage
+    # broadcast eval split x training corpus: THE exact-baseline shape
+    # (sim_bruteforce_topk with labels); ANN paths are the scale
+    # variants, ml_nearest_centroid the |labels|-cost variant
+    "ml_knn_confusion",
 }
 
 #: Single-ROW broadcast attachments (corpus stats, global bounds):
@@ -38,6 +42,11 @@ SCALAR_BROADCASTS = {
     "dq_drift_psi",  # one (n_ref, n_cur) totals row broadcast across 12 bucket rows
     "stat_corr_exact",  # pure aggregate, no join — listed for symmetry if refactored
     "assoc_pairs_lift",  # one n_orders row broadcast into the pair scorecard
+    "ml_naive_bayes_confusion",  # 1-row V/N totals + the closed |langs| prior table
+    "rank_fusion_rrf",  # ONE query-vector row broadcast into the dot-product leg
+    "events_pmi_cooccurrence",  # 1-row session count + closed |types| marginals
+    "events_rfm_segments",  # 1-row global ref_day broadcast into recency
+    "corpus_boilerplate_ngrams",  # 1-row corpus count into the DF threshold
     # OR-membership join of the K-row signatures against the constant
     # |types|^2 pair table (10 rows) — bounded by the closed type set,
     # never by data volume; the only data-scaled shuffle is the
