@@ -1651,3 +1651,120 @@ def ab_test_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("v_milli").cast("long").alias("value_milli"),
     )
+
+
+# --------------------------------------------- behavioral entropy
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events
+  GROUP BY user_id, event_type
+),
+n AS (SELECT user_id, SUM(c) AS n FROM c GROUP BY user_id)
+SELECT c.user_id,
+       CAST(n.n AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CAST(floor(-(CAST(c.c AS DOUBLE) / n.n)
+                           * ln(CAST(c.c AS DOUBLE) / n.n)
+                           * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS entropy_micro
+FROM c JOIN n USING (user_id)
+GROUP BY c.user_id, n.n
+"""
+
+
+@query("events_entropy_per_user", oracle=_ENTROPY_ORACLE)
+def events_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity feature (bots and single-purpose scripts
+    score near 0; organic users near ln(|types|)) that feeds the
+    plans/ml.py classifiers alongside pivot_user_features.
+
+    Per-term quantization BEFORE the sum (each -p·ln(p) term is
+    floor(x*1e6+0.5) on an exact count ratio, then BIGINT-summed) —
+    the PSI discipline, making the sum order-free; exact counts and
+    type cardinality ride along so the hash is dominated by integer
+    facts. One (user, type) grouped count + one per-user re-aggregate
+    on the same key."""
+    c = read_table(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = c.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.floor(-p * F.log(p) * 1_000_000 + 0.5).cast("long")
+    return (
+        c.join(n, "user_id")
+        .groupBy("user_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(term).cast("long").alias("entropy_micro"),
+        )
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n_events"),
+            "n_types",
+            "entropy_micro",
+        )
+    )
+
+
+# ------------------------------------------- month-over-month delta
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT CAST(date_part('year', o_orderdate) * 100
+              + date_part('month', o_orderdate) AS BIGINT) AS ym,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY ym
+)
+SELECT ym, n_orders, CAST(cents AS BIGINT) AS cents,
+       CAST(LAG(cents) OVER (ORDER BY ym) AS BIGINT) AS prev_cents,
+       CAST(CASE WHEN LAG(cents) OVER (ORDER BY ym) IS NOT NULL
+                 THEN floor((CAST(cents AS DOUBLE)
+                             - LAG(cents) OVER (ORDER BY ym))
+                            / LAG(cents) OVER (ORDER BY ym)
+                            * 1000000 + 0.5) END AS BIGINT) AS mom_ppm
+FROM m
+"""
+
+
+@query("trend_mom_revenue", oracle=_MOM_ORACLE)
+def trend_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue trend: exact integer cents per
+    calendar month, previous month via LAG, and the growth rate in
+    ppm from one fixed IEEE divide over exact BIGINTs — the BI
+    staple, with the single global-order window running over the
+    |months| aggregate (tiny by construction), never the fact table.
+    Calendar month extraction (year*100+month) is identical integer
+    arithmetic on both engines."""
+    m = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            (
+                F.year(F.col("o_orderdate")) * 100 + F.month(F.col("o_orderdate"))
+            )
+            .cast("long")
+            .alias("ym")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("ym")
+    prev = F.lag("cents").over(w)
+    return m.select(
+        "ym",
+        "n_orders",
+        F.col("cents").cast("long").alias("cents"),
+        prev.cast("long").alias("prev_cents"),
+        F.when(
+            prev.isNotNull(),
+            F.floor(
+                (F.col("cents").cast("double") - prev) / prev * 1_000_000 + 0.5
+            ),
+        )
+        .cast("long")
+        .alias("mom_ppm"),
+    )

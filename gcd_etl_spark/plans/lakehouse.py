@@ -595,3 +595,57 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("retail_cents"),
     )
+
+
+# ------------------------------------------------ calendar dimension
+_CALENDAR_ORACLE = """
+WITH b AS (
+  SELECT CAST(MIN(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS d0,
+         CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS d1
+  FROM orders
+),
+cal AS (
+  SELECT unnest(range(d0, d1 + 1)) AS day FROM b
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(date_part('year', to_timestamp(day * 86400)) * 10000
+            + date_part('month', to_timestamp(day * 86400)) * 100
+            + date_part('day', to_timestamp(day * 86400)) AS BIGINT) AS ymd,
+       CAST((day + 3) % 7 AS BIGINT) AS dow,
+       (day + 3) % 7 IN (5, 6) AS is_weekend,
+       CAST((date_part('month', to_timestamp(day * 86400)) + 2) // 3
+            AS BIGINT) AS quarter
+FROM cal
+"""
+
+
+@query("dim_calendar_generate", oracle=_CALENDAR_ORACLE)
+def dim_calendar_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension GENERATION — the warehouse table every date
+    rollup joins against, built from the fact table's own date span
+    with ``sequence`` + explode (no source data needed, fully
+    deterministic): epoch-day key, yyyymmdd, day-of-week from pure
+    modular arithmetic (epoch day 0 = Thursday = dow 3, so
+    ``(d+3)%7`` makes 0=Monday — no locale/WEEKSTART dependence, a
+    classic cross-engine trap; pinned against Python's
+    date.weekday() in tests/test_r5_trend.py), weekend flag,
+    quarter. Calendar fields come from the UTC
+    timestamp reconstruction, matching DuckDB's to_timestamp; the
+    generated dimension is broadcast-sized by construction (|days|)."""
+    b = read_table(spark, sf_dir, "orders").agg(
+        F.min(F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")).alias("d0"),
+        F.max(F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")).alias("d1"),
+    )
+    cal = b.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    ts = F.timestamp_seconds(F.col("day") * 86400)
+    return cal.select(
+        F.col("day").cast("long").alias("day"),
+        (F.year(ts) * 10000 + F.month(ts) * 100 + F.dayofmonth(ts))
+        .cast("long")
+        .alias("ymd"),
+        ((F.col("day") + 3) % 7).cast("long").alias("dow"),
+        ((F.col("day") + 3) % 7).isin(5, 6).alias("is_weekend"),
+        ((F.month(ts) + 2).cast("long") / 3).cast("long").alias("quarter"),
+    )
