@@ -102,3 +102,48 @@ def gcd_snapshot_from_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serialize_array_cols(
         build_snapshot(spark, tables, RUN_DATE, dicts=_DICT_CACHE[sf_dir])
     )
+
+
+#: Issues with id % INCR_MOD < INCR_CHANGED are the "changed"
+#: partition of the incremental rebuild demonstration.
+INCR_MOD = 10
+INCR_CHANGED = 3
+
+
+@query("gcd_snapshot_incremental", oracle=_FLAGSHIP_ORACLE)
+def gcd_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL snapshot maintenance for the flagship: a deemed-
+    changed issue partition (``id % 10 < 3`` stands in for a CDC
+    "modified since last run" predicate) is rebuilt through the full
+    pipeline while the untouched partition is carried over (here:
+    rebuilt from the same inputs, standing in for reading the prior
+    snapshot's unaffected files), and the union is held to THE SAME
+    full-build oracle as gcd_snapshot.
+
+    What the shared oracle proves is the load-bearing property: the
+    denormalization is PARTITIONABLE ON THE ISSUE KEY — every join
+    (series/publisher/indicia/brand dims, the 1:N story fan-out, the
+    story-keyed credit aggregation) is either a global static
+    dimension or keyed within one issue's subtree, so rebuilding any
+    issue subset and unioning with the rest reproduces the full
+    build bit-for-bit. That is the correctness condition that lets a
+    daily run at 100 TB touch only ``snapshot=`` partitions whose
+    issues changed (reference Main.java rebuilds the world every
+    night; this shows the engine doesn't have to). The hive
+    partition layout for the selective overwrite is
+    sources/sinks.write_gcd_snapshot + partitionOverwriteMode=dynamic.
+    """
+    tables = gcd_tables_from_fixtures(spark, sf_dir)
+    if sf_dir not in _DICT_CACHE:
+        _DICT_CACHE[sf_dir] = collect_dict_maps(tables)
+    dicts = _DICT_CACHE[sf_dir]
+    from pyspark.sql import functions as F
+
+    changed_pred = F.col("id") % INCR_MOD < INCR_CHANGED
+    changed = dict(tables)
+    changed["gcd_issue"] = tables["gcd_issue"].where(changed_pred)
+    carried = dict(tables)
+    carried["gcd_issue"] = tables["gcd_issue"].where(~changed_pred)
+    delta = build_snapshot(spark, changed, RUN_DATE, dicts=dicts)
+    prev = build_snapshot(spark, carried, RUN_DATE, dicts=dicts)
+    return serialize_array_cols(delta.unionByName(prev))
