@@ -901,3 +901,126 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm.cast("long").alias("boiler_ppm"),
         (ppm <= BOILER_PPM_MAX).alias("keep"),
     )
+
+
+# ---------------------------------------------- PMI collocations
+#: Minimum bigram occurrences for a collocation candidate, and the
+#: report's top-k size.
+COLLOC_MIN_COUNT = 30
+COLLOC_TOP_K = 25
+
+_COLLOC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_SPLIT}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT unnest(toks) AS w FROM d
+),
+u AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+n AS (SELECT SUM(c) AS n_tokens FROM u),
+bi AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM d WHERE len(toks) >= 2
+),
+b AS (SELECT bg, COUNT(*) AS c_ab FROM bi GROUP BY bg HAVING COUNT(*) >= {COLLOC_MIN_COUNT}),
+scored AS (
+  SELECT b.bg AS bigram, b.c_ab,
+         u1.c AS c_a, u2.c AS c_b,
+         CAST(floor(ln(CAST(b.c_ab AS DOUBLE) * n.n_tokens
+                       / (CAST(u1.c AS DOUBLE) * u2.c))
+                    * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+  FROM b
+  JOIN u u1 ON u1.w = string_split(b.bg, ' ')[1]
+  JOIN u u2 ON u2.w = string_split(b.bg, ' ')[2]
+  CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, bigram) AS rank
+  FROM scored
+)
+SELECT bigram, CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
+       CAST(c_b AS BIGINT) AS c_b, pmi_micro, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {COLLOC_TOP_K}
+"""
+
+
+@query("text_pmi_collocations", oracle=_COLLOC_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining — the word2vec-phrases/tokenizer-prep step:
+    adjacent word pairs scored by PMI against their unigram
+    frequencies, support-filtered (>= {COLLOC_MIN_COUNT} occurrences
+    — PMI without a support floor surfaces hapax noise), top-{COLLOC_TOP_K}
+    by (pmi DESC, bigram). High-PMI pairs are the multi-word units a
+    BPE/wordpiece vocabulary should learn as single tokens
+    (bpe_learn_merges is the trainer this feeds).
+
+    Exact counts from two explode+groupBy passes (unigrams, bigrams
+    — both map-side combinable over vocabulary-sized working sets);
+    the only float is the single quantized ln per surviving bigram
+    (PSI stance), and top-k is orderBy+limit then rank (the BM25
+    two-step, no global window over the vocabulary)."""
+    d = read_table_spread(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    u = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = u.agg(F.sum("c").alias("n_tokens"))
+    b = (
+        d.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                    ),
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    )
+    parts = F.split(F.col("bg"), " ")
+    be = b.select("bg", "c_ab", parts.getItem(0).alias("w_a"), parts.getItem(1).alias("w_b"))
+    scored = (
+        be.join(u.select(F.col("w").alias("w_a"), F.col("c").alias("c_a")), "w_a")
+        .join(u.select(F.col("w").alias("w_b"), F.col("c").alias("c_b")), "w_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.floor(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_tokens")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                )
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    top = scored.orderBy(F.desc("pmi_micro"), F.asc("bigram")).limit(COLLOC_TOP_K)
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("pmi_micro"), F.asc("bigram")))
+        .cast("long"),
+    )

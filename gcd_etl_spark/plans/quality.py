@@ -616,3 +616,64 @@ def dq_volume_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").cast("long").alias("mad_daily"),
         (F.col("dv") > VOL_MAD_K * F.col("mad")).alias("is_anomaly"),
     )
+
+
+# ------------------------------------------------ join-key skew report
+_SKEW_ORACLE = """
+WITH k AS (
+  SELECT l_suppkey AS key, COUNT(*) AS rows_per_key
+  FROM lineitem GROUP BY l_suppkey
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rows_per_key, key) AS rk,
+         COUNT(*) OVER () AS n_keys,
+         SUM(rows_per_key) OVER () AS n_rows
+  FROM k
+)
+SELECT CAST(MIN(n_keys) AS BIGINT) AS n_keys,
+       CAST(MIN(n_rows) AS BIGINT) AS n_rows,
+       CAST(MAX(rows_per_key) AS BIGINT) AS max_rows,
+       CAST(MIN(CASE WHEN rk * 100 >= n_keys * 99 THEN rows_per_key END)
+            AS BIGINT) AS p99_rows,
+       CAST(MAX(rows_per_key) * MIN(n_keys) * 1000000
+            // MIN(n_rows) AS BIGINT) AS skew_ratio_ppm
+FROM r
+"""
+
+
+@query("dq_key_skew_report", oracle=_SKEW_ORACLE)
+def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for a prospective join/agg key
+    (l_suppkey): key count, total rows, hottest key, exact p99
+    rows-per-key (rank-selected, the agg_percentiles_exact
+    convention), and the max/mean ratio in ppm — the number that
+    says whether this key needs salting (operators/skew.py) or AQE
+    skew-join before a 100 TB shuffle is planned on it. 1e6 ppm =
+    perfectly uniform; the salting rule of thumb trips around 10x.
+
+    One grouped count collapses the fact table to key grain; every
+    window after it runs on |keys| rows. All integers (the ratio is
+    a positive truncating division)."""
+    k = read_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_suppkey").alias("key")
+    ).agg(F.count(F.lit(1)).alias("rows_per_key"))
+    w = Window.partitionBy()
+    r = k.select(
+        "rows_per_key",
+        F.row_number().over(Window.orderBy("rows_per_key", "key")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n_keys"),
+        F.sum("rows_per_key").over(w).alias("n_rows"),
+    )
+    return r.agg(
+        F.min("n_keys").cast("long").alias("n_keys"),
+        F.min("n_rows").cast("long").alias("n_rows"),
+        F.max("rows_per_key").cast("long").alias("max_rows"),
+        F.min(
+            F.when(F.col("rk") * 100 >= F.col("n_keys") * 99, F.col("rows_per_key"))
+        )
+        .cast("long")
+        .alias("p99_rows"),
+        F.expr("max(rows_per_key) * min(n_keys) * 1000000 div min(n_rows)")
+        .cast("long")
+        .alias("skew_ratio_ppm"),
+    )
