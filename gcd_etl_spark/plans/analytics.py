@@ -1768,3 +1768,89 @@ def trend_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mom_ppm"),
     )
+
+
+# ------------------------------------------- linear attribution
+#: Touch lookback before a conversion (microseconds; 30 days), and
+#: the touch event types that may carry credit.
+ATTR_LIN_TOL_US = 30 * 86400 * 1_000_000
+ATTR_TOUCH_TYPES = ("view", "click")
+
+_ATTR_LIN_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS t_us,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events WHERE event_type = 'purchase'
+),
+e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'click')
+),
+touch AS (
+  SELECT p.conv_id, p.v_milli, e.event_id, e.us,
+         ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                            ORDER BY e.us, e.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p.conv_id) AS n_touches
+  FROM p JOIN e ON e.user_id = p.user_id
+   AND e.us <= p.t_us AND e.us > p.t_us - {ATTR_LIN_TOL_US}
+)
+SELECT conv_id, event_id,
+       CAST(rn AS BIGINT) AS rn,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(v_milli // n_touches
+            + CASE WHEN rn <= v_milli % n_touches THEN 1 ELSE 0 END
+            AS BIGINT) AS share_milli
+FROM touch
+"""
+
+
+@query("attribution_linear_touch", oracle=_ATTR_LIN_ORACLE)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — the
+    multi-touch counterpart to attribution_last_touch: every
+    view/click in the 30-day lookback before a purchase splits that
+    purchase's value equally.
+
+    The money arithmetic is the classic exact-split problem, solved
+    with LARGEST-REMAINDER assignment in integer millis:
+    ``v div n`` each, plus one extra milli to the EARLIEST
+    ``v mod n`` touches ((us, event_id) order) — deterministic, and
+    per conversion the shares sum to EXACTLY the purchase value (no
+    unit is created or lost to float division; asserted in
+    tests/test_r5_attrib.py). Non-negative operands, so DuckDB's
+    truncating integer ``/`` equals Spark's ``div``. Shape: the
+    touch join is user-keyed with a time-band residual (the
+    range_join_events discipline applies when the key alone is too
+    hot), then one rank window per conversion."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v_milli"),
+    )
+    e = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    touch = p.join(e, "user_id").where(
+        (F.col("us") <= F.col("t_us"))
+        & (F.col("us") > F.col("t_us") - ATTR_LIN_TOL_US)
+    )
+    w = Window.partitionBy("conv_id")
+    t = touch.select(
+        "conv_id",
+        "v_milli",
+        "event_id",
+        F.row_number().over(w.orderBy("us", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+    )
+    share = F.expr("v_milli div n_touches") + F.when(
+        F.col("rn") <= F.col("v_milli") % F.col("n_touches"), 1
+    ).otherwise(0)
+    return t.select(
+        "conv_id",
+        "event_id",
+        F.col("rn").cast("long").alias("rn"),
+        F.col("n_touches").cast("long").alias("n_touches"),
+        share.cast("long").alias("share_milli"),
+    )

@@ -567,3 +567,49 @@ def sketch_minhash_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f0").cast("long").alias("sig0"),
         match.alias("merged_matches"),
     )
+
+
+# ------------------------------------------ exact-duplicate vectors
+_EMB_EXACT_ORACLE = """
+WITH q AS (
+  SELECT vec_id,
+         md5(array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)),
+             ',')) AS vec_hash
+  FROM embeddings
+)
+SELECT vec_hash, CAST(MIN(vec_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM q GROUP BY vec_hash
+"""
+
+
+@query("dedup_exact_embeddings", oracle=_EMB_EXACT_ORACLE)
+def dedup_exact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate detection in EMBEDDING space: quantize once to
+    integer micros (the ml_knn discipline — float bit-patterns are
+    not a join key; quantized integers are), serialize, md5, group —
+    the dedup_exact recipe lifted from text to vectors. Catches
+    repeated content that entered the corpus through different
+    documents (mirrors, re-crawls) whose embeddings collide exactly,
+    the cheap first pass before dedup_semantic_srp's near-dup sweep.
+    One hash-key shuffle with map-side partials; min-id keeper."""
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.md5(
+            F.array_join(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1_000_000 + 0.5)
+                    .cast("long")
+                    .cast("string"),
+                ),
+                ",",
+            )
+        ).alias("vec_hash"),
+    )
+    return q.groupBy("vec_hash").agg(
+        F.min("vec_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    )
