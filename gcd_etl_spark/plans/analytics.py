@@ -1854,3 +1854,80 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_touches").cast("long").alias("n_touches"),
         share.cast("long").alias("share_milli"),
     )
+
+
+# --------------------------------------------------- cohort LTV
+_LTV_ORACLE = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cohort_week
+  FROM events GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, f.cohort_week,
+         epoch_us(e.ts) // 604800000000 - f.cohort_week AS age_weeks,
+         CAST(floor(e.value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events e JOIN f USING (user_id)
+  WHERE e.event_type = 'purchase'
+),
+w AS (
+  SELECT cohort_week, age_weeks,
+         SUM(v_milli) AS week_rev_milli,
+         COUNT(*) AS n_purchases
+  FROM p GROUP BY cohort_week, age_weeks
+),
+c AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM f GROUP BY cohort_week)
+SELECT w.cohort_week, CAST(w.age_weeks AS BIGINT) AS age_weeks,
+       CAST(c.cohort_users AS BIGINT) AS cohort_users,
+       CAST(w.n_purchases AS BIGINT) AS n_purchases,
+       CAST(SUM(w.week_rev_milli) OVER (PARTITION BY w.cohort_week
+                                        ORDER BY w.age_weeks
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_milli
+FROM w JOIN c USING (cohort_week)
+"""
+
+
+@query("events_cohort_ltv", oracle=_LTV_ORACLE)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by signup cohort — the revenue
+    companion to events_retention_cohorts: users cohort by first-seen
+    week, purchases bucket by age-in-weeks, and a running sum per
+    cohort gives the LTV curve every unit-economics model fits
+    against. Exact integer weeks (epoch floor division) and milli
+    revenue; the cumulative window runs over the (cohort, age)
+    aggregate — |weeks|² rows at most — never the event stream."""
+    f = read_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts) div 604800000000")).alias("cohort_week")
+    )
+    ev = read_table(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(f, "user_id")
+        .select(
+            "cohort_week",
+            (F.expr("unix_micros(ts) div 604800000000") - F.col("cohort_week")).alias(
+                "age_weeks"
+            ),
+            F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("v_milli"),
+        )
+    )
+    w = p.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("v_milli").alias("week_rev_milli"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    c = f.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_users"))
+    cum = F.sum("week_rev_milli").over(
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        w.join(c, "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            cum.cast("long").alias("cum_rev_milli"),
+        )
+    )

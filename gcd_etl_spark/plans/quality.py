@@ -677,3 +677,57 @@ def dq_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("skew_ratio_ppm"),
     )
+
+
+# ------------------------------------------------ sequence gap scan
+_SEQ_GAPS_ORACLE = """
+WITH k AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+l AS (
+  SELECT user_id, day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM k
+)
+SELECT user_id,
+       CAST(day + 1 AS BIGINT) AS gap_start_day,
+       CAST(next_day - 1 AS BIGINT) AS gap_end_day,
+       CAST(next_day - day - 1 AS BIGINT) AS n_missing_days
+FROM l
+WHERE next_day - day > 1
+"""
+
+
+@query("dq_sequence_gaps", oracle=_SEQ_GAPS_ORACLE)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection, per entity: each row is a maximal
+    interval of days on which an otherwise-active user produced NO
+    events — the completeness/silence scan that surfaces dropped
+    loads, collector outages scoped to a shard, or genuinely dormant
+    entities (the per-key view dq_volume_anomaly_daily's global daily
+    counts can't see: a user going dark for a week moves no global
+    aggregate).
+
+    The same one-distinct + one-LEAD plan detects surrogate-key holes
+    when pointed at an id column; here the window is PARTITIONED by
+    the entity, so the scan is embarrassingly parallel at any scale
+    (the global-key variant runs per id-bucket first and reconciles
+    bucket boundaries). All integer epoch days."""
+    k = (
+        read_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("day"))
+        .distinct()
+    )
+    l = k.select(
+        "user_id",
+        "day",
+        F.lead("day").over(Window.partitionBy("user_id").orderBy("day")).alias(
+            "next_day"
+        ),
+    )
+    return l.where(F.col("next_day") - F.col("day") > 1).select(
+        "user_id",
+        (F.col("day") + 1).cast("long").alias("gap_start_day"),
+        (F.col("next_day") - 1).cast("long").alias("gap_end_day"),
+        (F.col("next_day") - F.col("day") - 1).cast("long").alias("n_missing_days"),
+    )
