@@ -1037,3 +1037,154 @@ def stat_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+# ------------------------------------------- lag-1 autocorrelation
+_AUTOCORR_ORACLE = """
+WITH q AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS x
+  FROM events
+),
+l AS (
+  SELECT user_id, x,
+         LEAD(x) OVER (PARTITION BY user_id ORDER BY us, event_id) AS y
+  FROM q
+),
+m AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy
+  FROM l WHERE y IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       CAST(floor((n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                  * 1000000 + 0.5) AS BIGINT) AS autocorr_micro
+FROM m
+"""
+
+
+@query("ts_autocorr_lag1", oracle=_AUTOCORR_ORACLE)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's value series — the
+    is-this-series-random diagnostic (near 0: independent draws;
+    positive: momentum/state; negative: oscillation) that decides
+    whether EWMA/CUSUM monitors are even applicable to a metric.
+
+    The stat_corr_exact discipline applied to (x_t, x_(t+1)) pairs
+    from one partitioned LEAD: all five moments are exact BIGINT
+    sums over milli-quantized values, then one fixed IEEE sequence
+    and a micro quantize. Two stages on the same user key — the LEAD
+    sort and the moment aggregate — and nothing global."""
+    q = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 1000 + 0.5).cast("long").alias("x"),
+    )
+    l = q.select(
+        "user_id",
+        "x",
+        F.lead("x")
+        .over(Window.partitionBy("user_id").orderBy("us", "event_id"))
+        .alias("y"),
+    ).where(F.col("y").isNotNull())
+    m = l.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.floor(num / den * 1_000_000 + 0.5).cast("long").alias("autocorr_micro"),
+    )
+
+
+# ------------------------------------------------ Pareto coverage
+#: Coverage threshold (percent of segment revenue).
+PARETO_PCT = 80
+
+_PARETO_ORACLE = f"""
+WITH cust AS (
+  SELECT c.c_mktsegment AS seg, o.o_custkey AS custkey,
+         SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY seg, custkey
+),
+r AS (
+  SELECT seg, cents,
+         ROW_NUMBER() OVER (PARTITION BY seg
+                            ORDER BY cents DESC, custkey) AS rk,
+         SUM(cents) OVER (PARTITION BY seg
+                          ORDER BY cents DESC, custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         COUNT(*) OVER (PARTITION BY seg) AS n_customers,
+         SUM(cents) OVER (PARTITION BY seg) AS total_cents
+  FROM cust
+)
+SELECT seg,
+       CAST(MIN(n_customers) AS BIGINT) AS n_customers,
+       CAST(MIN(total_cents) AS BIGINT) AS total_cents,
+       CAST(MIN(CASE WHEN cum_cents * 100 >= {PARETO_PCT} * total_cents
+                     THEN rk END) AS BIGINT) AS top_customers_for_{PARETO_PCT}pct
+FROM r GROUP BY seg
+"""
+
+
+@query("stat_pareto_coverage", oracle=_PARETO_ORACLE)
+def stat_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest number of top customers
+    whose revenue reaches {PARETO_PCT}% of each segment's total —
+    the operational phrasing of what stat_gini_lorenz scores
+    abstractly, and (run on partition keys instead of customers) the
+    how-hot-is-the-head readout behind every skew decision.
+
+    One descending rank + running-sum window per segment over the
+    customer aggregate; the threshold is the integer cross-multiply
+    ``cum*100 >= {PARETO_PCT}*total`` — no percentage ever
+    materializes, so the selected rank is BIGINT-exact."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    wseg = Window.partitionBy("seg")
+    word = wseg.orderBy(F.desc("cents"), F.asc("custkey"))
+    r = cust.select(
+        "seg",
+        "cents",
+        F.row_number().over(word).alias("rk"),
+        F.sum("cents")
+        .over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.count(F.lit(1)).over(wseg).alias("n_customers"),
+        F.sum("cents").over(wseg).alias("total_cents"),
+    )
+    return r.groupBy("seg").agg(
+        F.min("n_customers").cast("long").alias("n_customers"),
+        F.min("total_cents").cast("long").alias("total_cents"),
+        F.min(
+            F.when(
+                F.col("cum_cents") * 100 >= PARETO_PCT * F.col("total_cents"),
+                F.col("rk"),
+            )
+        )
+        .cast("long")
+        .alias(f"top_customers_for_{PARETO_PCT}pct"),
+    )
