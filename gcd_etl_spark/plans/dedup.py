@@ -408,26 +408,45 @@ def dedup_semantic_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     # per-table equi-join on the bucket key (the scale shape), then
-    # union + distinct — same pair set as the oracle's OR-join
+    # union + distinct — same pair set as the oracle's OR-join. The
+    # candidate stream stays NARROW (two ids) through the union +
+    # distinct; vectors re-attach via two broadcast joins against the
+    # n-row vector table. Measured at sf0.1: ~24.6s either way — the
+    # wall cost is the CANDIDATE COUNT (~n^2 x tables / 2^bits) and
+    # its 64-term verifies, not the shuffled row width, which is why
+    # SRP_BITS (not layout) is the scale dial documented below.
     cand = None
     for t in range(SRP_TABLES):
-        a = b.select(
-            F.col("vec_id").alias("id_a"),
-            F.col("qv").alias("qa"),
-            F.col("nrm").alias("na"),
-            F.col(f"b{t}").alias("bk"),
-        )
-        c = b.select(
-            F.col("vec_id").alias("id_b"),
-            F.col("qv").alias("qb"),
-            F.col("nrm").alias("nb"),
-            F.col(f"b{t}").alias("bk"),
-        )
+        a = b.select(F.col("vec_id").alias("id_a"), F.col(f"b{t}").alias("bk"))
+        c = b.select(F.col("vec_id").alias("id_b"), F.col(f"b{t}").alias("bk"))
         p = a.join(c, "bk").where(F.col("id_a") < F.col("id_b")).select(
-            "id_a", "id_b", "qa", "qb", "na", "nb"
+            "id_a", "id_b"
         )
         cand = p if cand is None else cand.unionAll(p)
-    pairs = cand.dropDuplicates(["id_a", "id_b"])
+    narrow = cand.dropDuplicates(["id_a", "id_b"])
+    side = b.select("vec_id", "qv", "nrm")
+    pairs = (
+        narrow.join(
+            F.broadcast(
+                side.select(
+                    F.col("vec_id").alias("id_a"),
+                    F.col("qv").alias("qa"),
+                    F.col("nrm").alias("na"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                side.select(
+                    F.col("vec_id").alias("id_b"),
+                    F.col("qv").alias("qb"),
+                    F.col("nrm").alias("nb"),
+                )
+            ),
+            "id_b",
+        )
+    )
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),
         F.lit(0).cast("long"),
