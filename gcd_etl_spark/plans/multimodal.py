@@ -159,3 +159,84 @@ def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("tile_h"),
     )
+
+
+# ------------------------------------------------- audio framing
+#: Stub audio params: window/hop in samples (2 s / 1 s at 16 kHz).
+AUDIO_WIN = 32000
+AUDIO_HOP = 16000
+
+_AUDIO_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) * 256 AS n_samples,
+         CAST(8000 * (1 + CAST(('0x' || substr(sha256(text), 1, 8)) AS BIGINT) % 3)
+              AS INT) AS sample_rate
+  FROM documents
+),
+n AS (
+  SELECT media_id, n_samples, sample_rate,
+         CASE WHEN n_samples >= {AUDIO_WIN}
+              THEN (n_samples - {AUDIO_WIN}) // {AUDIO_HOP} + 1
+              ELSE 1 END AS n_frames
+  FROM meta
+),
+fr AS (
+  SELECT media_id, n_samples, sample_rate,
+         unnest(generate_series(0, n_frames - 1)) AS frame_idx
+  FROM n
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx, sample_rate,
+       CAST(frame_idx * {AUDIO_HOP} AS BIGINT) AS start_sample,
+       CAST(LEAST(frame_idx * {AUDIO_HOP} + {AUDIO_WIN}, n_samples) AS BIGINT)
+         AS end_sample
+FROM fr
+"""
+
+
+@query("mm_audio_frames", oracle=_AUDIO_ORACLE)
+def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality plumbing — sliding-WINDOW frame segmentation
+    (the Whisper/wav2vec preprocessing shape): the stub decoder
+    derives (n_samples, sample_rate) deterministically from the
+    payload, and the 1:N frame fan-out — overlapping AUDIO_WIN
+    windows every AUDIO_HOP samples, last window clipped — runs
+    JVM-side as a sequence explode over the ceil-divided frame
+    count (the mm_image_tiles split: Python only where a codec
+    would run, codegen for the row multiplication). With tiles
+    (image) and frame_sample (video) this closes the third modality
+    of the binary-column contract; geometry is exact integers,
+    value-hash-oracled end to end."""
+    docs = read_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.octet_length(F.col("text").cast("binary")) * 256).alias("n_samples"),
+        (
+            8000
+            * (
+                1
+                + F.conv(F.substring(F.sha2("text", 256), 1, 8), 16, 10).cast("long")
+                % 3
+            )
+        )
+        .cast("int")
+        .alias("sample_rate"),
+    )
+    n_frames = F.when(
+        F.col("n_samples") >= AUDIO_WIN,
+        F.expr(f"(n_samples - {AUDIO_WIN}) div {AUDIO_HOP} + 1"),
+    ).otherwise(F.lit(1))
+    fr = meta.withColumn(
+        "frame_idx",
+        F.explode(F.sequence(F.lit(0), (n_frames - 1).cast("int"))),
+    )
+    return fr.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        "sample_rate",
+        (F.col("frame_idx").cast("long") * AUDIO_HOP).alias("start_sample"),
+        F.least(
+            F.col("frame_idx").cast("long") * AUDIO_HOP + AUDIO_WIN,
+            F.col("n_samples").cast("long"),
+        ).alias("end_sample"),
+    )

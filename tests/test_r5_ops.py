@@ -86,3 +86,37 @@ def test_tiles_cover_each_image_exactly(spark):
         w, h = meta[mid]
         assert area == w * h, mid
     assert set(per_img) == set(meta)
+
+
+def test_audio_frames_tile_the_sample_axis(spark):
+    """Frames cover [0, n_samples) with AUDIO_HOP stride; the last
+    frame is clipped; every media id appears."""
+    from gcd_etl_spark.plans.multimodal import AUDIO_HOP, AUDIO_WIN, mm_audio_frames
+    from gcd_etl_spark.sources.catalog import read_table
+
+    rows = mm_audio_frames(spark, SF_SMOKE).collect()
+    n_bytes = {
+        r["doc_id"]: len(r["text"].encode())
+        for r in read_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    per: dict[int, list] = {}
+    for r in rows:
+        per.setdefault(r["media_id"], []).append(r)
+    assert set(per) == set(n_bytes)
+    for mid, frames in per.items():
+        n_samples = n_bytes[mid] * 256
+        frames.sort(key=lambda r: r["frame_idx"])
+        want = (
+            (n_samples - AUDIO_WIN) // AUDIO_HOP + 1 if n_samples >= AUDIO_WIN else 1
+        )
+        assert len(frames) == want
+        for f in frames:
+            assert f["start_sample"] == f["frame_idx"] * AUDIO_HOP
+            assert f["end_sample"] == min(f["start_sample"] + AUDIO_WIN, n_samples)
+            assert f["sample_rate"] in (8000, 16000, 24000)
+        # maximality: no further FULL window fits after the last frame
+        # (standard framing drops a sub-hop tail; it never emits a
+        # window that would start past n_samples - WIN)
+        if n_samples >= AUDIO_WIN:
+            assert frames[-1]["start_sample"] + AUDIO_HOP > n_samples - AUDIO_WIN
+            assert frames[-1]["start_sample"] <= n_samples - AUDIO_WIN
