@@ -144,6 +144,21 @@ _DRIVER_WINDOW = [
     # text_tfidf_topk, pack_token_budget, events_retention_cohorts,
     # events_path_topk, graph_triangles, window_rolling_range,
     # sample_consistent_hash, agg_mode_per_group, emb_quantize_int8.
+    #
+    # DEBUT QUEUE for the r06 rotation — registered this round AFTER
+    # the window froze (each strict-verified at sf0.001 + sf0.01 via
+    # the driver-sim comparator this session; whole-registry sweep
+    # DONE mismatches: 0): ml_nearest_centroid, stat_gini_lorenz,
+    # events_pmi_cooccurrence, dq_volume_anomaly_daily,
+    # window_pattern_peaks, sketch_minhash_mergeable,
+    # corpus_boilerplate_ngrams, ab_test_assignment,
+    # events_entropy_per_user, trend_mom_revenue,
+    # dim_calendar_generate, gcd_snapshot_incremental,
+    # text_pmi_collocations, dq_key_skew_report,
+    # attribution_linear_touch, dedup_exact_embeddings,
+    # dq_sequence_gaps, events_cohort_ltv, ts_autocorr_lag1,
+    # stat_pareto_coverage, mm_audio_frames, source_csv_roundtrip,
+    # source_json_roundtrip, cogroup_pandas_join, pivot_user_features.
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
