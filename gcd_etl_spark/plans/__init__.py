@@ -157,7 +157,8 @@ _DRIVER_WINDOW = [
     # text_pmi_collocations, dq_key_skew_report,
     # attribution_linear_touch, dedup_exact_embeddings,
     # dq_sequence_gaps, events_cohort_ltv, ts_autocorr_lag1,
-    # stat_pareto_coverage, mm_audio_frames, source_csv_roundtrip,
+    # stat_pareto_coverage, mm_audio_frames, ml_label_outliers,
+    # stat_ks_two_sample, source_csv_roundtrip,
     # source_json_roundtrip, cogroup_pandas_join, pivot_user_features.
 ]
 

@@ -411,3 +411,94 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("label_true", F.col("label").alias("label_pred")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# ------------------------------------------------ label outliers
+#: Per label, report the TOP_OUT farthest members from their own
+#: class centroid (candidate mislabels / boundary cases).
+TOP_OUT = 5
+
+
+def _label_outliers_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, {EMB_DIM + 1})) AS dim),
+tr AS (
+  SELECT e.label, d.dim, SUM(e.qv[d.dim]) AS s, COUNT(*) AS n
+  FROM e CROSS JOIN dims d
+  GROUP BY e.label, d.dim
+),
+c AS (
+  SELECT label, dim, (s - ((s % n) + n) % n) / n AS c_micro
+  FROM tr
+),
+t AS (
+  SELECT e.vec_id, e.label, d.dim, e.qv[d.dim] AS v
+  FROM e CROSS JOIN dims d
+),
+dist AS (
+  SELECT t.vec_id, t.label,
+         SUM((t.v - c.c_micro) * (t.v - c.c_micro)) AS d2
+  FROM t JOIN c ON c.dim = t.dim AND c.label = t.label
+  GROUP BY t.vec_id, t.label
+),
+ranked AS (
+  SELECT label, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rk
+  FROM dist
+)
+SELECT label, vec_id, CAST(d2 AS BIGINT) AS d2, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {TOP_OUT}
+"""
+
+
+@query("ml_label_outliers", oracle=_label_outliers_oracle())
+def ml_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-mislabel mining: each label's {TOP_OUT} members
+    FARTHEST from their own class centroid — the confident-learning
+    shape every labeled-data pipeline runs before training (a point
+    far from its class center is a labeling error, a boundary case,
+    or a duplicate under the wrong key; all three deserve review).
+
+    Same integer machinery as ml_nearest_centroid — sign-safe floor
+    means over the full labeled set, exact BIGINT distances through
+    the dimension-key join — plus one per-label rank window over the
+    |vectors| distance table; deterministic (d2 DESC, vec_id)
+    tie-break makes the review queue itself value-hash-exact."""
+    emb = read_table_spread(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1_000_000 + 0.5).cast("long")
+        ).alias("qv"),
+    )
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("qv").alias("dim0", "v")
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "v")
+    tr = ex.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    s, n = F.col("s"), F.col("n")
+    c = tr.select(
+        "label", "dim", ((s - ((s % n + n) % n)) / n).cast("long").alias("c_micro")
+    )
+    dist = (
+        ex.join(F.broadcast(c), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c_micro")) * (F.col("v") - F.col("c_micro"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_OUT)
+        .select("label", "vec_id", F.col("d2").cast("long").alias("d2"), F.col("rk").cast("long").alias("rk"))
+    )

@@ -1188,3 +1188,88 @@ def stat_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias(f"top_customers_for_{PARETO_PCT}pct"),
     )
+
+
+# ------------------------------------------- exact two-sample KS
+#: Time split for the two o_totalprice samples (the PSI slices).
+KS_SPLIT = "1998-01-01"
+
+_KS_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CASE WHEN o_orderdate < TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+  FROM orders
+),
+n AS (
+  SELECT SUM(is_ref) AS n1, SUM(1 - is_ref) AS n2 FROM s
+),
+r AS (
+  SELECT cents,
+         SUM(is_ref) OVER (ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS cum1,
+         SUM(1 - is_ref) OVER (ORDER BY cents
+                               ROWS UNBOUNDED PRECEDING) AS cum2
+  FROM s
+),
+m AS (
+  SELECT cents, MAX(cum1) AS cum1, MAX(cum2) AS cum2
+  FROM r GROUP BY cents
+)
+SELECT CAST(n.n1 AS BIGINT) AS n1, CAST(n.n2 AS BIGINT) AS n2,
+       CAST(MAX(abs(m.cum1 * n.n2 - m.cum2 * n.n1)) AS BIGINT) AS d_num,
+       CAST(MAX(abs(m.cum1 * n.n2 - m.cum2 * n.n1)) * 1000000
+            // (n.n1 * n.n2) AS BIGINT) AS d_ppm
+FROM m CROSS JOIN n
+GROUP BY n.n1, n.n2
+"""
+
+
+@query("stat_ks_two_sample", oracle=_KS_ORACLE)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    pre/post-{KS_SPLIT} price distributions — the binning-free
+    counterpart to dq_drift_psi (PSI answers "how much did the
+    histogram move", KS answers "what is the largest CDF gap,
+    anywhere"): D = max |F1(x) - F2(x)| evaluated WITHOUT division
+    as ``max |cum1*n2 - cum2*n1|`` over the merged order — integer
+    cross-multiplication end to end, so unlike every float KS
+    implementation this one is bit-exact cross-engine (one ppm
+    quantize at the end for readability; d_num is the exact
+    statistic numerator).
+
+    The evaluation point set is collapsed to distinct values (CDF
+    steps only move there, and the per-value MAX takes the
+    after-all-ties reading on both engines); the running sums ride
+    one global sort over the value column — at 100 TB the same
+    identity runs per pre-bucketed value range and reconciles
+    boundary offsets, the dq_sequence_gaps two-level note."""
+    s = read_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderdate") < F.lit(KS_SPLIT).cast("timestamp"))
+        .cast("long")
+        .alias("is_ref"),
+    )
+    n = s.agg(
+        F.sum("is_ref").alias("n1"), F.sum(F.lit(1) - F.col("is_ref")).alias("n2")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = s.select(
+        "cents",
+        F.sum("is_ref").over(w).alias("cum1"),
+        F.sum(F.lit(1) - F.col("is_ref")).over(w).alias("cum2"),
+    )
+    m = r.groupBy("cents").agg(F.max("cum1").alias("cum1"), F.max("cum2").alias("cum2"))
+    d = m.crossJoin(F.broadcast(n)).select(
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias("gap"),
+    )
+    return d.groupBy("n1", "n2").agg(
+        F.max("gap").cast("long").alias("d_num"),
+        F.expr("max(gap) * 1000000 div (n1 * n2)").cast("long").alias("d_ppm"),
+    ).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "d_num",
+        "d_ppm",
+    )

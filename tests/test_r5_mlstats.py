@@ -89,3 +89,63 @@ def test_gini_bounds_and_ordering(spark):
         assert row["n_customers"] == n and row["total_cents"] == tot
         assert row["gini_ppm"] == ppm
         assert 0 <= row["gini_ppm"] < 1_000_000
+
+
+def test_label_outliers_are_the_true_farthest(spark):
+    """Recompute one label's distance ranking driver-side."""
+    from gcd_etl_spark.plans.ml import TOP_OUT, ml_label_outliers
+    from gcd_etl_spark.sources.catalog import read_table
+
+    got: dict[int, list] = {}
+    for r in ml_label_outliers(spark, SF_SMOKE).collect():
+        got.setdefault(r["label"], []).append((r["rk"], r["vec_id"], r["d2"]))
+    rows = read_table(spark, SF_SMOKE, "embeddings").collect()
+    qv = {
+        r["vec_id"]: [math.floor(float(x) * 1_000_000 + 0.5) for x in r["embedding"]]
+        for r in rows
+    }
+    labels: dict[int, list[int]] = {}
+    for r in rows:
+        labels.setdefault(r["label"], []).append(r["vec_id"])
+    lab = sorted(labels)[0]
+    members = labels[lab]
+    n = len(members)
+    cent = [
+        (s - ((s % n) + n) % n) // n
+        for s in (sum(qv[m][i] for m in members) for i in range(64))
+    ]
+    dists = sorted(
+        (
+            (-sum((a - b) * (a - b) for a, b in zip(qv[m], cent)), m)
+            for m in members
+        ),
+    )[:TOP_OUT]
+    want = [(i + 1, m, -negd) for i, (negd, m) in enumerate(dists)]
+    assert sorted(got[lab]) == sorted(want)
+
+
+def test_ks_statistic_matches_python_model(spark):
+    from gcd_etl_spark.plans.stats import KS_SPLIT, stat_ks_two_sample
+    from gcd_etl_spark.sources.catalog import read_table
+
+    import datetime
+
+    row = stat_ks_two_sample(spark, SF_SMOKE).collect()[0]
+    split = datetime.datetime.fromisoformat(KS_SPLIT)
+    s1, s2 = [], []
+    for r in read_table(spark, SF_SMOKE, "orders").collect():
+        cents = round(r["o_totalprice"] * 100)
+        (s1 if r["o_orderdate"] < split else s2).append(cents)
+    s1.sort(); s2.sort()
+    n1, n2 = len(s1), len(s2)
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    values = sorted(set(s1) | set(s2))
+    import bisect
+
+    d = 0
+    for v in values:
+        c1 = bisect.bisect_right(s1, v)
+        c2 = bisect.bisect_right(s2, v)
+        d = max(d, abs(c1 * n2 - c2 * n1))
+    assert row["d_num"] == d
+    assert row["d_ppm"] == d * 1_000_000 // (n1 * n2)
