@@ -186,7 +186,9 @@ WITH d AS (
                              AND CURRENT ROW) - n_tokens AS prior_tokens
   FROM d
 ), p AS (
-  SELECT shard, prior_tokens // {PACK_BUDGET} AS pack_id, n_tokens
+  SELECT shard,
+         CAST(prior_tokens // {PACK_BUDGET} AS BIGINT) AS pack_id,
+         n_tokens
   FROM c
 )
 SELECT shard, pack_id,
@@ -546,7 +548,8 @@ SELECT t.doc_id,
        COUNT(*) AS n_tokens,
        CAST(SUM(length(t.w)) AS BIGINT) AS n_chars,
        CAST(SUM(e.n_syms) AS BIGINT) AS n_symbols,
-       (SUM(length(t.w)) * 100) // SUM(e.n_syms) AS chars_per_100_symbols
+       CAST((SUM(length(t.w)) * 100) // SUM(e.n_syms) AS BIGINT)
+         AS chars_per_100_symbols
 FROM tok t JOIN enc e USING (w)
 GROUP BY t.doc_id
 """
@@ -601,7 +604,7 @@ cost AS (
 SELECT t.doc_id,
        COUNT(*) AS n_tokens,
        CAST(SUM(cost.nll_micro) AS BIGINT) AS nll_total_micro,
-       SUM(cost.nll_micro) // COUNT(*) AS nll_mean_micro
+       CAST(SUM(cost.nll_micro) // COUNT(*) AS BIGINT) AS nll_mean_micro
 FROM tok t JOIN cost USING (w)
 GROUP BY t.doc_id
 """

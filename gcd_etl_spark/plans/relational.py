@@ -988,7 +988,7 @@ WITH RECURSIVE anc AS (
 )
 SELECT anc AS node_id,
        COUNT(*) AS subtree_size,
-       SUM(cents) AS subtree_cents
+       CAST(SUM(cents) AS BIGINT) AS subtree_cents
 FROM anc GROUP BY anc
 """
 

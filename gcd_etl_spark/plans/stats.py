@@ -311,7 +311,7 @@ inter AS (
 )
 SELECT e.type_a, e.type_b,
        (i.n_inter * 1000000) // (xa.n + xb.n - i.n_inter) AS exact_jaccard_micro,
-       (e.matches * 1000000) // e.k_eff AS est_jaccard_micro
+       CAST((e.matches * 1000000) // e.k_eff AS BIGINT) AS est_jaccard_micro
 FROM est e
 JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
 JOIN au xa ON xa.event_type = e.type_a

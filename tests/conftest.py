@@ -90,10 +90,65 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "query"):
         con.close()
 
 
+def _duck_kind(type_str: str) -> str:
+    """Coarse hash-family of a DuckDB column type (DESCRIBE string).
+    The driver hashes typed serializations, so a DuckDB HUGEINT
+    hash-diverges from a Spark BIGINT even when the values are equal —
+    the round-4/5 red root cause our stringifying comparator could not
+    see."""
+    t = type_str.upper()
+    if t in ("HUGEINT", "UHUGEINT", "UBIGINT"):
+        return "wide"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER"):
+        return "int"
+    if t.startswith("DECIMAL"):
+        prec, scale = (int(x) for x in t.split("(")[1].rstrip(")").split(","))
+        return "wide" if (prec > 18 and scale == 0) else "decimal"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    return "other"
+
+
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, T.DecimalType):
+        return "wide" if (dt.precision > 18 and dt.scale == 0) else "decimal"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    return "other"
+
+
+def _assert_hash_kinds_compatible(spark_df, con, sql: str, name: str):
+    """Fail on the type-family drifts known to break the driver's
+    value hash while passing a string-normalized compare: oracle-side
+    widening past 64-bit ints, and int-vs-float column mixes. Uses
+    DESCRIBE (plan-only, no execution)."""
+    s_kinds = {f.name: _spark_kind(f.dataType) for f in spark_df.schema.fields}
+    bad = []
+    for col, typ, *_ in con.execute(f"DESCRIBE {sql}").fetchall():
+        dk = _duck_kind(str(typ))
+        sk = s_kinds.get(col)
+        if sk is None:
+            continue  # column-set mismatch reported elsewhere
+        if dk == sk:
+            continue
+        if "wide" in (dk, sk) or {dk, sk} == {"int", "float"}:
+            bad.append((col, f"duck={typ}", f"spark_kind={sk}"))
+    assert not bad, (
+        f"{name}: oracle/Spark column types hash-diverge at the driver "
+        f"even if values match: {bad}"
+    )
+
+
 def assert_df_matches_con(spark_df, con, sql: str, name: str = "query"):
     """Same differential check against an already-prepared DuckDB
     connection (used by the GCD golden test, whose views aren't the
     fixture tables)."""
+    _assert_hash_kinds_compatible(spark_df, con, sql, name)
     oracle = con.execute(sql)
     o_cols = [d[0] for d in oracle.description]
     o_rows = oracle.fetchall()
