@@ -334,6 +334,110 @@ def connected_components(
     return labels.select(F.col("_nid").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — the O(log n)-round production path for 100 TB graphs
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    2014; same result contract as ``connected_components``).
+
+    Min-label propagation (``connected_components``) needs one round
+    per unit of component DIAMETER — a 10k-long duplicate chain costs
+    10k shuffle rounds. Star contraction repeatedly rewires every node
+    to the minimum of its neighborhood:
+
+    * large-star: for each node u, hook every neighbor v > u onto
+      m = min(N(u) ∪ {u});
+    * small-star: orient edges toward their larger endpoint, then hook
+      each smaller neighbor (and u itself) onto the minimum.
+
+    Each round is two groupBy-min + join passes over the CURRENT edge
+    set (which shrinks as stars collapse); convergence is provably
+    O(log² n) rounds worst-case and ~O(log n) in practice, independent
+    of diameter. Convergence is detected by an (edge-count,
+    bit_xor(edge-hash)) signature — two cheap aggregates, no
+    edge-set diff join.
+
+    Output: (id_col, cluster_id) with cluster_id = smallest member id,
+    singletons keeping their own id — byte-identical to
+    ``connected_components`` on the same input, which is exactly what
+    the entity_clusters_star driver query asserts.
+    """
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        m = und.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            und.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient toward the larger endpoint: hi's neighborhood is its
+        # smaller neighbors, so min(N⁻(hi) ∪ {hi}) = min(smaller nbrs)
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).where(F.col("src") != F.col("dst"))
+        m = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        hooked = oriented.join(m, "src")
+        return (
+            hooked.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(hooked.select("src", "m"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    converged = False
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("x"),
+        ).collect()[0]
+        sig = (row["n"], row["x"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_iter={max_iter} contraction rounds"
+        )
+    # converged edge set is a union of stars (child -> component min)
+    labels = (
+        edges.select(
+            F.greatest("src", "dst").alias("_nid"), F.least("src", "dst").alias("label")
+        )
+        .groupBy("_nid")
+        .agg(F.min("label").alias("label"))
+    )
+    return (
+        nodes.select(F.col(id_col).alias("_nid"))
+        .join(labels, "_nid", "left")
+        .select(
+            F.col("_nid").alias(id_col),
+            F.coalesce(F.col("label"), F.col("_nid")).alias("cluster_id"),
+        )
+    )
+
+
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False
 ) -> DataFrame:

@@ -419,6 +419,38 @@ def entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, r.select(F.col("id").alias("c_custkey")), id_col="c_custkey")
 
 
+@query("entity_clusters_star", oracle=_ENTITY_CLUSTER_ORACLE)
+def entity_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entity_clusters on the PRODUCTION components operator:
+    alternating large-star/small-star contraction
+    (operators/dedup.py::connected_components_star) instead of
+    min-label propagation. Propagation costs one shuffle round per
+    unit of component diameter — fine for shallow dup clusters, fatal
+    for the long chains real entity graphs grow at 100 TB; star
+    contraction converges in O(log n) rounds regardless of diameter
+    (round-5 verdict item 4). Same fuzzy pair derivation, same
+    recursive-CTE transitive-closure oracle, so the driver holds the
+    fast operator to the exact same cluster assignment."""
+    from gcd_etl_spark.operators.dedup import connected_components_star
+    from gcd_etl_spark.operators.fuzzy import symspell_join
+
+    cust = read_table(spark, sf_dir, "customer")
+    dirty_expr = F.concat(
+        F.expr("substr(c_name, 1, (10 + c_custkey % 9) - 1)"),
+        F.expr("substr(c_name, (10 + c_custkey % 9) + 1)"),
+    )
+    r = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_name")).otherwise(dirty_expr).alias("s"),
+    )
+    pairs = symspell_join(r, r).where(F.col("l_id") < F.col("r_id")).select(
+        F.col("l_id").alias("id_a"), F.col("r_id").alias("id_b")
+    )
+    return connected_components_star(
+        pairs, r.select(F.col("id").alias("c_custkey")), id_col="c_custkey"
+    )
+
+
 # --------------------------------------------- last-touch attribution
 #: Attribution window (seconds): a purchase credits the latest click
 #: at-or-before it within this horizon.
@@ -916,7 +948,8 @@ t AS (
 ),
 r AS (SELECT src_type, SUM(n_transitions) AS row_total FROM t GROUP BY 1)
 SELECT t.src_type, t.dst_type, t.n_transitions,
-       (t.n_transitions * 1000000) // r.row_total AS prob_micro
+       CAST((t.n_transitions * 1000000) // r.row_total AS BIGINT)
+         AS prob_micro
 FROM t JOIN r USING (src_type)
 """
 
@@ -1288,6 +1321,94 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("u", "v", "common_neighbors", rank.alias("rank"))
 
 
+#: Hub cap for the pruned link-prediction path, in percent of the MEAN
+#: node degree: wedge centers whose degree exceeds cap are dropped.
+#: 150% engages the prune on every fixture sf (measured: 1/15/253
+#: centers dropped and 90/85/75% exact-top-20 recall at sf
+#: 0.001/0.01/0.1 — this graph is near-UNIFORM, so hub-pruning costs
+#: real signal; on the power-law graphs this knob exists for, the
+#: pruned mass is long-tail noise) while at 100 TB it is exactly what
+#: keeps a hub from contributing deg² wedges.
+LINKPRED_DEG_CAP_PCT = 150
+#: Minimum fraction (percent) of the EXACT top-K the pruned path must
+#: recover — the anchor-gated contract, same pattern as the ANN
+#: recall queries (plans/similarity.py).
+LINKPRED_RECALL_FLOOR_PCT = 50
+
+_LINKPRED_PRUNED_ORACLE = f"""
+SELECT CAST({LINKPRED_TOP_K} AS BIGINT) AS k,
+       1 AS prune_engaged, 1 AS recall_floor_ok
+"""
+
+
+@query("graph_link_prediction_pruned", oracle=_LINKPRED_PRUNED_ORACLE)
+def graph_link_prediction_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION path for common-neighbor link prediction
+    (round-5 verdict item 4): graph_link_prediction's registered plan
+    is the exact all-wedge count — O(Σ deg(c)²) over every center c,
+    which a single power-law hub turns into a scale-killer at 100 TB.
+    This plan caps wedge centers at {LINKPRED_DEG_CAP_PCT}% of the
+    mean degree (hub neighborhoods carry the least predictive signal
+    per wedge — the Adamic-Adar insight), bounding per-center work by
+    cap² and total work by n·cap², then holds the capped top-K to a
+    ≥{LINKPRED_RECALL_FLOOR_PCT}% overlap floor against the exact
+    anchor computed in-plan — the sim_ann_*_recall gating pattern.
+    Output also asserts the prune actually ENGAGED (some center was
+    dropped), so the gate cannot pass vacuously at fixture scale."""
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+
+    def topk(neigh: DataFrame) -> DataFrame:
+        wa, wb = neigh.alias("wa"), neigh.alias("wb")
+        wedges = (
+            wa.join(wb, (F.col("wa.node") == F.col("wb.node")) & (F.col("wa.nbr") < F.col("wb.nbr")))
+            .groupBy(F.col("wa.nbr").alias("u"), F.col("wb.nbr").alias("v"))
+            .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        )
+        return (
+            wedges.join(edges, ["u", "v"], "left_anti")
+            .orderBy(F.col("common_neighbors").desc(), F.col("u").asc(), F.col("v").asc())
+            .limit(LINKPRED_TOP_K)
+        )
+
+    # integer cap predicate: deg * 100 * n_nodes <= pct * total_deg
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    totals = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.sum("deg").alias("total_deg")
+    )
+    deg_t = deg.join(F.broadcast(totals)).withColumn(
+        "keep",
+        F.col("deg") * 100 * F.col("n_nodes")
+        <= F.lit(LINKPRED_DEG_CAP_PCT) * F.col("total_deg"),
+    )
+    capped = und.join(deg_t.where("keep").select("node"), "node")
+    pruned_engaged = deg_t.where(~F.col("keep")).limit(1).count() > 0
+
+    exact_top = topk(und).select("u", "v")
+    pruned_top = topk(capped).select("u", "v").withColumn("hit", F.lit(1))
+    hits = (
+        exact_top.join(pruned_top, ["u", "v"], "left")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+    )
+    return hits.select(
+        F.lit(LINKPRED_TOP_K).cast("long").alias("k"),
+        F.lit(1 if pruned_engaged else 0).cast("int").alias("prune_engaged"),
+        (F.col("n_hits") * 100 >= F.lit(LINKPRED_RECALL_FLOOR_PCT * LINKPRED_TOP_K))
+        .cast("int")
+        .alias("recall_floor_ok"),
+    )
+
+
 # ----------------------------------------------- hybrid rank fusion
 #: Reciprocal-rank-fusion constant (the standard k=60) and the
 #: example-query vector for the semantic leg.
@@ -1361,11 +1482,9 @@ def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     q = e.where(F.col("vec_id") == RRF_QUERY_VEC).select(F.col("qv").alias("qq"))
-    dot = F.aggregate(
-        F.zip_with("qv", "qq", lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    from gcd_etl_spark.functions.vector import dot_fixed_long
+
+    dot = dot_fixed_long("qv", "qq", _RRF_DIM)  # codegen'd, not interpreted
     dots = (
         e.where(F.col("vec_id") != RRF_QUERY_VEC)
         .crossJoin(F.broadcast(q))
@@ -1412,7 +1531,8 @@ WITH o AS (
   SELECT o_custkey AS custkey,
          MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
          COUNT(*) AS frequency,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
   FROM orders GROUP BY o_custkey
 ),
 g AS (SELECT MAX(last_day) AS ref_day FROM o),
