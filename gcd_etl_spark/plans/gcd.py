@@ -147,3 +147,115 @@ def gcd_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = build_snapshot(spark, changed, RUN_DATE, dicts=dicts)
     prev = build_snapshot(spark, carried, RUN_DATE, dicts=dicts)
     return serialize_array_cols(delta.unionByName(prev))
+
+
+#: sf_dir -> path of the materialized "prior nightly" snapshot
+#: parquet, written once per process (the first call of a fresh
+#: process stands in for last night's run having happened).
+_PRIOR_SNAPSHOT: dict[str, str] = {}
+
+
+def _prior_snapshot_path(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the prior snapshot parquet, hive-partitioned by
+    ``issue_bucket = issue_id % INCR_MOD`` so the carried partitions
+    are a directory-pruned scan, never a recompute."""
+    import os
+
+    if sf_dir in _PRIOR_SNAPSHOT:
+        return _PRIOR_SNAPSHOT[sf_dir]
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    path = os.path.abspath(
+        os.path.join("spark-warehouse", f"gcd_incr_prior_sf{tag}")
+    )
+    from pyspark.sql import functions as F
+
+    (
+        build_flagship(spark, sf_dir)
+        .withColumn("issue_bucket", F.col("issue_id") % INCR_MOD)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("issue_bucket")
+        .parquet(path)
+    )
+    _PRIOR_SNAPSHOT[sf_dir] = path
+    return path
+
+
+@query("gcd_snapshot_incremental_fs", oracle=_FLAGSHIP_ORACLE)
+def gcd_snapshot_incremental_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION incremental path (round-5 verdict item 6):
+    gcd_snapshot_incremental proves the denormalization partitions on
+    the issue key by rebuilding both halves; this variant actually
+    READS the carried partition back from the prior snapshot's
+    parquet — write prior once (hive-partitioned on
+    ``issue_bucket = issue_id % {INCR_MOD}``), then a run costs
+    (changed-partition rebuild) + (directory-pruned scan of carried
+    buckets), NOT 2x a full build. Held to the SAME full-build oracle
+    as gcd_snapshot: parquet round-trip + pruned union must be
+    bit-identical to rebuilding the world. At 100 TB this is the
+    nightly shape: CDC marks changed issues, their ``snapshot=``
+    buckets rebuild, everything else is a metadata-only carry."""
+    from pyspark.sql import functions as F
+
+    prior = _prior_snapshot_path(spark, sf_dir)
+    tables = gcd_tables_from_fixtures(spark, sf_dir)
+    if sf_dir not in _DICT_CACHE:
+        _DICT_CACHE[sf_dir] = collect_dict_maps(tables)
+    changed = dict(tables)
+    changed["gcd_issue"] = tables["gcd_issue"].where(
+        F.col("id") % INCR_MOD < INCR_CHANGED
+    )
+    delta = build_snapshot(spark, changed, RUN_DATE, dicts=_DICT_CACHE[sf_dir])
+    carried = (
+        spark.read.parquet(prior)
+        .where(F.col("issue_bucket") >= INCR_CHANGED)  # partition-pruned
+        .drop("issue_bucket")
+    )
+    return serialize_array_cols(delta.unionByName(carried))
+
+
+@query(
+    "snapshot_table_partitions",
+    oracle=f"""
+SELECT CAST(20240115 AS BIGINT) AS snapshot, COUNT(*) AS n_rows
+FROM ({snapshot_oracle_sql(RUN_DATE, gcd_fixture_ctes())})
+UNION ALL
+SELECT CAST(20240116 AS BIGINT), COUNT(*)
+FROM ({snapshot_oracle_sql(RUN_DATE, gcd_fixture_ctes())})
+WHERE issue_id % {INCR_MOD} < {INCR_CHANGED}
+""",
+)
+def snapshot_table_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 driver-facing: the external-table DDL + partition-discovery
+    lifecycle (reference gcdissuesnapshot.sql:90-95 — Athena external
+    table + MSCK REPAIR) as a checked query. Writes two ``snapshot=``
+    partitions of the flagship output (full build as 20240115, the
+    changed-issue subset as 20240116 — the incremental day), registers
+    the location as a table with partition discovery
+    (sources/sinks.register_snapshot_table), then counts rows per
+    partition THROUGH the registered table, so partition values,
+    discovery, and scan pruning all sit on the checked path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.sources.sinks import register_snapshot_table, write_snapshot
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    path = os.path.abspath(
+        os.path.join("spark-warehouse", f"gcd_snap_tbl_sf{tag}")
+    )
+    full = build_flagship(spark, sf_dir)
+    write_snapshot(full, path, 20240115, mode="overwrite")
+    write_snapshot(
+        full.where(F.col("issue_id") % INCR_MOD < INCR_CHANGED), path, 20240116
+    )
+    register_snapshot_table(spark, f"gcd_issue_snapshot_sf{tag}", path)
+    return spark.sql(
+        f"""
+        SELECT CAST(snapshot AS BIGINT) AS snapshot,
+               COUNT(*) AS n_rows
+        FROM gcd_issue_snapshot_sf{tag}
+        GROUP BY snapshot
+        """
+    )
