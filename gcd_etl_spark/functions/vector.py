@@ -61,6 +61,33 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     return acc
 
 
+def dot_fixed_long(a: Column | str, b: Column | str, dim: int) -> Column:
+    """EXACT integer dot product for a KNOWN dimension, unrolled to
+    flat codegen'd long arithmetic — for micro-scaled integer vectors
+    whose oracles restate the same BIGINT sum (``dot_fixed`` would be
+    value-exact here too since every intermediate stays under 2^53,
+    but long-typed terms keep the plan's type story identical to the
+    oracle's and free of float casts)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    acc = F.lit(0).cast("long")
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(ca, i) * F.element_at(cb, i)
+    return acc
+
+
+def dist2_fixed_long(a: Column | str, b: Column | str, dim: int) -> Column:
+    """EXACT integer squared L2 distance for a KNOWN dimension,
+    unrolled (see ``dot_fixed_long``)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    acc = F.lit(0).cast("long")
+    for i in range(1, dim + 1):
+        d = F.element_at(ca, i) - F.element_at(cb, i)
+        acc = acc + d * d
+    return acc
+
+
 def norm_fixed(a: Column | str, dim: int) -> Column:
     """L2 norm for a KNOWN dimension (unrolled; see ``dot_fixed``)."""
     ca = F.col(a) if isinstance(a, str) else a

@@ -286,11 +286,12 @@ def ml_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = emb.where(F.col("vec_id") % KNN_FOLD != 0).select(
         F.col("vec_id").alias("train_id"), F.col("label").alias("label_nn"), "qv"
     )
-    dist2 = F.aggregate(
-        F.zip_with("qv_q", "qv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    from gcd_etl_spark.functions.vector import dist2_fixed_long
+
+    # unrolled codegen'd integer distance (the interpreted
+    # aggregate/zip_with fold runs per-element per-pair; this is the
+    # hot expression of the |test| x |train| broadcast join)
+    dist2 = dist2_fixed_long("qv_q", "qv", 64)
     pairs = t.crossJoin(F.broadcast(q)).select(
         "test_id", "label_true", "label_nn", "train_id", dist2.alias("dist2")
     )
