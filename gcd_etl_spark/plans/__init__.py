@@ -47,7 +47,40 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 
 #: The first ~50 registry entries = the driver's correctness window,
 #: ROTATED each round (round-3 verdict #7) so every registered query
-#: has a driver-green row at most ~2 rounds old. Round-5 composition:
+#: has a driver-green row at most ~2 rounds old. ROUND-6 composition
+#: (round-5 verdict items 1, 3-6, 8 — drain the never-driver-tested
+#: backlog, no new operator families except the verdict-requested
+#: scale-safe variants):
+#: (a) the five round-5 reds, re-verifying on the fixed oracles — all
+#:     five were DuckDB HUGEINT widenings (values matched; the typed
+#:     comparator + tests/test_oracle_types.py now make the class a
+#:     pytest failure);
+#: (b) the two LATENT instances the judge's DESCRIBE sweep found,
+#:     fixed before their debut: events_rfm_segments,
+#:     pack_token_budget;
+#: (c) the four round-6 queries closing verdict items 4/6/8:
+#:     entity_clusters_star (large-star/small-star components),
+#:     graph_link_prediction_pruned (hub-capped wedges, recall-gated
+#:     on the exact anchor), gcd_snapshot_incremental_fs (carried
+#:     partition READ from the prior snapshot's parquet),
+#:     snapshot_table_partitions (S8 external-table DDL + partition
+#:     discovery + per-partition counts);
+#: (d) 37 backlog queries with no driver row ever: the 22 entries
+#:     kept from last round's announced debut queue plus the 15
+#:     verdict-item-3 names (table_checksum closes A2;
+#:     source_*_roundtrip, ts_ewma_exact, graph_bfs_layers,
+#:     intervals_merge_coverage, setjoin_*, layout_zorder_cluster,
+#:     sample_*, feature_quantile_bins, index_postings_delta,
+#:     dedup_cdc_chunks, stream_static_enrich, reshape_unpivot);
+#: (e) the flagship pair, re-verified every round.
+#: Five announced-queue names were displaced by the verdict-named
+#: fifteen and debut in r7 instead (their families all carry green
+#: rows: attribution_last_touch r5, rollup_time_hierarchy r5,
+#: events_retention family): pivot_user_features,
+#: dim_calendar_generate, trend_mom_revenue, events_cohort_ltv,
+#: attribution_linear_touch. After r6 the never-tested remainder is
+#: 22 queries (listed at the bottom) — all queued for r7.
+#: Round-5 composition (kept for the rotation ledger):
 #: (a) the single round-4 red — events_funnel (oracle UNION branches
 #: summed BIGINTs into DuckDB HUGEINT; both lag sums now CAST
 #: BIGINT) — plus the queries whose code changed this round (BM25
@@ -68,98 +101,73 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: flagship slots that re-verify every round. Whole-window green at sf0.01 re-checked
 #: via tests/verify_window_sf001.py after every rotation this round.
 _DRIVER_WINDOW = [
-    # --- (a) round-4's one red, fixed (funnel oracle HUGEINT cast)
-    # + the queries whose arithmetic changed late in round 4 (BM25
-    # integer micro-scores, resample/as-of floor-division,
-    # attribution tolerance) — all must re-verify on current code ---
-    "events_funnel",
-    "text_bm25_topk",
-    "resample_ffill",
-    "asof_join_events",
-    "attribution_last_touch",
-    # --- (b) NEW round-5 operators (first driver rows): supervised
-    # classifiers, robust monitoring, curation, retrieval fusion,
-    # layout, sketching, portable semantic LSH ---
-    "ml_naive_bayes_confusion",
-    "ml_knn_confusion",
-    "stat_chi2_independence",
-    "ts_changepoint_cusum",
-    "ts_anomaly_mad",
-    "quality_repetition_ngrams",
-    "scan_zonemap_prune",
-    "mm_image_tiles",
-    "corpus_mix_sampling",
-    "events_sessionize_ids",
-    "rank_fusion_rrf",
-    "sketch_distinct_kmv",
-    "window_time_weighted_avg",
-    "dedup_semantic_srp",
-    # --- (c) round-4 additions whose debut was deferred last
-    # rotation (announced there): streaming sink/CDC maintenance,
-    # link prediction, decontamination, the Python DataSource dump
-    # reader, BPE application, unigram-LM quality, closed-form OLS ---
-    "stream_sink_parquet",
-    "stream_apply_cdc",
-    "graph_link_prediction",
-    "decontaminate_ngrams",
-    "dump_datasource_roundtrip",
+    # --- (a) the five round-5 reds, oracles CAST to BIGINT ---
     "tokenizer_apply_bpe",
     "quality_unigram_nll",
-    "ml_ols_exact",
-    # --- (d) round-4 debuts keeping their promised first rows:
-    # stats/sketches, behavioral, temporal joins, incremental +
-    # stream-stream, compressed ANN, PCA, BPE training, tree rollup ---
-    "stat_corr_exact",
-    "dq_drift_psi",
-    "sketch_quantile_bound",
     "audience_overlap_minhash",
     "events_markov_transitions",
-    "assoc_pairs_lift",
-    "rollup_incremental_merge",
-    "stream_stream_join",
-    "sim_ann_ivfpq_recall",
-    "graph_degree_topk",
-    "events_streak_runs",
-    "scd2_point_in_time",
-    "emb_pca_power",
-    "join_interval_overlap",
-    "bpe_learn_merges",
     "agg_tree_rollup",
-    "rollup_time_hierarchy",
-    "chunk_sliding_tokens",
-    "stream_late_drop",
-    # (two high-semantics entries with no driver row in r3-r4 keep
-    # their slots from last rotation)
-    "entity_clusters",
-    "dedup_ngram_jaccard",
+    # --- (b) latent HUGEINT instances, fixed pre-debut ---
+    "events_rfm_segments",
+    "pack_token_budget",
+    # --- (c) round-6 scale-safe/production variants + S8 ---
+    "entity_clusters_star",
+    "graph_link_prediction_pruned",
+    "gcd_snapshot_incremental_fs",
+    "snapshot_table_partitions",
+    # --- (d1) announced debut queue, taking their first rows ---
+    "ml_nearest_centroid",
+    "stat_gini_lorenz",
+    "events_pmi_cooccurrence",
+    "dq_volume_anomaly_daily",
+    "window_pattern_peaks",
+    "sketch_minhash_mergeable",
+    "corpus_boilerplate_ngrams",
+    "ab_test_assignment",
+    "events_entropy_per_user",
+    "gcd_snapshot_incremental",
+    "text_pmi_collocations",
+    "dq_key_skew_report",
+    "dedup_exact_embeddings",
+    "dq_sequence_gaps",
+    "ts_autocorr_lag1",
+    "stat_pareto_coverage",
+    "mm_audio_frames",
+    "ml_label_outliers",
+    "stat_ks_two_sample",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "cogroup_pandas_join",
+    # --- (d2) verdict-item-3 names with no driver row ever ---
+    "table_checksum",
+    "source_orc_roundtrip",
+    "ts_ewma_exact",
+    "graph_bfs_layers",
+    "intervals_merge_coverage",
+    "setjoin_prefix_exact",
+    "setjoin_containment_exact",
+    "layout_zorder_cluster",
+    "sample_consistent_hash",
+    "sample_reservoir_per_group",
+    "feature_quantile_bins",
+    "index_postings_delta",
+    "dedup_cdc_chunks",
+    "stream_static_enrich",
+    "reshape_unpivot",
     # --- (e) flagship, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
-    # Rotated OUT to the r06 window (all strict-verified in-session
-    # via the driver-sim sweep this round, pytest-pinned):
-    # anomaly_zscore_events, data_split_grouped, pandas_grouped_stats,
-    # sql_exists_correlated, sql_q18_large_orders, text_lang_id,
-    # text_pii_scrub, text_quality, dq_expectations, agg_histogram,
-    # agg_percentiles_exact, sketch_heavy_hitters, text_ngram_counts,
-    # text_tfidf_topk, pack_token_budget, events_retention_cohorts,
-    # events_path_topk, graph_triangles, window_rolling_range,
-    # sample_consistent_hash, agg_mode_per_group, emb_quantize_int8.
-    #
-    # DEBUT QUEUE for the r06 rotation — registered this round AFTER
-    # the window froze (each strict-verified at sf0.001 + sf0.01 via
-    # the driver-sim comparator this session; whole-registry sweep
-    # DONE mismatches: 0): ml_nearest_centroid, stat_gini_lorenz,
-    # events_pmi_cooccurrence, dq_volume_anomaly_daily,
-    # window_pattern_peaks, sketch_minhash_mergeable,
-    # corpus_boilerplate_ngrams, ab_test_assignment,
-    # events_entropy_per_user, trend_mom_revenue,
-    # dim_calendar_generate, gcd_snapshot_incremental,
-    # text_pmi_collocations, dq_key_skew_report,
-    # attribution_linear_touch, dedup_exact_embeddings,
-    # dq_sequence_gaps, events_cohort_ltv, ts_autocorr_lag1,
-    # stat_pareto_coverage, mm_audio_frames, ml_label_outliers,
-    # stat_ks_two_sample, source_csv_roundtrip,
-    # source_json_roundtrip, cogroup_pandas_join, pivot_user_features.
+    # NEVER-TESTED REMAINDER after this window (22) — the whole r7
+    # debut queue, no new families planned ahead of them:
+    # agg_mode_per_group, pivot_user_features, data_split_grouped,
+    # anomaly_zscore_events, window_rolling_range, emb_quantize_int8,
+    # events_retention_cohorts, events_path_topk, graph_triangles,
+    # text_ngram_counts, text_tfidf_topk, text_hashing_vectorizer,
+    # dq_expectations, agg_histogram, agg_percentiles_exact,
+    # sketch_heavy_hitters, agg_weighted_median, asof_join_nearest,
+    # dim_calendar_generate, trend_mom_revenue, events_cohort_ltv,
+    # attribution_linear_touch. (cluster_kmeans stays rows-only by
+    # design; its oracled twin cluster_kmeans_quality is green r4.)
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
