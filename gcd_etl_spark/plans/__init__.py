@@ -168,6 +168,9 @@ _DRIVER_WINDOW = [
     # dim_calendar_generate, trend_mom_revenue, events_cohort_ltv,
     # attribution_linear_touch. (cluster_kmeans stays rows-only by
     # design; its oracled twin cluster_kmeans_quality is green r4.)
+    # Round-6 registrants joining the r7 queue (both strict-verified
+    # at sf0.001+sf0.01 this session): dedup_semantic_srp_scaled,
+    # reconcile_full_outer.
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -155,6 +155,17 @@ def gcd_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIOR_SNAPSHOT: dict[str, str] = {}
 
 
+def _warehouse_dir() -> str:
+    """Scratch parquet root, anchored at the REPO (not the process
+    CWD — the driver may import this package from anywhere)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "spark-warehouse",
+    )
+
+
 def _prior_snapshot_path(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the prior snapshot parquet, hive-partitioned by
     ``issue_bucket = issue_id % INCR_MOD`` so the carried partitions
@@ -164,9 +175,7 @@ def _prior_snapshot_path(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in _PRIOR_SNAPSHOT:
         return _PRIOR_SNAPSHOT[sf_dir]
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    path = os.path.abspath(
-        os.path.join("spark-warehouse", f"gcd_incr_prior_sf{tag}")
-    )
+    path = os.path.join(_warehouse_dir(), f"gcd_incr_prior_sf{tag}")
     from pyspark.sql import functions as F
 
     (
@@ -242,9 +251,7 @@ def snapshot_table_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcd_etl_spark.sources.sinks import register_snapshot_table, write_snapshot
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    path = os.path.abspath(
-        os.path.join("spark-warehouse", f"gcd_snap_tbl_sf{tag}")
-    )
+    path = os.path.join(_warehouse_dir(), f"gcd_snap_tbl_sf{tag}")
     full = build_flagship(spark, sf_dir)
     write_snapshot(full, path, 20240115, mode="overwrite")
     write_snapshot(
