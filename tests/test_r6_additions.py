@@ -86,6 +86,49 @@ def test_star_cc_round_count_beats_diameter(spark, monkeypatch):
     assert out.where(F.col("cluster_id") != 1).count() == 0
 
 
+def _union_find_labels(n_nodes, pairs):
+    """Pure-Python ground truth: min-member label per component."""
+    parent = list(range(n_nodes + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(1, n_nodes + 1)}
+
+
+def test_star_cc_matches_union_find_on_many_random_graphs(spark):
+    """Property sweep against an independent union-find model (not
+    just the propagation operator): one Spark run per topology class —
+    dense blob, two chains, bipartite-ish stripes, self-loop-heavy."""
+    random.seed(23)
+    topologies = {
+        "blob": [(random.randint(1, 40), random.randint(1, 40)) for _ in range(120)],
+        "chains": [(i, i + 1) for i in range(1, 30)]
+        + [(i, i + 1) for i in range(50, 75)],
+        "stripes": [(i, i + 40) for i in range(1, 40, 2)],
+        "loopy": [(i, i) for i in range(1, 20)]
+        + [(random.randint(1, 30), random.randint(1, 30)) for _ in range(25)],
+    }
+    for name, pairs in topologies.items():
+        n = 90
+        want = _union_find_labels(n, [(a, b) for a, b in pairs if a != b])
+        nodes = spark.range(1, n + 1).select(F.col("id").alias("doc_id"))
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components_star(
+                _pairs_df(spark, pairs), nodes, id_col="doc_id"
+            ).collect()
+        }
+        assert got == want, f"topology {name}"
+
+
 # -------------------------------------- registered query parity
 
 
