@@ -302,14 +302,17 @@ BPE_ROUNDS = 3
 BPE_SEP = "-"
 
 
-def _bpe_fold_sql() -> str:
+def _bpe_fold_sql(ma: str = "ma", mb: str = "mb", merged: str = "merged") -> str:
     """Greedy left-to-right merge application as a string fold (the
     lambda only uses ops with identical semantics in Spark SQL and
-    DuckDB); the acc carries BPE_SEP-joined symbols."""
+    DuckDB); the acc carries BPE_SEP-joined symbols. The rule can be
+    referenced as COLUMNS (the oracle's CTE form, defaults) or
+    embedded as SQL literal expressions (the Spark side passes
+    ``"'xy'"``-style quoted strings)."""
     return (
         f"aggregate(slice(syms, 2, size(syms) - 1), syms[0], (acc, x) -> "
-        f"CASE WHEN substring_index(acc, '{BPE_SEP}', -1) = ma AND x = mb "
-        f"THEN concat(substring(acc, 1, length(acc) - length(ma)), merged) "
+        f"CASE WHEN substring_index(acc, '{BPE_SEP}', -1) = {ma} AND x = {mb} "
+        f"THEN concat(substring(acc, 1, length(acc) - length({ma})), {merged}) "
         f"ELSE concat(acc, '{BPE_SEP}', x) END)"
     )
 
@@ -367,11 +370,12 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the first groupBy the working set is the WORD-FREQUENCY
     dict (vocab-sized, not corpus-sized; Zipf makes this orders of
     magnitude smaller than the text). Per round: one pair-count
-    shuffle over ~|vocab|·avg_len rows, a 1-row top-pair broadcast,
-    and a codegen'd per-word fold — no UDF, no driver loop over
-    data; only the single winning rule crosses to the driver-side
-    plan as a broadcast. The per-word fold is the same greedy scan a
-    single-node trainer does, just data-parallel over the vocab."""
+    shuffle over ~|vocab|·avg_len rows, ONE collected winning-rule
+    row embedded as literals in the next round's codegen'd per-word
+    fold — no UDF, no driver loop over data; only the single winning
+    rule ever crosses to the driver. The per-word fold is the same
+    greedy scan a single-node trainer does, just data-parallel over
+    the vocab."""
     _, rules = _bpe_train(spark, sf_dir)
     out = rules[0]
     for rdf in rules[1:]:
@@ -383,7 +387,19 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     """Shared BPE training loop: returns (final word table with
     ``w`` / ``syms`` / ``wc`` after BPE_ROUNDS merges, per-round rule
     DataFrames). Used by both the learn and the encode plans so the
-    two are the same trainer by construction."""
+    two are the same trainer by construction.
+
+    The single winning (pair, count) row of each round is COLLECTED
+    and embedded as literals in the next round's fold (the k-row
+    centroid precedent, operators/clustering.py) instead of the
+    previous crossJoin(broadcast(1-row-checkpoint)) formulation:
+    functionally identical, but each per-round lazy checkpoint of a
+    nested plan forced a full Catalyst re-plan — 9.4s of pure
+    plan-compilation at sf0.01 before any data moved (vs 0.2s of
+    actual execution; the vocab is tiny). Cold build is now ~2s.
+    Only the 1-row rule crosses to the driver; the vocab-sized word
+    table stays distributed throughout.
+    """
     docs = read_table_spread(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
     words = (
@@ -391,7 +407,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select("w", F.split("w", "").alias("syms"), "wc")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     rules = []
     for r in range(1, BPE_ROUNDS + 1):
@@ -404,34 +420,39 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
                 )
             ).alias("p"),
         )
-        top = (
+        top_rows = (
             pairs.groupBy(F.col("p.a").alias("ma"), F.col("p.b").alias("mb"))
             .agg(F.sum("wc").cast("bigint").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("ma").asc(), F.col("mb").asc())
             .limit(1)
-            .select("ma", "mb", F.concat("ma", "mb").alias("merged"), "cnt")
-            .localCheckpoint(eager=False)
+            .collect()
         )
+        if not top_rows:
+            raise ValueError(
+                "BPE training found no adjacent symbol pairs — corpus has "
+                "no multi-character tokens"
+            )
+        ma, mb, cnt = top_rows[0]["ma"], top_rows[0]["mb"], top_rows[0]["cnt"]
+        merged = ma + mb
         rules.append(
-            top.select(
-                F.lit(r).alias("round"),
-                F.col("ma").alias("sym_a"),
-                F.col("mb").alias("sym_b"),
-                "merged",
-                F.col("cnt").alias("pair_count"),
+            spark.createDataFrame(
+                [(r, ma, mb, merged, cnt)],
+                "round int, sym_a string, sym_b string, merged string, "
+                "pair_count bigint",
             )
         )
+        # tokens are [a-z0-9]+ so the literals are quote-safe
+        fold = _bpe_fold_sql(f"'{ma}'", f"'{mb}'", f"'{merged}'")
         words = (
-            words.crossJoin(F.broadcast(top))
-            .select(
+            words.select(
                 "w",
                 F.expr(
                     f"CASE WHEN size(syms) < 2 THEN syms "
-                    f"ELSE split({_bpe_fold_sql()}, '{BPE_SEP}') END"
+                    f"ELSE split({fold}, '{BPE_SEP}') END"
                 ).alias("syms"),
                 "wc",
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return words, rules
 
