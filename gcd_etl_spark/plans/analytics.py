@@ -1354,7 +1354,19 @@ def graph_link_prediction_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥{LINKPRED_RECALL_FLOOR_PCT}% overlap floor against the exact
     anchor computed in-plan — the sim_ann_*_recall gating pattern.
     Output also asserts the prune actually ENGAGED (some center was
-    dropped), so the gate cannot pass vacuously at fixture scale."""
+    dropped), so the gate cannot pass vacuously at fixture scale.
+
+    Production knob (measured, BASELINE.md driver-round-6): on
+    power-law graphs the cap should be ABSOLUTE (prune only the
+    extreme-hub tail), not relative to the mean — a zipf graph's mean
+    degree is tiny, so a 1.5x-mean cap guts the hub-mediated pairs
+    that dominate raw common-neighbor rank (measured recall 4/20),
+    while capping at deg>1000 pruned just 4 of 97k centers, saved
+    65% of the Σdeg² wedge mass, ran 7x faster and kept 19/20 of the
+    exact top-20. The relative cap is registered here because the
+    fixture graph is near-uniform (no absolute-tail hubs exist to
+    prune, and the gate must demonstrably engage); a deployment sets
+    the ceiling from its wedge budget: cap ~ sqrt(budget_per_center)."""
     li = read_table(spark, sf_dir, "lineitem")
     os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
     a, b = os_.alias("a"), os_.alias("b")
