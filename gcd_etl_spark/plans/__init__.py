@@ -157,6 +157,12 @@ _DRIVER_WINDOW = [
     # --- (e) flagship, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
+    # #51, riding after the flagship in case the driver samples past
+    # 50: round-5 verdict item 5 asked for a cluster_kmeans_quality
+    # row "after 5 rounds with none" — it in fact carries a GREEN row
+    # in CORRECTNESS_r04; this slot refreshes it if the window
+    # stretches, and costs nothing if the sample stops at 50.
+    "cluster_kmeans_quality",
     # NEVER-TESTED REMAINDER after this window (22) — the whole r7
     # debut queue, no new families planned ahead of them:
     # agg_mode_per_group, pivot_user_features, data_split_grouped,
