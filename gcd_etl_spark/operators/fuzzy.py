@@ -57,8 +57,21 @@ def symspell_join(
     per pair, not once per shared variant)."""
     lv = _with_variants(left, left_id, left_str, "l")
     rv = _with_variants(right, right_id, right_str, "r")
-    candidates = lv.join(rv, "variant").select("l_id", "l_s", "r_id", "r_s").distinct()
+    # Dedup the candidate stream on the NARROW (l_id, r_id) key — a
+    # duplicate clique of k strings sharing ~len variants emits
+    # len*k² pre-distinct hits, and carrying both strings through
+    # that shuffle multiplies its width ~4x for no reason. Strings
+    # re-attach to the ~k² DISTINCT pairs by key-equi joins against
+    # the n-row inputs (AQE broadcasts them when small), and the
+    # exact metric still runs once per pair.
+    candidates = lv.join(rv, "variant").select("l_id", "r_id").distinct()
+    paired = candidates.join(
+        left.select(F.col(left_id).alias("l_id"), F.col(left_str).alias("l_s")), "l_id"
+    ).join(
+        right.select(F.col(right_id).alias("r_id"), F.col(right_str).alias("r_s")),
+        "r_id",
+    )
     dist = F.levenshtein("l_s", "r_s")
-    return candidates.where(dist <= MAX_DISTANCE).select(
+    return paired.where(dist <= MAX_DISTANCE).select(
         "l_id", "r_id", dist.alias("dist")
     )
