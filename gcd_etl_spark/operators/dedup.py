@@ -334,6 +334,29 @@ def connected_components(
     return labels.select(F.col("_nid").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def _edge_signature(edges: DataFrame) -> tuple:
+    """Cheap per-round convergence signal: (count, bit_xor of the
+    64-bit edge hash). Probabilistic — a match triggers the exact
+    `_same_edge_set` confirmation, it never declares convergence by
+    itself. Module-level so tests can force collisions."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("x"),
+    ).collect()[0]
+    return (row["n"], row["x"])
+
+
+def _same_edge_set(a: DataFrame, b: DataFrame) -> bool:
+    """Exact fixed-point confirmation: both edge sets are distinct by
+    construction, so two exceptAll-emptiness probes decide multiset
+    equality. Runs only on a signature match — normally once, at the
+    true fixed point."""
+    return (
+        a.exceptAll(b).limit(1).count() == 0
+        and b.exceptAll(a).limit(1).count() == 0
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -358,9 +381,14 @@ def connected_components_star(
     Each round is two groupBy-min + join passes over the CURRENT edge
     set (which shrinks as stars collapse); convergence is provably
     O(log² n) rounds worst-case and ~O(log n) in practice, independent
-    of diameter. Convergence is detected by an (edge-count,
-    bit_xor(edge-hash)) signature — two cheap aggregates, no
-    edge-set diff join.
+    of diameter. Convergence is detected in two steps: an
+    (edge-count, bit_xor(edge-hash)) signature — two cheap
+    aggregates per round, no diff join — and, only when the
+    signature matches, an EXACT fixed-point confirmation (two
+    exceptAll-emptiness probes between the consecutive edge sets),
+    so a 64-bit signature collision can delay convergence detection
+    by a round but can never terminate early with wrong labels
+    (round-6 verdict item 7).
 
     Output: (id_col, cluster_id) with cluster_id = smallest member id,
     singletons keeping their own id — byte-identical to
@@ -405,16 +433,14 @@ def connected_components_star(
     prev_sig = None
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("src", "dst")).alias("x"),
-        ).collect()[0]
-        sig = (row["n"], row["x"])
-        if sig == prev_sig:
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = _edge_signature(new_edges)
+        if sig == prev_sig and _same_edge_set(edges, new_edges):
+            edges = new_edges
             converged = True
             break
         prev_sig = sig
+        edges = new_edges
     if not converged:
         raise RuntimeError(
             f"connected_components_star did not converge within "

@@ -47,136 +47,92 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 
 #: The first ~50 registry entries = the driver's correctness window,
 #: ROTATED each round (round-3 verdict #7) so every registered query
-#: has a driver-green row at most ~2 rounds old. ROUND-6 composition
-#: (round-5 verdict items 1, 3-6, 8 — drain the never-driver-tested
-#: backlog, no new operator families except the verdict-requested
-#: scale-safe variants):
-#: (a) the five round-5 reds, re-verifying on the fixed oracles — all
-#:     five were DuckDB HUGEINT widenings (values matched; the typed
-#:     comparator + tests/test_oracle_types.py now make the class a
-#:     pytest failure);
-#: (b) the two LATENT instances the judge's DESCRIBE sweep found,
-#:     fixed before their debut: events_rfm_segments,
-#:     pack_token_budget;
-#: (c) the four round-6 queries closing verdict items 4/6/8:
-#:     entity_clusters_star (large-star/small-star components),
-#:     graph_link_prediction_pruned (hub-capped wedges, recall-gated
-#:     on the exact anchor), gcd_snapshot_incremental_fs (carried
-#:     partition READ from the prior snapshot's parquet),
-#:     snapshot_table_partitions (S8 external-table DDL + partition
-#:     discovery + per-partition counts);
-#: (d) 37 backlog queries with no driver row ever: the 22 entries
-#:     kept from last round's announced debut queue plus the 15
-#:     verdict-item-3 names (table_checksum closes A2;
-#:     source_*_roundtrip, ts_ewma_exact, graph_bfs_layers,
-#:     intervals_merge_coverage, setjoin_*, layout_zorder_cluster,
-#:     sample_*, feature_quantile_bins, index_postings_delta,
-#:     dedup_cdc_chunks, stream_static_enrich, reshape_unpivot);
-#: (e) the flagship pair, re-verified every round.
-#: Five announced-queue names were displaced by the verdict-named
-#: fifteen and debut in r7 instead (their families all carry green
-#: rows: attribution_last_touch r5, rollup_time_hierarchy r5,
-#: events_retention family): pivot_user_features,
-#: dim_calendar_generate, trend_mom_revenue, events_cohort_ltv,
-#: attribution_linear_touch. After r6 the never-tested remainder is
-#: 22 queries (listed at the bottom) — all queued for r7.
-#: Round-5 composition (kept for the rotation ledger):
-#: (a) the single round-4 red — events_funnel (oracle UNION branches
-#: summed BIGINTs into DuckDB HUGEINT; both lag sums now CAST
-#: BIGINT) — plus the queries whose code changed this round (BM25
-#: rescored in integer micro-units, resample/as-of floor-division
-#: semantics, attribution tolerance floor); then (b) names with NO
-#: green driver row in rounds 3-4 (except the rows-only variants,
-#: which stay out per test_driver_window_all_oracled, and a few
-#: simple shapes whose exact plan families are green elsewhere —
-#: displacements documented inline below); then (c) the 17 round-5
-#: operators taking their first driver rows; then (e) the 19 NEW
-#: round-6 operators (stats/sketches, Markov/assoc/streaks, PIT +
-#: interval-overlap temporal joins, incremental merge, stream-stream
-#: join, IVF-SQ8 ANN, power-iteration PCA, BPE training, tree
-#: rollup — 16 of the 24 round-6 additions; stream_sink_parquet,
-#: stream_apply_cdc, graph_link_prediction, decontaminate_ngrams,
-#: dump_datasource_roundtrip, tokenizer_apply_bpe,
-#: quality_unigram_nll and ml_ols_exact debut next rotation), batches annotated inline; then (d)
-#: flagship slots that re-verify every round. Whole-window green at sf0.01 re-checked
-#: via tests/verify_window_sf001.py after every rotation this round.
+#: has a driver-green row at most ~2 rounds old. ROUND-7 composition
+#: (round-6 verdict item 1 — "drain the backlog to zero"): after this
+#: window, EVERY query in the registry has at least one driver
+#: correctness row.
+#: (a) the 2 round-7 registrants: graph_link_prediction_capped (the
+#:     capped-only production plan, full value-hash oracle, exact-
+#:     anchor recall gate moved to tests/test_round7.py — verdict
+#:     item 2) and gcd_snapshot_incremental_cdc (incremental flagship
+#:     selecting on the real `modified` CDC column with a
+#:     watermark-bucket carry — verdict item 6);
+#: (b) the 25 queries with no driver row ever (verdict's exact list),
+#:     led by the round-6 registrants whose scale claims were
+#:     otherwise unverified: dedup_semantic_srp_scaled,
+#:     reconcile_full_outer, graph_triangles; includes cluster_kmeans
+#:     (rows-only by design — its oracled twin cluster_kmeans_quality
+#:     is green r4/r6; a rows-only row still retires its
+#:     "never-tested" status);
+#: (c) rotation refresh: all 14 queries whose latest green row is
+#:     still round 2, then the 7 oldest round-3 rows (the bench
+#:     drift-watch pair snapshot_denorm + sim_bruteforce_topk among
+#:     them, so the idle-box-isolate question gets a fresh driver
+#:     number too);
+#: (d) the flagship pair, re-verified every round; riders 51-52
+#:     refresh two more r3-vintage rows if the driver samples past 50.
+#: Round-6 composition (kept for the rotation ledger): the five r5
+#: HUGEINT reds + two latent fixes, four round-6 scale/production
+#: variants, 37 backlog debuts, flagship pair — 50/50 green.
 _DRIVER_WINDOW = [
-    # --- (a) the five round-5 reds, oracles CAST to BIGINT ---
-    "tokenizer_apply_bpe",
-    "quality_unigram_nll",
-    "audience_overlap_minhash",
-    "events_markov_transitions",
-    "agg_tree_rollup",
-    # --- (b) latent HUGEINT instances, fixed pre-debut ---
-    "events_rfm_segments",
-    "pack_token_budget",
-    # --- (c) round-6 scale-safe/production variants + S8 ---
-    "entity_clusters_star",
-    "graph_link_prediction_pruned",
-    "gcd_snapshot_incremental_fs",
-    "snapshot_table_partitions",
-    # --- (d1) announced debut queue, taking their first rows ---
-    "ml_nearest_centroid",
-    "stat_gini_lorenz",
-    "events_pmi_cooccurrence",
-    "dq_volume_anomaly_daily",
-    "window_pattern_peaks",
-    "sketch_minhash_mergeable",
-    "corpus_boilerplate_ngrams",
-    "ab_test_assignment",
-    "events_entropy_per_user",
-    "gcd_snapshot_incremental",
-    "text_pmi_collocations",
-    "dq_key_skew_report",
-    "dedup_exact_embeddings",
-    "dq_sequence_gaps",
-    "ts_autocorr_lag1",
-    "stat_pareto_coverage",
-    "mm_audio_frames",
-    "ml_label_outliers",
-    "stat_ks_two_sample",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "cogroup_pandas_join",
-    # --- (d2) verdict-item-3 names with no driver row ever ---
-    "table_checksum",
-    "source_orc_roundtrip",
-    "ts_ewma_exact",
-    "graph_bfs_layers",
-    "intervals_merge_coverage",
-    "setjoin_prefix_exact",
-    "setjoin_containment_exact",
-    "layout_zorder_cluster",
-    "sample_consistent_hash",
-    "sample_reservoir_per_group",
-    "feature_quantile_bins",
-    "index_postings_delta",
-    "dedup_cdc_chunks",
-    "stream_static_enrich",
-    "reshape_unpivot",
-    # --- (e) flagship, re-verified every round ---
+    # --- (a) round-7 registrants ---
+    "graph_link_prediction_capped",
+    "gcd_snapshot_incremental_cdc",
+    # --- (b) never-driver-tested backlog, drained to zero ---
+    "dedup_semantic_srp_scaled",
+    "reconcile_full_outer",
+    "graph_triangles",
+    "agg_mode_per_group",
+    "pivot_user_features",
+    "data_split_grouped",
+    "anomaly_zscore_events",
+    "window_rolling_range",
+    "emb_quantize_int8",
+    "events_retention_cohorts",
+    "events_path_topk",
+    "text_ngram_counts",
+    "text_tfidf_topk",
+    "text_hashing_vectorizer",
+    "dq_expectations",
+    "agg_histogram",
+    "agg_percentiles_exact",
+    "sketch_heavy_hitters",
+    "agg_weighted_median",
+    "asof_join_nearest",
+    "dim_calendar_generate",
+    "trend_mom_revenue",
+    "events_cohort_ltv",
+    "attribution_linear_touch",
+    "cluster_kmeans",
+    # --- (c) rotation refresh: every remaining r2-vintage row ---
+    "join_inner_chain",
+    "agg_distinct",
+    "agg_cube",
+    "sort_limit_topk",
+    "skew_salted_distinct",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_shingle_stats",
+    "pandas_grouped_stats",
+    "sql_q18_large_orders",
+    "sql_exists_correlated",
+    "text_pii_scrub",
+    "sample_weighted",
+    # --- (c) cont.: oldest r3 rows, incl. the drift-watch pair ---
+    "snapshot_denorm",
+    "sim_bruteforce_topk",
+    "q1_pricing_summary",
+    "join_left_fanout",
+    "dump_roundtrip",
+    "term_table",
+    "dedup_clusters",
+    # --- (d) flagship, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
-    # #51, riding after the flagship in case the driver samples past
-    # 50: round-5 verdict item 5 asked for a cluster_kmeans_quality
-    # row "after 5 rounds with none" — it in fact carries a GREEN row
-    # in CORRECTNESS_r04; this slot refreshes it if the window
-    # stretches, and costs nothing if the sample stops at 50.
-    "cluster_kmeans_quality",
-    # NEVER-TESTED REMAINDER after this window (22) — the whole r7
-    # debut queue, no new families planned ahead of them:
-    # agg_mode_per_group, pivot_user_features, data_split_grouped,
-    # anomaly_zscore_events, window_rolling_range, emb_quantize_int8,
-    # events_retention_cohorts, events_path_topk, graph_triangles,
-    # text_ngram_counts, text_tfidf_topk, text_hashing_vectorizer,
-    # dq_expectations, agg_histogram, agg_percentiles_exact,
-    # sketch_heavy_hitters, agg_weighted_median, asof_join_nearest,
-    # dim_calendar_generate, trend_mom_revenue, events_cohort_ltv,
-    # attribution_linear_touch. (cluster_kmeans stays rows-only by
-    # design; its oracled twin cluster_kmeans_quality is green r4.)
-    # Round-6 registrants joining the r7 queue (both strict-verified
-    # at sf0.001+sf0.01 this session): dedup_semantic_srp_scaled,
-    # reconcile_full_outer.
+    # riders if the driver samples past 50
+    "corpus_curation",
+    "sim_embedding_neardup_blas",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

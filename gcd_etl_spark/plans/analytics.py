@@ -1278,6 +1278,53 @@ SELECT u, v, common_neighbors, rank FROM ranked WHERE rank <= {LINKPRED_TOP_K}
 """
 
 
+def _linkpred_graph(spark: SparkSession, sf_dir: str):
+    """(edges, und) for the part co-purchase graph: distinct u<v
+    edges from orders sharing a part (checkpointed — both the wedge
+    join and the anti-join reuse them), plus the undirected adjacency
+    list. Shared by the exact anchor, the capped production path and
+    the pytest recall gate so the three can never drift apart."""
+    li = read_table(spark, sf_dir, "lineitem")
+    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
+    a, b = os_.alias("a"), os_.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    return edges, und
+
+
+def _linkpred_topk(edges: DataFrame, neigh: DataFrame) -> DataFrame:
+    """Top-{K} non-adjacent pairs by shared-neighbor count over the
+    given adjacency list: bounded wedge join, grouped count, LEFT-ANTI
+    against the edge set, TakeOrderedAndProject."""
+    wa, wb = neigh.alias("wa"), neigh.alias("wb")
+    wedges = (
+        wa.join(wb, (F.col("wa.node") == F.col("wb.node")) & (F.col("wa.nbr") < F.col("wb.nbr")))
+        .groupBy(F.col("wa.nbr").alias("u"), F.col("wb.nbr").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    return (
+        wedges.join(edges, ["u", "v"], "left_anti")
+        .orderBy(F.col("common_neighbors").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(LINKPRED_TOP_K)
+    )
+
+
+def _linkpred_ranked(top: DataFrame) -> DataFrame:
+    rank = F.row_number().over(
+        Window.partitionBy().orderBy(
+            F.col("common_neighbors").desc(), F.col("u").asc(), F.col("v").asc()
+        )
+    )
+    return top.select("u", "v", "common_neighbors", rank.alias("rank"))
+
+
 @query("graph_link_prediction", oracle=_LINKPRED_ORACLE)
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction on the part co-purchase
@@ -1290,38 +1337,14 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     one grouped count on the candidate pair, a LEFT-ANTI join
     against the edge set to drop existing links, and
     TakeOrderedAndProject for the top-K. Exact integers, full
-    value-hash oracle."""
-    li = read_table(spark, sf_dir, "lineitem")
-    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    und = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
-    wa, wb = und.alias("wa"), und.alias("wb")
-    wedges = (
-        wa.join(wb, (F.col("wa.node") == F.col("wb.node")) & (F.col("wa.nbr") < F.col("wb.nbr")))
-        .groupBy(F.col("wa.nbr").alias("u"), F.col("wb.nbr").alias("v"))
-        .agg(F.count(F.lit(1)).alias("common_neighbors"))
-    )
-    cand = wedges.join(edges, ["u", "v"], "left_anti")
-    top = cand.orderBy(
-        F.col("common_neighbors").desc(), F.col("u").asc(), F.col("v").asc()
-    ).limit(LINKPRED_TOP_K)
-    rank = F.row_number().over(
-        Window.partitionBy().orderBy(
-            F.col("common_neighbors").desc(), F.col("u").asc(), F.col("v").asc()
-        )
-    )
-    return top.select("u", "v", "common_neighbors", rank.alias("rank"))
+    value-hash oracle. This is the EXACT ANCHOR — O(Σ deg(c)²) over
+    every wedge center c; the production path at 100 TB is
+    graph_link_prediction_capped below."""
+    edges, und = _linkpred_graph(spark, sf_dir)
+    return _linkpred_ranked(_linkpred_topk(edges, und))
 
 
-#: Hub cap for the pruned link-prediction path, in percent of the MEAN
+#: Hub cap for the capped link-prediction path, in percent of the MEAN
 #: node degree: wedge centers whose degree exceeds cap are dropped.
 #: 150% engages the prune on every fixture sf (measured: 1/15/253
 #: centers dropped and 90/85/75% exact-top-20 recall at sf
@@ -1330,31 +1353,96 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: pruned mass is long-tail noise) while at 100 TB it is exactly what
 #: keeps a hub from contributing deg² wedges.
 LINKPRED_DEG_CAP_PCT = 150
-#: Minimum fraction (percent) of the EXACT top-K the pruned path must
-#: recover — the anchor-gated contract, same pattern as the ANN
-#: recall queries (plans/similarity.py).
+#: Minimum fraction (percent) of the EXACT top-K the capped path must
+#: recover — enforced by tests/test_round7.py against the in-repo
+#: anchor (moved OUT of the registered plan, round-6 verdict item 2:
+#: the gate used to run the O(Σdeg²) anchor inside every execution of
+#: the production query, so the "production path" could never run at
+#: the scale it exists for).
 LINKPRED_RECALL_FLOOR_PCT = 50
 
-_LINKPRED_PRUNED_ORACLE = f"""
-SELECT CAST({LINKPRED_TOP_K} AS BIGINT) AS k,
-       1 AS prune_engaged, 1 AS recall_floor_ok
+#: The capped computation restated in SQL — the full value-hash
+#: oracle for the production path (not a 1-row indicator): same
+#: edges/adjacency, the degree cap evaluated in DOUBLE on both
+#: engines (the all-integer form deg*100*n_nodes can exceed int64 at
+#: the 1e8-degree/1e9-node scales this query targets and wrap
+#: silently with ANSI off — ADVICE round 6), same wedge count,
+#: anti-join and ranking.
+_LINKPRED_CAPPED_ORACLE = f"""
+WITH os AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS s FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT a.s AS u, b.s AS v
+  FROM os a JOIN os b ON a.o = b.o AND a.s < b.s
+),
+und AS (SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT node, COUNT(*) AS deg FROM und GROUP BY node),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes,
+               CAST(SUM(deg) AS DOUBLE) AS total_deg FROM deg),
+keep AS (
+  SELECT node FROM deg, tot
+  WHERE CAST(deg AS DOUBLE) * n_nodes * 100.0
+        <= {LINKPRED_DEG_CAP_PCT}.0 * total_deg
+),
+capped AS (SELECT u.node, u.nbr FROM und u JOIN keep k ON u.node = k.node),
+wedges AS (
+  SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS common_neighbors
+  FROM capped a JOIN capped b ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.u, w.v, w.common_neighbors
+  FROM wedges w LEFT JOIN edges e ON e.u = w.u AND e.v = w.v
+  WHERE e.u IS NULL
+),
+ranked AS (
+  SELECT u, v, common_neighbors,
+         ROW_NUMBER() OVER (ORDER BY common_neighbors DESC, u, v) AS rank
+  FROM cand
+)
+SELECT u, v, common_neighbors, rank FROM ranked WHERE rank <= {LINKPRED_TOP_K}
 """
 
 
-@query("graph_link_prediction_pruned", oracle=_LINKPRED_PRUNED_ORACLE)
-def graph_link_prediction_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION path for common-neighbor link prediction
-    (round-5 verdict item 4): graph_link_prediction's registered plan
-    is the exact all-wedge count — O(Σ deg(c)²) over every center c,
-    which a single power-law hub turns into a scale-killer at 100 TB.
-    This plan caps wedge centers at {LINKPRED_DEG_CAP_PCT}% of the
-    mean degree (hub neighborhoods carry the least predictive signal
-    per wedge — the Adamic-Adar insight), bounding per-center work by
-    cap² and total work by n·cap², then holds the capped top-K to a
-    ≥{LINKPRED_RECALL_FLOOR_PCT}% overlap floor against the exact
-    anchor computed in-plan — the sim_ann_*_recall gating pattern.
-    Output also asserts the prune actually ENGAGED (some center was
-    dropped), so the gate cannot pass vacuously at fixture scale.
+def _linkpred_capped_neighbors(und: DataFrame):
+    """(capped adjacency, degree table with `keep`) under the
+    {LINKPRED_DEG_CAP_PCT}%-of-mean hub cap. The cap predicate is
+    evaluated in DOUBLE: exact below 2^53 (every fixture), and at the
+    extreme scales where doubles round, the comparison stays monotone
+    instead of wrapping like the former integer triple product."""
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    totals = deg.agg(
+        F.count(F.lit(1)).cast("double").alias("n_nodes"),
+        F.sum("deg").cast("double").alias("total_deg"),
+    )
+    deg_t = deg.join(F.broadcast(totals)).withColumn(
+        "keep",
+        F.col("deg").cast("double") * F.col("n_nodes") * F.lit(100.0)
+        <= F.lit(float(LINKPRED_DEG_CAP_PCT)) * F.col("total_deg"),
+    )
+    capped = und.join(deg_t.where("keep").select("node"), "node")
+    return capped, deg_t
+
+
+@query("graph_link_prediction_capped", oracle=_LINKPRED_CAPPED_ORACLE)
+def graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION path for common-neighbor link prediction:
+    graph_link_prediction's registered plan is the exact all-wedge
+    count — O(Σ deg(c)²) over every center c, which a single
+    power-law hub turns into a scale-killer at 100 TB. This plan caps
+    wedge centers at {LINKPRED_DEG_CAP_PCT}% of the mean degree (hub
+    neighborhoods carry the least predictive signal per wedge — the
+    Adamic-Adar insight), bounding per-center work by cap² and total
+    work by n·cap². The FULL capped top-K is value-hash-oracled (the
+    oracle restates the capped computation, not a pass/fail bit), and
+    the ≥{LINKPRED_RECALL_FLOOR_PCT}% recall floor against the exact
+    anchor lives in tests/test_round7.py via linkpred_recall_stats —
+    so the registered query benches at the capped cost, not
+    anchor + capped (round-6 verdict item 2; the dedup_semantic_srp
+    scaled/anchor pair keeps its gate in-plan instead because its
+    anchor is the CHEAP side there).
 
     Production knob (measured, BASELINE.md driver-round-6): on
     power-law graphs the cap should be ABSOLUTE (prune only the
@@ -1365,60 +1453,36 @@ def graph_link_prediction_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     65% of the Σdeg² wedge mass, ran 7x faster and kept 19/20 of the
     exact top-20. The relative cap is registered here because the
     fixture graph is near-uniform (no absolute-tail hubs exist to
-    prune, and the gate must demonstrably engage); a deployment sets
-    the ceiling from its wedge budget: cap ~ sqrt(budget_per_center)."""
-    li = read_table(spark, sf_dir, "lineitem")
-    os_ = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("s")).distinct()
-    a, b = os_.alias("a"), os_.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
-        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    und = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
+    prune, and the pytest gate must demonstrably engage); a
+    deployment sets the ceiling from its wedge budget:
+    cap ~ sqrt(budget_per_center)."""
+    edges, und = _linkpred_graph(spark, sf_dir)
+    capped, _ = _linkpred_capped_neighbors(und)
+    return _linkpred_ranked(_linkpred_topk(edges, capped))
 
-    def topk(neigh: DataFrame) -> DataFrame:
-        wa, wb = neigh.alias("wa"), neigh.alias("wb")
-        wedges = (
-            wa.join(wb, (F.col("wa.node") == F.col("wb.node")) & (F.col("wa.nbr") < F.col("wb.nbr")))
-            .groupBy(F.col("wa.nbr").alias("u"), F.col("wb.nbr").alias("v"))
-            .agg(F.count(F.lit(1)).alias("common_neighbors"))
+
+def linkpred_recall_stats(spark: SparkSession, sf_dir: str) -> tuple[bool, int, int]:
+    """(prune_engaged, n_hits, n_anchor) for the capped-vs-exact
+    recall gate — pytest-side companion of graph_link_prediction_capped
+    (tests/test_round7.py asserts prune_engaged and
+    n_hits*100 >= {LINKPRED_RECALL_FLOOR_PCT}*n_anchor). Unregistered
+    on purpose: this runs the exact O(Σdeg²) anchor."""
+    edges, und = _linkpred_graph(spark, sf_dir)
+    capped, deg_t = _linkpred_capped_neighbors(und)
+    prune_engaged = deg_t.where(~F.col("keep")).limit(1).count() > 0
+    exact_top = _linkpred_topk(edges, und).select("u", "v")
+    capped_top = (
+        _linkpred_topk(edges, capped).select("u", "v").withColumn("hit", F.lit(1))
+    )
+    row = (
+        exact_top.join(capped_top, ["u", "v"], "left")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            F.count(F.lit(1)).alias("n_anchor"),
         )
-        return (
-            wedges.join(edges, ["u", "v"], "left_anti")
-            .orderBy(F.col("common_neighbors").desc(), F.col("u").asc(), F.col("v").asc())
-            .limit(LINKPRED_TOP_K)
-        )
-
-    # integer cap predicate: deg * 100 * n_nodes <= pct * total_deg
-    deg = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    totals = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"), F.sum("deg").alias("total_deg")
+        .collect()[0]
     )
-    deg_t = deg.join(F.broadcast(totals)).withColumn(
-        "keep",
-        F.col("deg") * 100 * F.col("n_nodes")
-        <= F.lit(LINKPRED_DEG_CAP_PCT) * F.col("total_deg"),
-    )
-    capped = und.join(deg_t.where("keep").select("node"), "node")
-    pruned_engaged = deg_t.where(~F.col("keep")).limit(1).count() > 0
-
-    exact_top = topk(und).select("u", "v")
-    pruned_top = topk(capped).select("u", "v").withColumn("hit", F.lit(1))
-    hits = (
-        exact_top.join(pruned_top, ["u", "v"], "left")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
-    )
-    return hits.select(
-        F.lit(LINKPRED_TOP_K).cast("long").alias("k"),
-        F.lit(1 if pruned_engaged else 0).cast("int").alias("prune_engaged"),
-        (F.col("n_hits") * 100 >= F.lit(LINKPRED_RECALL_FLOOR_PCT * LINKPRED_TOP_K))
-        .cast("int")
-        .alias("recall_floor_ok"),
-    )
+    return prune_engaged, int(row["n_hits"]), int(row["n_anchor"])
 
 
 # ----------------------------------------------- hybrid rank fusion

@@ -483,25 +483,28 @@ def _srp_accepted(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Vector re-attach: plain equi-joins on the id key, NO broadcast
+    # hint (round-6 verdict item 3). The build side here is the FULL
+    # quantized corpus — at fixture scale AQE broadcasts it anyway
+    # (it is far under autoBroadcastJoinThreshold), but a forced
+    # F.broadcast would pin an un-broadcastable build side at 100 TB;
+    # un-hinted, AQE falls back to a shuffled hash/sort-merge join on
+    # vec_id, which is the correct scale plan.
     side = b.select("vec_id", "qv", "nrm")
     pairs = (
         narrow.join(
-            F.broadcast(
-                side.select(
-                    F.col("vec_id").alias("id_a"),
-                    F.col("qv").alias("qa"),
-                    F.col("nrm").alias("na"),
-                )
+            side.select(
+                F.col("vec_id").alias("id_a"),
+                F.col("qv").alias("qa"),
+                F.col("nrm").alias("na"),
             ),
             "id_a",
         )
         .join(
-            F.broadcast(
-                side.select(
-                    F.col("vec_id").alias("id_b"),
-                    F.col("qv").alias("qb"),
-                    F.col("nrm").alias("nb"),
-                )
+            side.select(
+                F.col("vec_id").alias("id_b"),
+                F.col("qv").alias("qb"),
+                F.col("nrm").alias("nb"),
             ),
             "id_b",
         )

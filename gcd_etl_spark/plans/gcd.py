@@ -223,6 +223,105 @@ def gcd_snapshot_incremental_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serialize_array_cols(delta.unionByName(carried))
 
 
+#: CDC partition granularity for gcd_snapshot_incremental_cdc: the
+#: prior snapshot is hive-partitioned on
+#: ``mod_bucket = floor(days(modified - 1995-01-01) / 300)`` — a
+#: "last-modified ~quarter" layout. 300 days keeps >= 2 buckets live
+#: at every fixture sf (modified spans ~1.5k days at sf0.001, ~9k at
+#: sf0.1), so the carry is never vacuous at any tested scale.
+INCR_CDC_BUCKET_DAYS = 300
+_INCR_CDC_EPOCH = "1995-01-01"
+
+
+def _cdc_mod_bucket_from_ts(col):
+    """modified TIMESTAMP (input side) -> partition bucket."""
+    from pyspark.sql import functions as F
+
+    return F.floor(
+        F.datediff(F.to_date(col), F.lit(_INCR_CDC_EPOCH)) / INCR_CDC_BUCKET_DAYS
+    )
+
+
+def _cdc_mod_bucket_from_int(col):
+    """modified yyyymmdd INT (snapshot-output side) -> the SAME
+    bucket: the int round-trips the date exactly, so write-side and
+    CDC-side bucketing can never disagree."""
+    from pyspark.sql import functions as F
+
+    return F.floor(
+        F.datediff(
+            F.to_date(col.cast("string"), "yyyyMMdd"), F.lit(_INCR_CDC_EPOCH)
+        )
+        / INCR_CDC_BUCKET_DAYS
+    )
+
+
+#: sf_dir -> path of the modified-bucket-partitioned prior snapshot.
+_PRIOR_CDC_SNAPSHOT: dict[str, str] = {}
+
+
+def _prior_cdc_snapshot_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    if sf_dir in _PRIOR_CDC_SNAPSHOT:
+        return _PRIOR_CDC_SNAPSHOT[sf_dir]
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    path = os.path.join(_warehouse_dir(), f"gcd_incr_cdc_prior_sf{tag}")
+    from pyspark.sql import functions as F
+
+    (
+        build_flagship(spark, sf_dir)
+        .withColumn("mod_bucket", _cdc_mod_bucket_from_int(F.col("modified")))
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("mod_bucket")
+        .parquet(path)
+    )
+    _PRIOR_CDC_SNAPSHOT[sf_dir] = path
+    return path
+
+
+@query("gcd_snapshot_incremental_cdc", oracle=_FLAGSHIP_ORACLE)
+def gcd_snapshot_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental flagship with a REAL CDC predicate (round-6
+    verdict item 6): where gcd_snapshot_incremental_fs deems issues
+    changed by ``id % 10``, this variant selects on the ``modified``
+    timestamp the reference already carries on every row (ref
+    Main.java:170-171) — the literal nightly shape. The prior
+    snapshot parquet is hive-partitioned on a last-modified date
+    bucket (``mod_bucket``, {INCR_CDC_BUCKET_DAYS}-day grain); a run
+    reads the CDC watermark (max modified bucket in the source — the
+    1-row "last run" lookup), rebuilds ONLY issues whose
+    ``modified`` falls in the watermark bucket through the full
+    pipeline, and carries every older bucket as a directory-pruned
+    scan of the prior parquet. Held to the SAME full-build oracle as
+    gcd_snapshot: watermark read + partial rebuild + pruned carry
+    must be bit-identical to rebuilding the world. At 100 TB this is
+    MERGE-free incremental maintenance: recent-modified partitions
+    are rewritten via dynamic partition overwrite, immutable history
+    is metadata-only."""
+    from pyspark.sql import functions as F
+
+    prior = _prior_cdc_snapshot_path(spark, sf_dir)
+    tables = gcd_tables_from_fixtures(spark, sf_dir)
+    if sf_dir not in _DICT_CACHE:
+        _DICT_CACHE[sf_dir] = collect_dict_maps(tables)
+    issue = tables["gcd_issue"]
+    bucket = _cdc_mod_bucket_from_ts(F.col("modified"))
+    # watermark lookup: one-row aggregate, the control-plane read a
+    # real run does against its run ledger
+    watermark = issue.agg(F.max(bucket).alias("w")).collect()[0]["w"]
+    changed = dict(tables)
+    changed["gcd_issue"] = issue.where(bucket == F.lit(watermark))
+    delta = build_snapshot(spark, changed, RUN_DATE, dicts=_DICT_CACHE[sf_dir])
+    carried = (
+        spark.read.parquet(prior)
+        .where(F.col("mod_bucket") < F.lit(watermark))  # partition-pruned
+        .drop("mod_bucket")
+    )
+    return serialize_array_cols(delta.unionByName(carried))
+
+
 @query(
     "snapshot_table_partitions",
     oracle=f"""

@@ -49,9 +49,9 @@ SCALAR_BROADCASTS = {
     "corpus_boilerplate_ngrams",  # 1-row corpus count into the DF threshold
     "text_pmi_collocations",  # 1-row token total broadcast into PMI scoring
     "stat_ks_two_sample",  # 1-row (n1, n2) totals broadcast into the CDF gaps
-    # 1-row (n_nodes, total_deg) broadcast into the integer hub-cap
+    # 1-row (n_nodes, total_deg) broadcast into the double hub-cap
     # predicate; the wedge joins themselves are key-equi (node)
-    "graph_link_prediction_pruned",
+    "graph_link_prediction_capped",
     # OR-membership join of the K-row signatures against the constant
     # |types|^2 pair table (10 rows) — bounded by the closed type set,
     # never by data volume; the only data-scaled shuffle is the

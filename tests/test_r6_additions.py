@@ -133,7 +133,7 @@ def test_star_cc_matches_union_find_on_many_random_graphs(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["entity_clusters_star", "graph_link_prediction_pruned"]
+    "name", ["entity_clusters_star", "graph_link_prediction_capped"]
 )
 def test_round6_queries_match_oracle(spark, sf_smoke, name):
     q = QUERIES[name]

@@ -1,0 +1,92 @@
+"""Round-7 additions: the link-prediction recall gate (moved out of
+the registered plan — round-6 verdict item 2), the capped production
+query and the CDC incremental flagship against their oracles, and the
+star-contraction convergence hardening."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans import QUERIES
+from gcd_etl_spark.plans.analytics import (
+    LINKPRED_RECALL_FLOOR_PCT,
+    linkpred_recall_stats,
+)
+from tests.conftest import assert_matches_oracle
+
+
+# ------------------------- link prediction: capped production path
+
+
+def test_linkpred_capped_recall_gate(spark, sf_smoke):
+    """The exact-anchor recall floor that used to run INSIDE
+    graph_link_prediction_pruned on every execution now lives here:
+    the capped path must engage the prune AND recover >=
+    LINKPRED_RECALL_FLOOR_PCT% of the exact top-K. The registered
+    query itself (graph_link_prediction_capped) carries the full
+    value-hash oracle of the capped computation and benches at the
+    capped cost only."""
+    prune_engaged, n_hits, n_anchor = linkpred_recall_stats(spark, sf_smoke)
+    assert prune_engaged, "hub cap pruned no center — gate is vacuous"
+    assert n_anchor > 0
+    assert n_hits * 100 >= LINKPRED_RECALL_FLOOR_PCT * n_anchor, (
+        f"capped recall {n_hits}/{n_anchor} below "
+        f"{LINKPRED_RECALL_FLOOR_PCT}% floor"
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["graph_link_prediction_capped", "gcd_snapshot_incremental_cdc"]
+)
+def test_round7_queries_match_oracle(spark, sf_smoke, name):
+    q = QUERIES[name]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=name)
+
+
+def test_cdc_incremental_carries_and_rebuilds(spark, sf_smoke):
+    """The CDC variant must be a genuine split: the watermark bucket
+    is non-empty (something rebuilds) AND at least one older bucket
+    exists in the prior snapshot (something is carried via partition
+    pruning) — the demonstration cannot be vacuous on either side."""
+    from gcd_etl_spark.gcd.fixtures_adapter import gcd_tables_from_fixtures
+    from gcd_etl_spark.plans.gcd import (
+        _cdc_mod_bucket_from_ts,
+        _prior_cdc_snapshot_path,
+    )
+
+    issue = gcd_tables_from_fixtures(spark, sf_smoke)["gcd_issue"]
+    buckets = [
+        r["b"]
+        for r in issue.select(_cdc_mod_bucket_from_ts(F.col("modified")).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    assert len(buckets) >= 2, "need >= 2 modified buckets for a real carry"
+    prior = _prior_cdc_snapshot_path(spark, sf_smoke)
+    carried = spark.read.parquet(prior).where(
+        F.col("mod_bucket") < F.lit(max(buckets))
+    )
+    assert carried.limit(1).count() == 1, "carried partition is empty"
+
+
+# --------------------- star contraction: convergence confirmation
+
+
+def test_star_contraction_survives_colliding_signature(spark, monkeypatch):
+    """A signature collision between two DIFFERENT consecutive edge
+    sets must not terminate contraction early with wrong labels
+    (round-6 verdict item 7). Force the worst case — every round's
+    signature identical — and require the exact fixed-point
+    confirmation to keep iterating until the true answer."""
+    import gcd_etl_spark.operators.dedup as od
+
+    monkeypatch.setattr(od, "_edge_signature", lambda edges: (0, 0))
+    # a 60-node chain: diameter is high, so propagation-style logic
+    # that stopped at the first "matching" signature would mislabel
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long"
+    )
+    nodes = spark.range(1, 61).select(F.col("id").alias("doc_id"))
+    out = od.connected_components_star(pairs, nodes, id_col="doc_id").collect()
+    assert all(r["cluster_id"] == 1 for r in out)
