@@ -51,10 +51,64 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: Log markers of a silent codegen fallback (round-6 lesson: the SRP
+#: bucket stage was value-green and driver-green while running 8x
+#: slow in INTERPRETED mode after a Janino 64 KB overflow — a class
+#: of regression no value check can see, so the bench watches for it
+#: permanently).
+_FALLBACK_MARKERS = (
+    "grows beyond 64 KB",
+    "JaninoRuntimeException",
+    "Whole-stage codegen disabled",
+    "Expression codegen error",
+    "falling back to interpreter mode",
+)
+
+
+def _codegen_log_conf(log_path: str) -> dict[str, str]:
+    """log4j2 config mirroring WARNs to a scannable file; returned as
+    extra_conf for get_spark (must land before the JVM starts)."""
+    props = log_path + ".properties"
+    with open(props, "w") as f:
+        f.write(
+            "rootLogger.level = warn\n"
+            "rootLogger.appenderRef.console.ref = console\n"
+            "rootLogger.appenderRef.benchfile.ref = benchfile\n"
+            "appender.console.type = Console\n"
+            "appender.console.name = console\n"
+            "appender.console.target = SYSTEM_ERR\n"
+            "appender.console.layout.type = PatternLayout\n"
+            "appender.console.layout.pattern = %d{yy/MM/dd HH:mm:ss} %p %c{1}: %m%n\n"
+            "appender.benchfile.type = File\n"
+            "appender.benchfile.name = benchfile\n"
+            f"appender.benchfile.fileName = {log_path}\n"
+            "appender.benchfile.layout.type = PatternLayout\n"
+            "appender.benchfile.layout.pattern = %p %c{1}: %m%n\n"
+        )
+    return {"spark.driver.extraJavaOptions": f"-Dlog4j2.configurationFile=file:{props}"}
+
+
+def _fallbacks_since(log_path: str, offset: int) -> tuple[int, int]:
+    """(marker hit count since offset, new offset)."""
+    try:
+        with open(log_path, "r", errors="replace") as f:
+            f.seek(offset)
+            chunk = f.read()
+            new_offset = f.tell()
+    except FileNotFoundError:
+        return 0, offset
+    return sum(chunk.count(m) for m in _FALLBACK_MARKERS), new_offset
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    spark = get_spark(app_name="gcd_etl_spark_bench")
+    import tempfile
+
+    log_path = os.path.join(tempfile.mkdtemp(prefix="gcd_bench_"), "bench-jvm.log")
+    spark = get_spark(
+        app_name="gcd_etl_spark_bench", extra_conf=_codegen_log_conf(log_path)
+    )
 
     # Warmup: JVM + codegen + parquet footer caches. Both flagship
     # plans run once so measured numbers are steady-state throughput,
@@ -70,6 +124,8 @@ def main() -> None:
     # other timings (or the JSON line) down with it — a bench harness
     # degrades, it doesn't crash. Failures time as null.
     timings: dict[str, float | None] = {}
+    fallbacks: dict[str, int] = {}
+    _, log_off = _fallbacks_since(log_path, 0)  # discard warmup WARNs
     for name in HEADLINE:
         q = QUERIES[name]
         best = float("inf")
@@ -82,6 +138,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
             timings[name] = None
+        n_fb, log_off = _fallbacks_since(log_path, log_off)
+        if n_fb:
+            fallbacks[name] = n_fb
+            print(
+                f"CODEGEN FALLBACK: {name} logged {n_fb} fallback marker(s) "
+                f"(see {log_path}) — value-correct but interpreted; "
+                "investigate before trusting its timing",
+                file=sys.stderr,
+            )
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
@@ -92,6 +157,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "codegen_fallbacks": fallbacks,
             }
         )
     )

@@ -43,21 +43,37 @@ class GcdConfiguration:
     schema_flags: GcdSchemaFlags
 
 
+def load_config_file(path: str) -> GcdConfiguration:
+    """Parse an ``example.yml``-shaped config FILE."""
+    with open(path, encoding="utf-8") as fh:
+        return load_config_text(fh.read())
+
+
 def load_config(path_or_text: str) -> GcdConfiguration:
     """Parse an ``example.yml``-shaped config (path or YAML text).
 
     Unknown keys fail loudly — a typo'd flag silently defaulting to
     True is exactly how a column-elision config rots.
-    """
-    import os
 
+    Dispatch is explicit, not filesystem-probing (ADVICE round 6: an
+    os.path.exists probe would silently read a FILE when handed YAML
+    text that happens to equal an existing relative path): anything
+    containing a newline or a colon is YAML text (every valid config
+    document has a ``gcdatabase:`` mapping, so this never
+    misclassifies real YAML); everything else is a path. Callers that
+    know which they hold should use load_config_file /
+    load_config_text directly.
+    """
+    if "\n" in path_or_text or ":" in path_or_text:
+        return load_config_text(path_or_text)
+    return load_config_file(path_or_text)
+
+
+def load_config_text(text: str) -> GcdConfiguration:
+    """Parse an ``example.yml``-shaped YAML config document."""
     import yaml
 
-    if os.path.exists(path_or_text):
-        with open(path_or_text, encoding="utf-8") as fh:
-            raw = yaml.safe_load(fh)
-    else:
-        raw = yaml.safe_load(path_or_text)
+    raw = yaml.safe_load(text)
     if not isinstance(raw, dict) or "gcdatabase" not in raw:
         raise ValueError("config must have a top-level 'gcdatabase' mapping")
     db = dict(raw["gcdatabase"] or {})

@@ -54,7 +54,15 @@ def symspell_join(
     """All (left, right) pairs with Levenshtein distance <= 1, as
     (l_id, r_id, dist). Blocking join on deletion variants, exact
     verify on the distinct candidate pairs (so the metric runs once
-    per pair, not once per shared variant)."""
+    per pair, not once per shared variant).
+
+    PRECONDITION: ids must be UNIQUE per side (one string per id).
+    The candidate stream is deduped on the narrow (l_id, r_id) key
+    and strings re-attach by id-equi joins — an input carrying k
+    strings under one id would multiply the re-attached pairs k-fold
+    and could pair strings that never shared a deletion variant. All
+    in-repo callers key by primary id; callers with duplicate keys
+    must pre-dedup (or re-key) their input."""
     lv = _with_variants(left, left_id, left_str, "l")
     rv = _with_variants(right, right_id, right_str, "r")
     # Dedup the candidate stream on the NARROW (l_id, r_id) key — a

@@ -63,9 +63,13 @@ def record_acquired(timestamp: str, path: str) -> None:
 
 
 def dump_filename(timestamp: str) -> str:
-    """Archive name derived from the timestamp (spaces -> underscores,
-    reference download.py:77)."""
-    return f"gcd-dump-{timestamp.replace(' ', '_')}.zip"
+    """Archive name derived from the timestamp (reference
+    download.py:77 replaces only spaces; we also sanitize ':' —
+    invalid on Windows filesystems and awkward for archival tooling —
+    to '-', so '2024-01-15 03:00:00' -> 'gcd-dump-2024-01-15_03-00-00.zip'
+    (ADVICE round 6). Dedup identity stays the raw timestamp string,
+    not the filename)."""
+    return f"gcd-dump-{timestamp.replace(' ', '_').replace(':', '-')}.zip"
 
 
 def _no_network(*_args, **_kwargs):

@@ -33,9 +33,9 @@ def test_fresh_timestamp_fetches_and_records(tmp_path):
     assert res == AcquireResult(
         timestamp="2024-01-15 03:00:00",
         skipped=False,
-        filename="gcd-dump-2024-01-15_03:00:00.zip",
+        filename="gcd-dump-2024-01-15_03-00-00.zip",
     )
-    assert fetched == [("2024-01-15 03:00:00", "gcd-dump-2024-01-15_03:00:00.zip")]
+    assert fetched == [("2024-01-15 03:00:00", "gcd-dump-2024-01-15_03-00-00.zip")]
     assert load_history(hist) == ["2024-01-15 03:00:00"]
 
 
@@ -99,4 +99,4 @@ def test_default_fetchers_fail_fast():
 
 
 def test_filename_shape():
-    assert dump_filename("2024-01-15 03:00:00") == "gcd-dump-2024-01-15_03:00:00.zip"
+    assert dump_filename("2024-01-15 03:00:00") == "gcd-dump-2024-01-15_03-00-00.zip"

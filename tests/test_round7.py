@@ -90,3 +90,51 @@ def test_star_contraction_survives_colliding_signature(spark, monkeypatch):
     nodes = spark.range(1, 61).select(F.col("id").alias("doc_id"))
     out = od.connected_components_star(pairs, nodes, id_col="doc_id").collect()
     assert all(r["cluster_id"] == 1 for r in out)
+
+
+# ------------- xxhash rows-only queries pinned to their md5 twins
+#: (rows-only query, value-hash-oracled twin, operator module attr
+#: both must route through). The twins carry the oracle burden for
+#: the cheaper xxhash production variants; this pin makes it
+#: impossible to refactor one's candidate generation without the
+#: other (round-6 verdict item 9 / "What's wrong" #4).
+_TWIN_PAIRS = [
+    ("dedup_minhash_lsh", "dedup_minhash_portable",
+     "gcd_etl_spark.operators.dedup", "minhash_dedup_pairs"),
+    ("dedup_simhash", "dedup_simhash_portable",
+     "gcd_etl_spark.operators.dedup", "simhash_dedup_pairs"),
+    ("dedup_fingerprints", "dedup_simhash_portable",
+     "gcd_etl_spark.operators.dedup", "simhash_table"),
+    ("sim_ann_lsh", "sim_ann_lsh_recall",
+     "gcd_etl_spark.operators.similarity", "lsh_topk"),
+    ("sim_ann_ivf", "sim_ann_ivf_recall",
+     "gcd_etl_spark.operators.similarity", "ivf_topk"),
+]
+
+
+class _TwinSentinel(Exception):
+    pass
+
+
+@pytest.mark.parametrize(
+    "rows_only,twin,module,attr", _TWIN_PAIRS, ids=[p[0] for p in _TWIN_PAIRS]
+)
+def test_xxhash_twin_shares_candidate_generation(
+    spark, sf_smoke, monkeypatch, rows_only, twin, module, attr
+):
+    """Runtime pin, not a source grep: replace the shared operator
+    with a raiser and require BOTH the rows-only query and its
+    oracled twin to hit it while building their plans. A refactor
+    that reroutes one member silently is a hard failure here."""
+    import importlib
+
+    mod = importlib.import_module(module)
+    assert hasattr(mod, attr)
+
+    def _boom(*a, **k):
+        raise _TwinSentinel(attr)
+
+    monkeypatch.setattr(mod, attr, _boom)
+    for name in (rows_only, twin):
+        with pytest.raises(_TwinSentinel):
+            QUERIES[name].build(spark, sf_smoke)
