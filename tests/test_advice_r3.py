@@ -145,12 +145,26 @@ def test_quadratic_anchor_demoted_and_guarded(spark, sf_smoke, monkeypatch):
         sim_plans.sim_embedding_neardup(spark, sf_smoke)
 
 
+#: Rows-only entries DELIBERATELY windowed: cluster_kmeans is the
+#: last registry entry with no driver row ever (round-6 verdict item
+#: 1 — drain to zero); it is non-SQL-expressible by design (iterative
+#: Lloyd's) and its oracled twin cluster_kmeans_quality carries the
+#: value gate (green r4). A rows-only driver row is the strongest
+#: check it can receive.
+_WINDOW_ROWS_ONLY_OK = {"cluster_kmeans"}
+
+
 def test_driver_window_all_oracled():
     """First 50 registry entries (the driver's sample) must all carry
     DuckDB oracles — a registry edit must not push an oracled query
-    out in favor of a rows-only one."""
+    out in favor of a rows-only one. Exceptions are explicit and
+    documented (_WINDOW_ROWS_ONLY_OK), never incidental."""
     from gcd_etl_spark.plans import QUERIES
 
     window = list(QUERIES)[:50]
-    missing = [n for n in window if QUERIES[n].oracle is None]
+    missing = [
+        n
+        for n in window
+        if QUERIES[n].oracle is None and n not in _WINDOW_ROWS_ONLY_OK
+    ]
     assert not missing, f"driver window entries without oracle: {missing}"
