@@ -373,7 +373,11 @@ def snapshot_table_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     path = os.path.join(_warehouse_dir(), f"gcd_snap_tbl_sf{tag}")
-    full = build_flagship(spark, sf_dir)
+    # checkpoint: the pipeline executes ONCE; both partition writes
+    # scan the materialized result instead of re-running the full
+    # join/agg tree (round 7 — this query was paying 2 flagship
+    # builds, r6 sf0.1 wall 9.0 s -> ~6 s)
+    full = build_flagship(spark, sf_dir).localCheckpoint(eager=False)
     write_snapshot(full, path, 20240115, mode="overwrite")
     write_snapshot(
         full.where(F.col("issue_id") % INCR_MOD < INCR_CHANGED), path, 20240116

@@ -161,3 +161,51 @@ def test_bench_fallback_marker_counting(tmp_path):
     assert n == 0
     n, _ = bench._fallbacks_since(str(tmp_path / "missing.log"), 0)
     assert n == 0
+
+
+def test_cdc_carry_is_partition_pruned(spark, sf_smoke):
+    """The scale claim of the CDC incremental flagship is that the
+    carry is a DIRECTORY-pruned scan — assert the physical plan
+    carries the mod_bucket partition filter, so a refactor cannot
+    silently turn the carry into a full-table scan + filter."""
+    import contextlib
+    import io
+
+    from gcd_etl_spark.plans.gcd import _prior_cdc_snapshot_path
+
+    prior = _prior_cdc_snapshot_path(spark, sf_smoke)
+    df = spark.read.parquet(prior).where(F.col("mod_bucket") < F.lit(3))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "mod_bucket" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0], plan
+
+
+def test_incremental_delta_prefilters_fact_side(spark, sf_smoke):
+    """Round-7 sweep fix pin: the incremental delta build must
+    restrict story/credit scans to the changed issue set (left-semi
+    joins in the plan) — without them, delta cost grows with corpus
+    size instead of the changed fraction (measured 2.35 -> 10.02 s
+    across an 8x amplification; near-flat after the fix)."""
+    import contextlib
+    import io
+
+    from gcd_etl_spark.gcd.fixtures_adapter import gcd_tables_from_fixtures
+    from gcd_etl_spark.gcd.pipeline import build_snapshot, collect_dict_maps
+    from gcd_etl_spark.plans.gcd import RUN_DATE, _restrict_to_issues
+
+    tables = gcd_tables_from_fixtures(spark, sf_smoke)
+    changed = _restrict_to_issues(
+        tables, tables["gcd_issue"].where(F.col("id") % 10 < 3)
+    )
+    delta = build_snapshot(
+        spark, changed, RUN_DATE, dicts=collect_dict_maps(tables)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        delta.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("LeftSemi") >= 2, plan[:2000]
