@@ -126,11 +126,16 @@ _DRIVER_WINDOW = [
     "join_left_fanout",
     "dump_roundtrip",
     "term_table",
-    "dedup_clusters",
-    # --- (d) flagship, re-verified every round ---
+    # --- (d) flagship, re-verified every round, + the round-7
+    #     bucketed-staging flagship variant (same oracle; 4 -> 1
+    #     shuffle exchanges, tests/test_round7.py) ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
-    # riders if the driver samples past 50
+    "gcd_snapshot_bucketed",
+    # riders if the driver samples past 50 (dedup_clusters displaced
+    # from the r3-refresh block by the bucketed flagship: it is the
+    # 14.6 s quadratic anchor, green r3, and rotates in r8)
+    "dedup_clusters",
     "corpus_curation",
     "sim_embedding_neardup_blas",
 ]

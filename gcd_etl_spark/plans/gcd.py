@@ -344,6 +344,58 @@ def gcd_snapshot_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serialize_array_cols(delta.unionByName(carried))
 
 
+@query("gcd_snapshot_bucketed", oracle=_FLAGSHIP_ORACLE)
+def gcd_snapshot_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship built from BUCKETED staging tables — the 100 TB
+    co-location play elevated from the toy bucketed_colocated_join
+    demo to the real pipeline. The regular flagship plan carries 4
+    shuffle exchanges: the credit groupBy(story_id), the story side
+    of the credit attach (hashpartitioning(story.id)), and both sides
+    of the issue<->story merge join. Staging gcd_story_credit
+    bucketed by story_id, gcd_story by id and gcd_issue by id (all 16
+    buckets, sorted by the key) makes three of them storage-layout
+    properties: the credit aggregation runs exchange-free on its
+    bucket key, the story<->credit-agg join aligns bucket-to-shuffle
+    distributions, and the issue side of the final merge join reads
+    pre-hashed (only the story+credit result still reshuffles to
+    issue_id — story cannot be bucketed by two keys at once;
+    tests/test_round7.py asserts the exchange-count drop). Same
+    full-build oracle as gcd_snapshot: bucketing must be
+    value-invisible. The one-time bucketed staging write is the
+    nightly-load cost a real deployment pays on ingest, not per
+    query."""
+    import os as _os
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    tables = gcd_tables_from_fixtures(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spec = {
+        "gcd_issue": (f"bkt_gcd_issue_{tag}", "id"),
+        "gcd_story": (f"bkt_gcd_story_{tag}", "id"),
+        "gcd_story_credit": (f"bkt_gcd_story_credit_{tag}", "story_id"),
+    }
+    for tbl, (name, key) in spec.items():
+        if not spark.catalog.tableExists(name):
+            # a dir left by a previous session (in-memory catalog
+            # forgot the table) blocks saveAsTable — clear it first
+            _shutil.rmtree(
+                _os.path.join(warehouse, name.lower()), ignore_errors=True
+            )
+            write_bucketed_table(
+                tables[tbl], name, [key], n_buckets=16, sort_cols=[key]
+            )
+        tables[tbl] = spark.table(name)
+    if sf_dir not in _DICT_CACHE:
+        _DICT_CACHE[sf_dir] = collect_dict_maps(tables)
+    return serialize_array_cols(
+        build_snapshot(spark, tables, RUN_DATE, dicts=_DICT_CACHE[sf_dir])
+    )
+
+
 @query(
     "snapshot_table_partitions",
     oracle=f"""

@@ -209,3 +209,28 @@ def test_incremental_delta_prefilters_fact_side(spark, sf_smoke):
         delta.explain("formatted")
     plan = buf.getvalue()
     assert plan.count("LeftSemi") >= 2, plan[:2000]
+
+
+def test_bucketed_flagship_oracle_and_exchange_drop(spark, sf_smoke):
+    """gcd_snapshot_bucketed must (a) hash-match the SAME full-build
+    oracle as the regular flagship — bucketing is value-invisible —
+    and (b) plan strictly fewer shuffle exchanges (measured 4 -> 1:
+    credit groupBy, story-side credit attach, and the issue side of
+    the final merge join all become storage-layout properties)."""
+    import contextlib
+    import io
+    import re
+
+    def exchanges(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue()))
+
+    q = QUERIES["gcd_snapshot_bucketed"]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke,
+                          name="gcd_snapshot_bucketed")
+    n_reg = exchanges(QUERIES["gcd_snapshot"].build(spark, sf_smoke))
+    n_bkt = exchanges(q.build(spark, sf_smoke))
+    assert n_bkt < n_reg, f"bucketed {n_bkt} vs regular {n_reg}"
+    assert n_bkt <= 2, f"bucketed flagship plans {n_bkt} exchanges"
