@@ -512,6 +512,24 @@ def _srp_accepted(
     from gcd_etl_spark.functions.vector import dot_fixed_long
 
     dot = dot_fixed_long("qa", "qb", _SRP_DIM)
+    # KNOWN, DELIBERATE codegen fallback (measured round 7, kept on
+    # evidence): pushdown substitutes this accept filter into the
+    # broadcast-join condition, inlining the 64-term dot expression
+    # 2-3x into one generated method — past Janino's 64 KB limit, so
+    # this ONE stage runs interpreted (2 WARN markers; bench.py's
+    # detector counts them). Three fixes were built and measured at
+    # sf0.1 and all LOST to the fused-interpreted plan:
+    # localCheckpoint barrier 9.7 s; a nondeterministic projected
+    # fence column referenced by the filter (0 markers, fully
+    # codegen'd) 9.3 s — the nondeterministic filter drops out of
+    # whole-stage fusion, and losing operator fusion costs more than
+    # interpretation of the condition ever did; entangled
+    # nondeterministic atoms fence only the join, not the projection
+    # (still 2 markers). The fused-interpreted plan runs 2.7 s.
+    # Interpretation is acceptable HERE because the condition is the
+    # only interpreted work and evaluates once per candidate either
+    # way; the expensive r6 instance (the interpreted bucket stage)
+    # was real and was fixed by the Arrow matmul rewrite above.
     v = pairs.select("id_a", "id_b", dot.alias("dot"), "na", "nb")
     dd = F.col("dot").cast("double")
     return v.where(
