@@ -234,3 +234,39 @@ def test_bucketed_flagship_oracle_and_exchange_drop(spark, sf_smoke):
     n_bkt = exchanges(q.build(spark, sf_smoke))
     assert n_bkt < n_reg, f"bucketed {n_bkt} vs regular {n_reg}"
     assert n_bkt <= 2, f"bucketed flagship plans {n_bkt} exchanges"
+
+
+@pytest.mark.parametrize("mod,changed", [(7, 2), (10, 3), (13, 5)])
+def test_restrict_to_issues_split_is_lossless(spark, sf_smoke, mod, changed):
+    """Property: for ANY issue partition predicate, delta + carried
+    through _restrict_to_issues reproduces the full build exactly
+    (row counts per issue match; the full differential equality is
+    carried by the oracled incremental queries — this pins the
+    split algebra itself across other predicates)."""
+    from gcd_etl_spark.gcd.fixtures_adapter import gcd_tables_from_fixtures
+    from gcd_etl_spark.gcd.pipeline import build_snapshot, collect_dict_maps
+    from gcd_etl_spark.plans.gcd import RUN_DATE, _restrict_to_issues
+
+    tables = gcd_tables_from_fixtures(spark, sf_smoke)
+    dicts = collect_dict_maps(tables)
+    pred = F.col("id") % mod < changed
+    delta = build_snapshot(
+        spark,
+        _restrict_to_issues(tables, tables["gcd_issue"].where(pred)),
+        RUN_DATE,
+        dicts=dicts,
+    )
+    carried = build_snapshot(
+        spark,
+        _restrict_to_issues(tables, tables["gcd_issue"].where(~pred)),
+        RUN_DATE,
+        dicts=dicts,
+    )
+    full = build_snapshot(spark, tables, RUN_DATE, dicts=dicts)
+    union_counts = (
+        delta.unionByName(carried).groupBy("issue_id").count().collect()
+    )
+    full_counts = full.groupBy("issue_id").count().collect()
+    assert sorted((r["issue_id"], r["count"]) for r in union_counts) == sorted(
+        (r["issue_id"], r["count"]) for r in full_counts
+    )
