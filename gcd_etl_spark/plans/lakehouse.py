@@ -649,3 +649,54 @@ def dim_calendar_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("day") + 3) % 7).isin(5, 6).alias("is_weekend"),
         ((F.month(ts) + 2).cast("long") / 3).cast("long").alias("quarter"),
     )
+
+
+# ------------------------------------------- parquet schema evolution
+#: priority_rank exists only in the second (evolved) batch.
+_EVOLVE_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_rank,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 5 ELSE 0 END)
+            AS BIGINT) AS rank_sum
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("source_schema_evolution", oracle=_EVOLVE_ORACLE)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet SCHEMA EVOLUTION end-to-end — the lakehouse surface a
+    long-lived snapshot table actually exercises (the reference's
+    Athena DDL is fixed-schema; at 100 TB a column added in year 3
+    must not force a historical rewrite). Batch 1 writes orders v1
+    (key, priority, price); batch 2 writes the EVOLVED schema with an
+    added int column (priority_rank). One mergeSchema read spans both
+    batches: old rows surface the new column as NULL, and the
+    aggregate proves values, null semantics and the widened schema
+    all survive — held to a DuckDB restatement from the original
+    table. At scale this is metadata-only evolution: new files carry
+    the new footer, old files are untouched, and the merged scan
+    costs one extra footer pass (production pins the merged schema in
+    the catalog instead of re-inferring per query)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_evolve_orders_{tag}"
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v1 = orders.where(F.col("o_orderkey") % 2 == 0)
+    v2 = orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "priority_rank", (F.col("o_orderkey") % 5).cast("int")
+    )
+    v1.write.mode("overwrite").parquet(f"{staged}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{staged}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{staged}/batch=1", f"{staged}/batch=2"
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        F.count("priority_rank").alias("n_with_rank"),
+        F.coalesce(F.sum("priority_rank"), F.lit(0)).cast("bigint").alias("rank_sum"),
+    )
