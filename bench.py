@@ -110,6 +110,33 @@ def main() -> None:
         app_name="gcd_etl_spark_bench", extra_conf=_codegen_log_conf(log_path)
     )
 
+    # Detector liveness probe: a clean run legitimately writes an
+    # EMPTY log (root level is warn), so "no markers" alone cannot
+    # distinguish a healthy run from a dead appender (pre-existing
+    # session, distro log4j config winning, properties typo) — the
+    # exact silent-failure class this watchdog exists to catch. Emit
+    # a sentinel WARN through the JVM's log4j and require it to land
+    # in the file.
+    _SENTINEL = "gcd-bench-fallback-detector-sentinel"
+    try:
+        spark._jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "gcd_etl_bench"
+        ).warn(_SENTINEL)
+    except Exception:  # noqa: BLE001 — probe must never kill the bench
+        pass
+    try:
+        with open(log_path, "r", errors="replace") as f:
+            detector_ok = _SENTINEL in f.read()
+    except FileNotFoundError:
+        detector_ok = False
+    if not detector_ok:
+        print(
+            "WARNING: codegen-fallback detector is DEAD (sentinel WARN did "
+            f"not reach {log_path}); codegen_fallbacks counts are not "
+            "trustworthy this run",
+            file=sys.stderr,
+        )
+
     # Warmup: JVM + codegen + parquet footer caches. Both flagship
     # plans run once so measured numbers are steady-state throughput,
     # not one-time plan compilation. Warmup failures are non-fatal —
@@ -158,6 +185,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "codegen_fallbacks": fallbacks,
+                "codegen_fallback_detector": "ok" if detector_ok else "dead",
             }
         )
     )

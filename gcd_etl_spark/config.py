@@ -58,13 +58,15 @@ def load_config(path_or_text: str) -> GcdConfiguration:
     Dispatch is explicit, not filesystem-probing (ADVICE round 6: an
     os.path.exists probe would silently read a FILE when handed YAML
     text that happens to equal an existing relative path): anything
-    containing a newline or a colon is YAML text (every valid config
-    document has a ``gcdatabase:`` mapping, so this never
-    misclassifies real YAML); everything else is a path. Callers that
-    know which they hold should use load_config_file /
-    load_config_text directly.
+    containing a newline is YAML text — every valid config document
+    needs ``gcdatabase:`` plus a nested key, so it cannot be
+    one-line — and everything else is a path. (A colon test was
+    considered and rejected: legitimate paths carry colons, e.g. the
+    timestamped archive dirs acquire.py derives, and Windows drive
+    prefixes — round-7 review finding.) Callers that know which they
+    hold should use load_config_file / load_config_text directly.
     """
-    if "\n" in path_or_text or ":" in path_or_text:
+    if "\n" in path_or_text:
         return load_config_text(path_or_text)
     return load_config_file(path_or_text)
 

@@ -256,27 +256,47 @@ INCR_CDC_BUCKET_DAYS = 300
 _INCR_CDC_EPOCH = "1995-01-01"
 
 
+#: Bucket for rows whose `modified` is NULL or pre-epoch (the
+#: pipeline's _epoch_date writes -1 for those): they can never be
+#: "the latest watermark bucket", so both sides collapse them to a
+#: sentinel strictly below every real bucket — the carry filter
+#: (`mod_bucket < watermark`) always keeps them, and the changed
+#: filter (`bucket == watermark`) never selects them. Without the
+#: sentinel, an invalid date bucketed to NULL fails BOTH filters and
+#: the row silently vanishes from the incremental union (round-7
+#: review finding).
+_CDC_INVALID_BUCKET = -(10**6)
+
+
 def _cdc_mod_bucket_from_ts(col):
-    """modified TIMESTAMP (input side) -> partition bucket."""
+    """modified TIMESTAMP (input side) -> partition bucket; NULL or
+    pre-epoch timestamps collapse to _CDC_INVALID_BUCKET."""
     from pyspark.sql import functions as F
 
-    return F.floor(
+    raw = F.floor(
         F.datediff(F.to_date(col), F.lit(_INCR_CDC_EPOCH)) / INCR_CDC_BUCKET_DAYS
     )
+    return F.when(
+        col.isNull() | (F.unix_timestamp(col) <= 0),
+        F.lit(_CDC_INVALID_BUCKET),
+    ).otherwise(raw)
 
 
 def _cdc_mod_bucket_from_int(col):
     """modified yyyymmdd INT (snapshot-output side) -> the SAME
-    bucket: the int round-trips the date exactly, so write-side and
-    CDC-side bucketing can never disagree."""
+    bucket: a valid int round-trips the date exactly, and the
+    pipeline's -1 sentinel (null / pre-epoch modified) maps to the
+    same _CDC_INVALID_BUCKET the timestamp side uses — so write-side
+    and CDC-side bucketing agree on every input, including the
+    invalid ones."""
     from pyspark.sql import functions as F
 
-    return F.floor(
-        F.datediff(
-            F.to_date(col.cast("string"), "yyyyMMdd"), F.lit(_INCR_CDC_EPOCH)
-        )
-        / INCR_CDC_BUCKET_DAYS
-    )
+    # try_to_date, not to_date: the -1 sentinel must parse to NULL,
+    # and under ANSI (Spark 4 default, and what this session runs)
+    # to_date THROWS on a malformed string instead
+    d = F.try_to_date(col.cast("string"), "yyyyMMdd")
+    raw = F.floor(F.datediff(d, F.lit(_INCR_CDC_EPOCH)) / INCR_CDC_BUCKET_DAYS)
+    return F.coalesce(raw, F.lit(_CDC_INVALID_BUCKET))
 
 
 #: sf_dir -> path of the modified-bucket-partitioned prior snapshot.

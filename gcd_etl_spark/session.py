@@ -9,9 +9,13 @@ Design notes (100 TB posture):
   deterministic and match the DuckDB oracle (the reference mixed
   GMT-06:00 run-date parsing with JVM-default-TZ formatting —
   reference Main.java:59,642 — we deliberately normalize to UTC).
-* ANSI off: the reference's try-cast semantics are "parse failure ->
-  null/absent" (reference Main.java:253-258), which matches Spark's
-  non-ANSI cast. We still prefer explicit ``try_cast``-style helpers.
+* ANSI stays at the Spark 4 default (ON — corrected round 7; this
+  file previously claimed "ANSI off"). The reference's try-cast
+  semantics ("parse failure -> null/absent", reference
+  Main.java:253-258) are expressed with explicit ``try_cast`` /
+  ``try_to_date``-style helpers at every lossy conversion site, so
+  the engine is correct under either setting instead of depending on
+  the global flag to swallow errors.
 * Shuffle partitions default to the local core count; on a real
   cluster this is overridden (AQE coalesces anyway).
 """

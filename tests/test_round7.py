@@ -37,7 +37,15 @@ def test_linkpred_capped_recall_gate(spark, sf_smoke):
 
 
 @pytest.mark.parametrize(
-    "name", ["graph_link_prediction_capped", "gcd_snapshot_incremental_cdc"]
+    "name",
+    [
+        "graph_link_prediction_capped",
+        "gcd_snapshot_incremental_cdc",
+        # code changed this round (fact-side prefilter) — keep a
+        # permanent value-hash row here in addition to the rotation
+        "gcd_snapshot_incremental_fs",
+        "source_schema_evolution",
+    ],
 )
 def test_round7_queries_match_oracle(spark, sf_smoke, name):
     q = QUERIES[name]
@@ -270,3 +278,60 @@ def test_restrict_to_issues_split_is_lossless(spark, sf_smoke, mod, changed):
     assert sorted((r["issue_id"], r["count"]) for r in union_counts) == sorted(
         (r["issue_id"], r["count"]) for r in full_counts
     )
+
+
+def test_cdc_buckets_partition_all_modified_values(spark):
+    """Round-7 review finding: rows with NULL or pre-epoch `modified`
+    must land in exactly one side of the CDC split. The ts-side
+    bucket (changed predicate) and the int-side bucket computed from
+    the pipeline's yyyymmdd/-1 output (carry predicate) must agree
+    that such rows are carried, never silently dropped by a
+    NULL-valued comparison."""
+    from gcd_etl_spark.plans.gcd import (
+        _CDC_INVALID_BUCKET,
+        _cdc_mod_bucket_from_int,
+        _cdc_mod_bucket_from_ts,
+    )
+
+    rows = [
+        (1, "2010-06-01 12:00:00"),  # normal
+        (2, "1996-01-01 00:00:00"),  # normal, early
+        (3, None),                   # NULL modified
+        (4, "1960-05-05 00:00:00"),  # pre-epoch -> pipeline writes -1
+        (5, "1980-01-01 00:00:00"),  # 1970..1995 -> negative bucket
+    ]
+    df = spark.createDataFrame(rows, "id long, m string").select(
+        "id", F.col("m").cast("timestamp").alias("modified")
+    )
+    # the pipeline's output int: yyyymmdd when unix_ts>0 else -1
+    out_int = F.when(
+        F.unix_timestamp("modified") > 0,
+        (
+            F.year("modified") * 10000
+            + F.month("modified") * 100
+            + F.dayofmonth("modified")
+        ).cast("int"),
+    ).otherwise(F.lit(-1))
+    got = df.select(
+        "id",
+        _cdc_mod_bucket_from_ts(F.col("modified")).alias("ts_bucket"),
+        _cdc_mod_bucket_from_int(out_int).alias("int_bucket"),
+    ).collect()
+    by_id = {r["id"]: r for r in got}
+    # invalid rows collapse to the sentinel on BOTH sides
+    for bad in (3, 4):
+        assert by_id[bad]["ts_bucket"] == _CDC_INVALID_BUCKET
+        assert by_id[bad]["int_bucket"] == _CDC_INVALID_BUCKET
+    # valid rows (incl. the negative 1980 bucket) agree across sides
+    for ok in (1, 2, 5):
+        assert by_id[ok]["ts_bucket"] == by_id[ok]["int_bucket"]
+        assert by_id[ok]["ts_bucket"] is not None
+    assert by_id[5]["ts_bucket"] < 0  # genuinely negative, not sentinel
+    assert by_id[5]["ts_bucket"] > _CDC_INVALID_BUCKET
+    # partition property: with any real watermark w, every row is in
+    # exactly one of (ts_bucket == w) / (int_bucket < w)
+    w = max(r["ts_bucket"] for r in got)
+    for r in got:
+        changed = r["ts_bucket"] == w
+        carried = r["int_bucket"] < w
+        assert changed != carried, r
