@@ -335,3 +335,51 @@ def test_cdc_buckets_partition_all_modified_values(spark):
         changed = r["ts_bucket"] == w
         carried = r["int_bucket"] < w
         assert changed != carried, r
+
+
+# ------------------------------- empty-input robustness (100 TB ops)
+#: Family representatives: a nightly pipeline sees empty partitions
+#: and empty days; every one of these must plan and execute on
+#: 0-row inputs without raising (aggregate-summary shapes may emit
+#: their constant rows with zero counts — that is correct).
+_EMPTY_OK = [
+    "dedup_exact",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "q1_pricing_summary",
+    "agg_rollup",
+    "win_session",
+    "sort_limit_topk",
+    "join_inner_chain",
+    "text_token_stats",
+    "gcd_snapshot",
+    "sim_bruteforce_topk",
+    "events_funnel",
+    "text_lang_id",
+    "agg_histogram",
+    "graph_triangles",
+    "asof_join_nearest",
+    "window_topk_per_group",
+    "text_tfidf_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gcd_empty_")
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
+            0
+        ).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", _EMPTY_OK)
+def test_empty_input_does_not_raise(spark, empty_sf_dir, name):
+    rows = QUERIES[name].build(spark, empty_sf_dir).limit(5).collect()
+    assert isinstance(rows, list)
