@@ -124,22 +124,24 @@ _DRIVER_WINDOW = [
     "sim_bruteforce_topk",
     "q1_pricing_summary",
     "join_left_fanout",
-    "term_table",
-    # round-7 registrant: parquet schema evolution (mergeSchema read
-    # across an evolved batch layout) — slotted inside the sampled 50
-    # so no registrant leaves this round without a driver row
+    # round-7 registrants: parquet schema evolution (mergeSchema read
+    # across an evolved batch layout) and corrupt-record quarantine
+    # (P6 at the source layer) — slotted inside the sampled 50 so no
+    # registrant leaves this round without a driver row
     "source_schema_evolution",
+    "source_json_corrupt_quarantine",
     # --- (d) flagship, re-verified every round, + the round-7
     #     bucketed-staging flagship variant (same oracle; 4 -> 1
     #     shuffle exchanges, tests/test_round7.py) ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
     "gcd_snapshot_bucketed",
-    # riders if the driver samples past 50 (dump_roundtrip and
-    # dedup_clusters displaced from the r3-refresh block by the two
-    # round-7 registrants above: both green r3, both rotate in r8;
+    # riders if the driver samples past 50 (dump_roundtrip, term_table
+    # and dedup_clusters displaced from the r3-refresh block by the
+    # round-7 registrants above: all green r3, all rotate in r8;
     # dedup_clusters is also the 14.6 s quadratic anchor)
     "dump_roundtrip",
+    "term_table",
     "dedup_clusters",
     "corpus_curation",
     "sim_embedding_neardup_blas",
