@@ -51,12 +51,16 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: (round-6 verdict item 1 — "drain the backlog to zero"): after this
 #: window, EVERY query in the registry has at least one driver
 #: correctness row.
-#: (a) the 2 round-7 registrants: graph_link_prediction_capped (the
-#:     capped-only production plan, full value-hash oracle, exact-
-#:     anchor recall gate moved to tests/test_round7.py — verdict
-#:     item 2) and gcd_snapshot_incremental_cdc (incremental flagship
-#:     selecting on the real `modified` CDC column with a
-#:     watermark-bucket carry — verdict item 6);
+#: (a) the round-7 registrants, all slotted inside the sampled 50:
+#:     graph_link_prediction_capped (capped-only production plan,
+#:     full value-hash oracle, exact-anchor recall gate moved to
+#:     tests/test_round7.py — verdict item 2),
+#:     gcd_snapshot_incremental_cdc (incremental flagship selecting
+#:     on the real `modified` CDC column with a watermark-bucket
+#:     carry — verdict item 6), gcd_snapshot_bucketed (bucketed
+#:     staging, 4 -> 1 exchanges), source_schema_evolution,
+#:     source_json_corrupt_quarantine, and stream_sessions_timeout
+#:     (event-time-expiry stateful sessions);
 #: (b) the 25 queries with no driver row ever (verdict's exact list),
 #:     led by the round-6 registrants whose scale claims were
 #:     otherwise unverified: dedup_semantic_srp_scaled,
@@ -122,7 +126,6 @@ _DRIVER_WINDOW = [
     # --- (c) cont.: oldest r3 rows, incl. the drift-watch pair ---
     "snapshot_denorm",
     "sim_bruteforce_topk",
-    "q1_pricing_summary",
     "join_left_fanout",
     # round-7 registrants: parquet schema evolution (mergeSchema read
     # across an evolved batch layout) and corrupt-record quarantine
@@ -130,6 +133,9 @@ _DRIVER_WINDOW = [
     # registrant leaves this round without a driver row
     "source_schema_evolution",
     "source_json_corrupt_quarantine",
+    # round-7 registrant: stateful sessions with event-time expiry
+    # (GroupStateTimeout.EventTimeTimeout emit-on-expiry)
+    "stream_sessions_timeout",
     # --- (d) flagship, re-verified every round, + the round-7
     #     bucketed-staging flagship variant (same oracle; 4 -> 1
     #     shuffle exchanges, tests/test_round7.py) ---
@@ -140,6 +146,7 @@ _DRIVER_WINDOW = [
     # and dedup_clusters displaced from the r3-refresh block by the
     # round-7 registrants above: all green r3, all rotate in r8;
     # dedup_clusters is also the 14.6 s quadratic anchor)
+    "q1_pricing_summary",
     "dump_roundtrip",
     "term_table",
     "dedup_clusters",

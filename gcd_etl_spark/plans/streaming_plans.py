@@ -332,3 +332,106 @@ def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_apply_cdc(
         spark, staged, f"/tmp/gcd_etl_stream_cdc_state_{tag}", name=f"stream_cdc_{tag}"
     )
+
+
+# --------------------- stateful sessions with event-time expiry
+_SESS_TIMEOUT_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+s AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 86400000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT user_id, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) AS session_end_us,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid
+"""
+
+
+@query("stream_sessions_timeout", oracle=_SESS_TIMEOUT_ORACLE)
+def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME EXPIRY — the
+    one stateful-API feature the NoTimeout operators can't exercise:
+    per-user gap sessions accumulate in the state store, close either
+    when a later event exceeds the 24 h gap (in-update) or when the
+    watermark passes last_event + gap with no newer data
+    (``GroupStateTimeout.EventTimeTimeout`` → ``state.hasTimedOut``
+    flush — emit-on-expiry). Events replay as three time-ordered
+    single-file micro-batches, then TWO far-future sentinel batches
+    (user_id −1/−2, filtered from the output): the first advances the
+    watermark past every real session's expiry, and the second exists
+    because timeouts fire against a one-batch-LAGGED watermark (the
+    same trap stream_late_drop documents) — with it, every real
+    session is expired-and-emitted by stream end, so the oracle is
+    the complete batch gap-sessionization of the events table. At
+    100 TB this is how per-entity session state stays bounded: the
+    store holds only OPEN sessions, expiry is driven by event time,
+    and emission is exactly-once per session."""
+    import glob
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.streaming.stateful import (
+        SESSION_GAP_US,
+        run_streaming_sessions_timeout,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_stream_sesstw_{tag}"
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    hi = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    thirds = events.select(
+        F.ntile(3).over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                "ts", "event_id"
+            )
+        ).alias("b"),
+        "*",
+    )
+    sent = lambda uid, us: spark.createDataFrame(
+        [(int(uid), int(uid), "sentinel", 0.0)],
+        "event_id long, user_id long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.lit(us)).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    batches = [
+        thirds.where(F.col("b") == i).drop("b") for i in (1, 2, 3)
+    ] + [
+        sent(-1, hi + 3 * SESSION_GAP_US),
+        sent(-2, hi + 6 * SESSION_GAP_US),
+    ]
+    seen: list[str] = []
+    groups: list[list[str]] = []
+    for i, b in enumerate(batches):
+        mode = "overwrite" if i == 0 else "append"
+        b.select("event_id", "ts", "user_id", "event_type", "value").coalesce(
+            1
+        ).write.mode(mode).parquet(staged)
+        now_files = sorted(glob.glob(f"{staged}/part-*.parquet"))
+        groups.append([p for p in now_files if p not in seen])
+        seen = now_files
+    now = _time.time()
+    for i, grp in enumerate(groups):
+        for p in grp:
+            os.utime(p, (now - 600 + i * 60, now - 600 + i * 60))
+    return run_streaming_sessions_timeout(
+        spark, staged, name=f"stream_sess_timeout_{tag}"
+    )

@@ -93,3 +93,97 @@ def run_streaming_stateful_totals(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------- gap sessions with event-time expiry (round 7)
+#: Inactivity gap that closes a session, in microseconds (24 h: the
+#: fixture's per-user median spacing is ~7 h, so each user yields a
+#: handful of multi-event sessions).
+SESSION_GAP_US = 86_400 * 1_000_000
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def _update_sessions(key, pdf_iter, state: GroupState):
+    """Gap-sessionize one user's micro-batch; EMIT closed sessions.
+
+    Sessions close two ways, both emitted exactly once:
+    * in-update: a row arriving more than SESSION_GAP_US after the
+      open session's last event closes it and starts a new one;
+    * on EXPIRY: when the event-time watermark passes
+      last_event + gap with no newer data for the key, the engine
+      invokes this function with ``state.hasTimedOut`` and the open
+      session is flushed (the emit-on-expiry path that NoTimeout
+      operators cannot express).
+    Batches are staged time-ordered (one file per trigger), so the
+    per-key event stream is nondecreasing across batches and the
+    session split is deterministic.
+    """
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{
+                "user_id": user_id,
+                "session_start_us": start,
+                "session_end_us": last,
+                "n_events": n,
+            }]
+        )
+        return
+    start, last, n = state.get if state.exists else (None, None, 0)
+    out = []
+    for pdf in pdf_iter:
+        # pandas datetime64[ns] -> epoch MICROseconds
+        for us in (pdf["ts"].astype("int64") // 1000).sort_values():
+            us = int(us)
+            if start is None:
+                start, last, n = us, us, 1
+            elif us - last > SESSION_GAP_US:
+                out.append((user_id, start, last, n))
+                start, last, n = us, us, 1
+            else:
+                last = max(last, us)
+                n += 1
+    state.update((start, last, n))
+    # expire when the event-time watermark passes last + gap
+    state.setTimeoutTimestamp((last + SESSION_GAP_US) // 1000)
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start_us", "session_end_us", "n_events"],
+        )
+
+
+def run_streaming_sessions_timeout(
+    spark: SparkSession, staged_dir: str, name: str = "stream_sess_timeout"
+) -> DataFrame:
+    """Drive the staged stream through the expiring sessionizer and
+    return every emitted (closed) session, sentinel keys excluded."""
+    events = streaming_events(spark, staged_dir)
+    sessions = (
+        events.withWatermark("ts", "1 second")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_sessions,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}").where(F.col("user_id") >= 0)
