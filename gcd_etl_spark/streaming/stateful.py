@@ -19,8 +19,20 @@ Scale notes: state lives in the executor-side state store (RocksDB in
 production, one entry per key), micro-batches shuffle on the group
 key only, and Arrow batches the per-key rows into pandas. For
 unbounded key spaces add a timeout (``GroupStateTimeout`` processing-
-or event-time) and emit-on-expiry; NoTimeout is correct here because
-the parity contract needs every key's final state.
+or event-time) and emit-on-expiry; NoTimeout is correct for the
+totals operator because its parity contract needs every key's final
+state, and ``run_streaming_sessions_timeout`` below exercises the
+EventTimeTimeout emit-on-expiry path.
+
+Spark 4's successor API (``transformWithStateInPandas`` /
+``StatefulProcessor`` — named value/list/map state, timers, TTL) was
+prototyped round 7 and is BLOCKED in this environment: its driver
+worker requires ``google.protobuf``, which is not importable in the
+container (``ImportError: cannot import name 'descriptor'``) and
+installs are off-limits. The operators here use the stable
+``applyInPandasWithState`` API, which covers the same state-store
+semantics; porting to the v2 API when protobuf is available is
+mechanical (state get/update/timeout map 1:1).
 """
 
 from __future__ import annotations
