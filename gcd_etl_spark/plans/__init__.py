@@ -122,7 +122,6 @@ _DRIVER_WINDOW = [
     "sql_q18_large_orders",
     "sql_exists_correlated",
     "text_pii_scrub",
-    "sample_weighted",
     # --- (c) cont.: oldest r3 rows, incl. the drift-watch pair ---
     "snapshot_denorm",
     "sim_bruteforce_topk",
@@ -133,9 +132,11 @@ _DRIVER_WINDOW = [
     # registrant leaves this round without a driver row
     "source_schema_evolution",
     "source_json_corrupt_quarantine",
-    # round-7 registrant: stateful sessions with event-time expiry
-    # (GroupStateTimeout.EventTimeTimeout emit-on-expiry)
+    # round-7 registrants: stateful sessions with event-time expiry
+    # (GroupStateTimeout.EventTimeTimeout emit-on-expiry) and the
+    # Observation-API in-flight metrics query
     "stream_sessions_timeout",
+    "dq_observed_metrics",
     # --- (d) flagship, re-verified every round, + the round-7
     #     bucketed-staging flagship variant (same oracle; 4 -> 1
     #     shuffle exchanges, tests/test_round7.py) ---
@@ -147,6 +148,7 @@ _DRIVER_WINDOW = [
     # round-7 registrants above: all green r3, all rotate in r8;
     # dedup_clusters is also the 14.6 s quadratic anchor)
     "q1_pricing_summary",
+    "sample_weighted",
     "dump_roundtrip",
     "term_table",
     "dedup_clusters",
