@@ -367,8 +367,10 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     when a later event exceeds the 24 h gap (in-update) or when the
     watermark passes last_event + gap with no newer data
     (``GroupStateTimeout.EventTimeTimeout`` → ``state.hasTimedOut``
-    flush — emit-on-expiry). Events replay as three time-ordered
-    single-file micro-batches, then TWO far-future sentinel batches
+    flush — emit-on-expiry). Events replay as two time-ordered
+    single-file micro-batches (enough to prove cross-batch state
+    carry; batch count is a fixed per-batch state-store cost), then
+    TWO far-future sentinel batches
     (user_id −1/−2, filtered from the output): the first advances the
     watermark past every real session's expiry, and the second exists
     because timeouts fire against a one-batch-LAGGED watermark (the
@@ -394,8 +396,8 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     hi = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
-    thirds = events.select(
-        F.ntile(3).over(
+    halves = events.select(
+        F.ntile(2).over(
             __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
                 "ts", "event_id"
             )
@@ -413,7 +415,7 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     batches = [
-        thirds.where(F.col("b") == i).drop("b") for i in (1, 2, 3)
+        halves.where(F.col("b") == i).drop("b") for i in (1, 2)
     ] + [
         sent(-1, hi + 3 * SESSION_GAP_US),
         sent(-2, hi + 6 * SESSION_GAP_US),
