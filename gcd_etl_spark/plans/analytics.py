@@ -1485,6 +1485,169 @@ def linkpred_recall_stats(spark: SparkSession, sf_dir: str) -> tuple[bool, int, 
     return prune_engaged, int(row["n_hits"]), int(row["n_anchor"])
 
 
+# -------------------------- absolute-cap link prediction (hub graph)
+#: The HUB-BEARING fixture graph for the absolute-ceiling cap rule:
+#: one edge per lineitem row between a ZIPF-distributed endpoint
+#: (``M div (h1 % M + 1)`` — node k drawn with probability
+#: ~1/(k(k+1)), so small ids are power-law hubs: at sf0.01 the graph
+#: has 3,001 nodes, max degree 2,999, mean 13.9) and a UNIFORM
+#: endpoint (``h2 % N``). All-integer arithmetic (Knuth
+#: multiplicative hashes of the lineitem keys) so Spark and DuckDB
+#: derive the identical graph — no float boundary can flip a node id.
+LINKPRED_HUB_M = 4096
+LINKPRED_HUB_N = 3000
+_HUB_K1 = 2654435761
+_HUB_K2 = 40503
+
+#: ABSOLUTE degree ceiling for wedge centers — the PRODUCTION cap
+#: rule the zipf study (BASELINE.md driver-round-6) proved correct in
+#: the power-law regime, set from the wedge budget: a center of
+#: degree d contributes d² candidate pairs, so a per-center budget of
+#: 250,000 wedges gives cap = sqrt(250_000) = 500. On the hub fixture
+#: this prunes only the extreme tail (2/10/34 centers at sf
+#: 0.001/0.01/0.1) yet saves 83/97/96% of the Σdeg² wedge mass, and
+#: the exact-anchor recall gate (tests/test_round8.py) holds 19-20/20
+#: — the relative 150%-of-mean rule would prune 33/93/127 centers on
+#: the same graph. Contrast with LINKPRED_DEG_CAP_PCT above, which is
+#: registered on the near-uniform part graph where no absolute tail
+#: exists to prune.
+LINKPRED_ABS_CAP = 500
+LINKPRED_WEDGE_BUDGET_PER_CENTER = LINKPRED_ABS_CAP * LINKPRED_ABS_CAP
+
+#: The absolute-cap computation restated in SQL — full value-hash
+#: oracle (graph construction, degree ceiling, wedge count, anti-join
+#: and ranking), not a pass/fail indicator.
+_LINKPRED_ABSCAP_ORACLE = f"""
+WITH raw AS (
+  SELECT CAST({LINKPRED_HUB_M} // ((CAST(l_orderkey AS BIGINT) * {_HUB_K1}
+               + l_linenumber) % {LINKPRED_HUB_M} + 1) AS BIGINT) AS a,
+         CAST((CAST(l_partkey AS BIGINT) * {_HUB_K2}
+               + CAST(l_suppkey AS BIGINT)) % {LINKPRED_HUB_N} AS BIGINT) AS b
+  FROM lineitem
+),
+edges AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+),
+und AS (SELECT u AS node, v AS nbr FROM edges
+        UNION ALL SELECT v, u FROM edges),
+deg AS (SELECT node, COUNT(*) AS deg FROM und GROUP BY node),
+keep AS (SELECT node FROM deg WHERE deg <= {LINKPRED_ABS_CAP}),
+capped AS (SELECT u.node, u.nbr FROM und u JOIN keep k ON u.node = k.node),
+wedges AS (
+  SELECT a.nbr AS u, b.nbr AS v, COUNT(*) AS common_neighbors
+  FROM capped a JOIN capped b ON a.node = b.node AND a.nbr < b.nbr
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT w.u, w.v, w.common_neighbors
+  FROM wedges w LEFT JOIN edges e ON e.u = w.u AND e.v = w.v
+  WHERE e.u IS NULL
+),
+ranked AS (
+  SELECT u, v, common_neighbors,
+         ROW_NUMBER() OVER (ORDER BY common_neighbors DESC, u, v) AS rank
+  FROM cand
+)
+SELECT u, v, common_neighbors, rank FROM ranked WHERE rank <= {LINKPRED_TOP_K}
+"""
+
+
+def _linkpred_hub_graph(spark: SparkSession, sf_dir: str):
+    """(edges, und) for the hub-bearing zipf/uniform graph — shared
+    by the registered abscap plan and the pytest recall gate so the
+    two can never drift apart. Checkpointed like _linkpred_graph:
+    both the wedge join and the anti-join reuse the edge set."""
+    li = read_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        (
+            (F.col("l_orderkey").cast("long") * F.lit(_HUB_K1) + F.col("l_linenumber"))
+            % F.lit(LINKPRED_HUB_M)
+        ).alias("h1"),
+        (
+            (F.col("l_partkey").cast("long") * F.lit(_HUB_K2) + F.col("l_suppkey").cast("long"))
+            % F.lit(LINKPRED_HUB_N)
+        ).alias("h2"),
+    )
+    # `div` = exact integer division on both engines (DuckDB `//`);
+    # no float quotient can flip a node id at a floor boundary.
+    raw = hashed.selectExpr(
+        f"CAST({LINKPRED_HUB_M} div (h1 + 1) AS LONG) AS a",
+        "CAST(h2 AS LONG) AS b",
+    )
+    edges = (
+        raw.where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    return edges, und
+
+
+def _linkpred_abscap_neighbors(und: DataFrame):
+    """(capped adjacency, degree table with `keep`) under the
+    ABSOLUTE ceiling: keep = deg <= {LINKPRED_ABS_CAP}. No totals
+    join — the cap is a constant, so unlike the relative rule this
+    predicate needs no second pass over the degree table."""
+    deg_t = und.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).withColumn(
+        "keep", F.col("deg") <= F.lit(LINKPRED_ABS_CAP)
+    )
+    capped = und.join(deg_t.where("keep").select("node"), "node")
+    return capped, deg_t
+
+
+@query("graph_link_prediction_abscap", oracle=_LINKPRED_ABSCAP_ORACLE)
+def graph_link_prediction_abscap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction under the ABSOLUTE degree
+    ceiling — the production cap rule for the power-law regime,
+    demonstrated on a graph that actually has hubs. The relative
+    150%-of-mean rule (graph_link_prediction_capped) is calibrated
+    for the near-uniform part co-purchase graph; the zipf study
+    (BASELINE.md driver-round-6) showed it collapses recall to 4/20
+    on a power-law graph while an absolute tail-only ceiling keeps
+    19/20 at 7x speed. This plan runs on the hub-bearing fixture
+    graph (LINKPRED_HUB_M/N — zipf endpoint x uniform endpoint per
+    lineitem row, all-integer so both engines build the identical
+    graph) with cap = sqrt(wedge budget per center) =
+    {LINKPRED_ABS_CAP}: at sf0.01 it prunes 10 of 3,001 centers
+    carrying 96.8% of the Σdeg² wedge mass, and the pytest gate
+    (tests/test_round8.py, linkpred_abscap_recall_stats) holds
+    ≥{LINKPRED_RECALL_FLOOR_PCT}% of the exact top-{LINKPRED_TOP_K}
+    (measured 19-20/20 at every fixture sf). Full value-hash oracle;
+    the exact anchor stays OUT of the registered plan (round-6
+    verdict item 2) so the query benches at the capped cost."""
+    edges, und = _linkpred_hub_graph(spark, sf_dir)
+    capped, _ = _linkpred_abscap_neighbors(und)
+    return _linkpred_ranked(_linkpred_topk(edges, capped))
+
+
+def linkpred_abscap_recall_stats(spark: SparkSession, sf_dir: str) -> tuple[bool, int, int]:
+    """(prune_engaged, n_hits, n_anchor) for the abscap-vs-exact
+    recall gate on the HUB graph — pytest-side companion of
+    graph_link_prediction_abscap. Unregistered on purpose: this runs
+    the exact O(Σdeg²) anchor, which the hub makes expensive — that
+    cost being intolerable at scale is the whole point of the cap."""
+    edges, und = _linkpred_hub_graph(spark, sf_dir)
+    capped, deg_t = _linkpred_abscap_neighbors(und)
+    prune_engaged = deg_t.where(~F.col("keep")).limit(1).count() > 0
+    exact_top = _linkpred_topk(edges, und).select("u", "v")
+    capped_top = (
+        _linkpred_topk(edges, capped).select("u", "v").withColumn("hit", F.lit(1))
+    )
+    row = (
+        exact_top.join(capped_top, ["u", "v"], "left")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            F.count(F.lit(1)).alias("n_anchor"),
+        )
+        .collect()[0]
+    )
+    return prune_engaged, int(row["n_hits"]), int(row["n_anchor"])
+
+
 # ----------------------------------------------- hybrid rank fusion
 #: Reciprocal-rank-fusion constant (the standard k=60) and the
 #: example-query vector for the semantic leg.
