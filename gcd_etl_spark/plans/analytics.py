@@ -22,6 +22,8 @@ snapshot):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1461,14 +1463,19 @@ def graph_link_prediction_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _linkpred_ranked(_linkpred_topk(edges, capped))
 
 
-def linkpred_recall_stats(spark: SparkSession, sf_dir: str) -> tuple[bool, int, int]:
-    """(prune_engaged, n_hits, n_anchor) for the capped-vs-exact
-    recall gate — pytest-side companion of graph_link_prediction_capped
-    (tests/test_round7.py asserts prune_engaged and
-    n_hits*100 >= {LINKPRED_RECALL_FLOOR_PCT}*n_anchor). Unregistered
-    on purpose: this runs the exact O(Σdeg²) anchor."""
-    edges, und = _linkpred_graph(spark, sf_dir)
-    capped, deg_t = _linkpred_capped_neighbors(und)
+def _linkpred_recall_stats(
+    spark: SparkSession, sf_dir: str, graph_fn, neighbors_fn
+) -> tuple[bool, int, int]:
+    """Shared capped-vs-exact recall gate: build the graph with
+    `graph_fn`, prune centers with `neighbors_fn`, and measure how
+    much of the EXACT top-{LINKPRED_TOP_K} the capped path recovers.
+    Both cap rules (relative 150%-of-mean, absolute ceiling) call
+    this one implementation so the gate logic cannot drift between
+    them (ADVICE round 8). Unregistered on purpose: it runs the
+    exact O(Σdeg²) anchor, whose cost at scale is the whole reason
+    the caps exist."""
+    edges, und = graph_fn(spark, sf_dir)
+    capped, deg_t = neighbors_fn(und)
     prune_engaged = deg_t.where(~F.col("keep")).limit(1).count() > 0
     exact_top = _linkpred_topk(edges, und).select("u", "v")
     capped_top = (
@@ -1483,6 +1490,16 @@ def linkpred_recall_stats(spark: SparkSession, sf_dir: str) -> tuple[bool, int, 
         .collect()[0]
     )
     return prune_engaged, int(row["n_hits"]), int(row["n_anchor"])
+
+
+def linkpred_recall_stats(spark: SparkSession, sf_dir: str) -> tuple[bool, int, int]:
+    """(prune_engaged, n_hits, n_anchor) for the capped-vs-exact
+    recall gate — pytest-side companion of graph_link_prediction_capped
+    (tests/test_round7.py asserts prune_engaged and
+    n_hits*100 >= {LINKPRED_RECALL_FLOOR_PCT}*n_anchor)."""
+    return _linkpred_recall_stats(
+        spark, sf_dir, _linkpred_graph, _linkpred_capped_neighbors
+    )
 
 
 # -------------------------- absolute-cap link prediction (hub graph)
@@ -1506,13 +1523,15 @@ _HUB_K2 = 40503
 #: 250,000 wedges gives cap = sqrt(250_000) = 500. On the hub fixture
 #: this prunes only the extreme tail (2/10/34 centers at sf
 #: 0.001/0.01/0.1) yet saves 83/97/96% of the Σdeg² wedge mass, and
-#: the exact-anchor recall gate (tests/test_round8.py) holds 19-20/20
+#: the exact-anchor recall gate (tests/test_round9.py) holds 19-20/20
 #: — the relative 150%-of-mean rule would prune 33/93/127 centers on
 #: the same graph. Contrast with LINKPRED_DEG_CAP_PCT above, which is
 #: registered on the near-uniform part graph where no absolute tail
-#: exists to prune.
-LINKPRED_ABS_CAP = 500
-LINKPRED_WEDGE_BUDGET_PER_CENTER = LINKPRED_ABS_CAP * LINKPRED_ABS_CAP
+#: exists to prune. The cap is DERIVED from the budget (isqrt) so
+#: the deployment rule "cap = sqrt(wedge budget per center)" is
+#: enforced in code, not just prose (ADVICE round 8).
+LINKPRED_WEDGE_BUDGET_PER_CENTER = 250_000
+LINKPRED_ABS_CAP = math.isqrt(LINKPRED_WEDGE_BUDGET_PER_CENTER)
 
 #: The absolute-cap computation restated in SQL — full value-hash
 #: oracle (graph construction, degree ceiling, wedge count, anti-join
@@ -1614,7 +1633,7 @@ def graph_link_prediction_abscap(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph) with cap = sqrt(wedge budget per center) =
     {LINKPRED_ABS_CAP}: at sf0.01 it prunes 10 of 3,001 centers
     carrying 96.8% of the Σdeg² wedge mass, and the pytest gate
-    (tests/test_round8.py, linkpred_abscap_recall_stats) holds
+    (tests/test_round9.py, linkpred_abscap_recall_stats) holds
     ≥{LINKPRED_RECALL_FLOOR_PCT}% of the exact top-{LINKPRED_TOP_K}
     (measured 19-20/20 at every fixture sf). Full value-hash oracle;
     the exact anchor stays OUT of the registered plan (round-6
@@ -1627,25 +1646,12 @@ def graph_link_prediction_abscap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def linkpred_abscap_recall_stats(spark: SparkSession, sf_dir: str) -> tuple[bool, int, int]:
     """(prune_engaged, n_hits, n_anchor) for the abscap-vs-exact
     recall gate on the HUB graph — pytest-side companion of
-    graph_link_prediction_abscap. Unregistered on purpose: this runs
-    the exact O(Σdeg²) anchor, which the hub makes expensive — that
-    cost being intolerable at scale is the whole point of the cap."""
-    edges, und = _linkpred_hub_graph(spark, sf_dir)
-    capped, deg_t = _linkpred_abscap_neighbors(und)
-    prune_engaged = deg_t.where(~F.col("keep")).limit(1).count() > 0
-    exact_top = _linkpred_topk(edges, und).select("u", "v")
-    capped_top = (
-        _linkpred_topk(edges, capped).select("u", "v").withColumn("hit", F.lit(1))
+    graph_link_prediction_abscap (tests/test_round9.py). The hub
+    makes the exact anchor expensive; that cost being intolerable at
+    scale is the whole point of the cap."""
+    return _linkpred_recall_stats(
+        spark, sf_dir, _linkpred_hub_graph, _linkpred_abscap_neighbors
     )
-    row = (
-        exact_top.join(capped_top, ["u", "v"], "left")
-        .agg(
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
-            F.count(F.lit(1)).alias("n_anchor"),
-        )
-        .collect()[0]
-    )
-    return prune_engaged, int(row["n_hits"]), int(row["n_anchor"])
 
 
 # ----------------------------------------------- hybrid rank fusion

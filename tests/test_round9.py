@@ -1,0 +1,153 @@
+"""Round-9 additions: the absolute-ceiling link-prediction recall
+gate (promised by round 8's docstrings but never committed — r8
+verdict item 1), the empty-input pin for the abscap query (r7
+convention), and oracle rows for the queries this round adds."""
+
+from __future__ import annotations
+
+import pytest
+
+from gcd_etl_spark.plans import QUERIES
+from gcd_etl_spark.plans.analytics import (
+    LINKPRED_ABS_CAP,
+    LINKPRED_RECALL_FLOOR_PCT,
+    LINKPRED_WEDGE_BUDGET_PER_CENTER,
+    linkpred_abscap_recall_stats,
+)
+from tests.conftest import assert_matches_oracle
+
+# ------------------- abscap link prediction: recall gate (hub graph)
+
+
+def test_linkpred_abscap_recall_gate(spark, sf_smoke):
+    """The absolute-ceiling cap on the hub-bearing zipf×uniform graph
+    must (a) actually engage — at least one center above the ceiling
+    exists to prune, so the gate is not vacuous — and (b) recover at
+    least LINKPRED_RECALL_FLOOR_PCT% of the exact top-K. The
+    registered query (graph_link_prediction_abscap) carries the full
+    value-hash oracle of the capped computation and benches at the
+    capped cost; this anchor comparison is the part too expensive to
+    ship in-plan (it runs the exact O(Σdeg²) wedge count the hub
+    makes intolerable at scale)."""
+    prune_engaged, n_hits, n_anchor = linkpred_abscap_recall_stats(spark, sf_smoke)
+    assert prune_engaged, "absolute ceiling pruned no center — gate is vacuous"
+    assert n_anchor > 0
+    assert n_hits * 100 >= LINKPRED_RECALL_FLOOR_PCT * n_anchor, (
+        f"abscap recall {n_hits}/{n_anchor} below "
+        f"{LINKPRED_RECALL_FLOOR_PCT}% floor"
+    )
+
+
+def test_abscap_derived_from_wedge_budget():
+    """The deployment rule cap = sqrt(wedge budget per center) is
+    enforced in code (ADVICE round 8): the cap must be the integer
+    square root of the budget, and squaring it must not exceed the
+    budget."""
+    assert LINKPRED_ABS_CAP * LINKPRED_ABS_CAP <= LINKPRED_WEDGE_BUDGET_PER_CENTER
+    assert (LINKPRED_ABS_CAP + 1) ** 2 > LINKPRED_WEDGE_BUDGET_PER_CENTER
+    assert LINKPRED_ABS_CAP == 500  # pin the production value
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "graph_link_prediction_abscap",
+        "gcd_snapshot_nightly_overwrite",
+    ],
+)
+def test_round9_queries_match_oracle(spark, sf_smoke, name):
+    q = QUERIES[name]
+    assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=name)
+
+
+# ----------------- nightly dynamic-partition-overwrite composition
+
+
+def test_nightly_overwrite_repairs_stale_partition_only(spark, sf_smoke):
+    """The nightly loop must be non-vacuous AND surgical:
+    1. the staged prior table's watermark bucket is genuinely stale
+       (rows missing vs the full build) — so a no-op would fail;
+    2. after the run, the table matches the full build row count;
+    3. every carried (non-watermark) partition's data files are
+       byte-untouched (same paths, sizes, mtimes) — the carry is
+       metadata-only, which is what makes the nightly affordable at
+       100 TB; only the watermark partition was rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.plans.gcd import (
+        _nightly_prior_table,
+        build_flagship,
+        gcd_snapshot_nightly_overwrite,
+    )
+
+    name = _nightly_prior_table(spark, sf_smoke)
+    loc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").where(
+        "col_name = 'Location'"
+    ).collect()[0]["data_type"].replace("file:", "")
+    full_n = build_flagship(spark, sf_smoke).count()
+    stale_n = spark.table(name).count()
+    # (1) poison engaged — unless already repaired earlier in this
+    # process (the prior is staged once; a previous test/oracle run
+    # may have run the nightly already). Track file state either way.
+    def snap_files():
+        state = {}
+        for root, _dirs, files in os.walk(loc):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    st = os.stat(p)
+                    state[p] = (st.st_size, st.st_mtime_ns)
+        return state
+
+    before = snap_files()
+    out = gcd_snapshot_nightly_overwrite(spark, sf_smoke)
+    assert out.count() == full_n  # (2) repaired to the full build
+    after = snap_files()
+    w = (
+        spark.table(name)
+        .agg(F.max("mod_bucket").alias("w"))
+        .collect()[0]["w"]
+    )
+    wtag = f"mod_bucket={w}"
+    carried_before = {p: v for p, v in before.items() if wtag not in p}
+    carried_after = {p: v for p, v in after.items() if wtag not in p}
+    # (3) carried partitions byte-untouched
+    assert carried_before == carried_after
+    # watermark partition rewritten: file set changed
+    hot_before = {p for p in before if wtag in p}
+    hot_after = {p for p in after if wtag in p}
+    assert hot_after and hot_after != hot_before
+    # the poison was real at staging time: stale table had fewer rows
+    # than full (if this process staged it fresh) or equal (already
+    # repaired); never more
+    assert stale_n <= full_n
+
+
+# ------------------------------- empty-input robustness (r7 pin)
+_EMPTY_OK_R9 = [
+    "graph_link_prediction_abscap",
+    "gcd_snapshot_nightly_overwrite",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir_r9(spark):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gcd_empty_r9_")
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
+            0
+        ).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", _EMPTY_OK_R9)
+def test_empty_input_does_not_raise_r9(spark, empty_sf_dir_r9, name):
+    rows = QUERIES[name].build(spark, empty_sf_dir_r9).limit(5).collect()
+    assert isinstance(rows, list)
