@@ -100,6 +100,33 @@ def _fallbacks_since(log_path: str, offset: int) -> tuple[int, int]:
     return sum(chunk.count(m) for m in _FALLBACK_MARKERS), new_offset
 
 
+def _flush_barrier(spark, log_path: str, tag: str, timeout_s: float = 5.0) -> None:
+    """Serialize per-query marker attribution with the appender: emit
+    a unique WARN through the JVM's log4j and wait (bounded) until it
+    lands in the file. The appender preserves event order, so once
+    the token is on disk every marker logged by already-completed
+    work is too — without this, a buffered flush could land a query's
+    markers AFTER the offset read and misattribute them to the next
+    query (ADVICE round 7). A dead appender just times out: the
+    detector probe already reports that state separately."""
+    token = f"gcd-bench-flush-barrier-{tag}"
+    try:
+        spark._jvm.org.apache.logging.log4j.LogManager.getLogger(
+            "gcd_etl_bench"
+        ).warn(token)
+    except Exception:  # noqa: BLE001 — barrier must never kill the bench
+        return
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        try:
+            with open(log_path, "r", errors="replace") as f:
+                if token in f.read():
+                    return
+        except FileNotFoundError:
+            pass
+        time.sleep(0.05)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -152,6 +179,7 @@ def main() -> None:
     # degrades, it doesn't crash. Failures time as null.
     timings: dict[str, float | None] = {}
     fallbacks: dict[str, int] = {}
+    _flush_barrier(spark, log_path, "warmup")
     _, log_off = _fallbacks_since(log_path, 0)  # discard warmup WARNs
     for name in HEADLINE:
         q = QUERIES[name]
@@ -165,6 +193,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
             timings[name] = None
+        _flush_barrier(spark, log_path, name)
         n_fb, log_off = _fallbacks_since(log_path, log_off)
         if n_fb:
             fallbacks[name] = n_fb

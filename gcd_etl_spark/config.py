@@ -60,13 +60,17 @@ def load_config(path_or_text: str) -> GcdConfiguration:
     text that happens to equal an existing relative path): anything
     containing a newline is YAML text — every valid config document
     needs ``gcdatabase:`` plus a nested key, so it cannot be
-    one-line — and everything else is a path. (A colon test was
-    considered and rejected: legitimate paths carry colons, e.g. the
-    timestamped archive dirs acquire.py derives, and Windows drive
-    prefixes — round-7 review finding.) Callers that know which they
-    hold should use load_config_file / load_config_text directly.
+    one-line in BLOCK style — and a one-liner opening with ``{`` is
+    FLOW-style YAML (``{gcdatabase: {url: ...}}``), which no sane
+    path starts with (ADVICE round 7: flow-style one-liners used to
+    misroute to the file branch and die with FileNotFoundError).
+    Everything else is a path. (A colon test was considered and
+    rejected: legitimate paths carry colons, e.g. the timestamped
+    archive dirs acquire.py derives, and Windows drive prefixes —
+    round-7 review finding.) Callers that know which they hold
+    should use load_config_file / load_config_text directly.
     """
-    if "\n" in path_or_text:
+    if "\n" in path_or_text or path_or_text.lstrip().startswith("{"):
         return load_config_text(path_or_text)
     return load_config_file(path_or_text)
 

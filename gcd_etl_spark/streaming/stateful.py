@@ -149,18 +149,25 @@ def _update_sessions(key, pdf_iter, state: GroupState):
         return
     start, last, n = state.get if state.exists else (None, None, 0)
     out = []
-    for pdf in pdf_iter:
+    # Arrow hands one group as SEVERAL pandas chunks with no ordering
+    # guarantee BETWEEN them — sorting each chunk alone would let a
+    # later chunk deliver earlier timestamps and split sessions
+    # wrongly (ADVICE round 7). Concatenate the whole group's batch
+    # first, then one global sort: bounded by one key's events in one
+    # micro-batch (the state itself stays O(1)).
+    chunks = [pdf["ts"].astype("int64") // 1000 for pdf in pdf_iter]
+    ts_sorted = pd.concat(chunks).sort_values() if chunks else []
+    for us in ts_sorted:
         # pandas datetime64[ns] -> epoch MICROseconds
-        for us in (pdf["ts"].astype("int64") // 1000).sort_values():
-            us = int(us)
-            if start is None:
-                start, last, n = us, us, 1
-            elif us - last > SESSION_GAP_US:
-                out.append((user_id, start, last, n))
-                start, last, n = us, us, 1
-            else:
-                last = max(last, us)
-                n += 1
+        us = int(us)
+        if start is None:
+            start, last, n = us, us, 1
+        elif us - last > SESSION_GAP_US:
+            out.append((user_id, start, last, n))
+            start, last, n = us, us, 1
+        else:
+            last = max(last, us)
+            n += 1
     state.update((start, last, n))
     # expire when the event-time watermark passes last + gap
     state.setTimeoutTimestamp((last + SESSION_GAP_US) // 1000)

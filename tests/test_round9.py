@@ -53,11 +53,114 @@ def test_abscap_derived_from_wedge_budget():
     [
         "graph_link_prediction_abscap",
         "gcd_snapshot_nightly_overwrite",
+        # ADVICE round 7: the id%10 incremental variant had no
+        # value-level oracle row in any pytest parametrization
+        "gcd_snapshot_incremental",
     ],
 )
 def test_round9_queries_match_oracle(spark, sf_smoke, name):
     q = QUERIES[name]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=name)
+
+
+# --------------------------- ADVICE round-7 fixes, pinned
+
+
+def test_config_flow_style_one_liner_routes_to_text():
+    """A flow-style one-line YAML document must parse as TEXT, not be
+    probed as a file path (it used to die with FileNotFoundError)."""
+    from gcd_etl_spark.config import load_config
+
+    cfg = load_config('{gcdatabase: {url: "jdbc:mysql://h/db", user: u}}')
+    assert cfg.source.url == "jdbc:mysql://h/db"
+    assert cfg.source.user == "u"
+
+
+def test_config_path_still_routes_to_file(tmp_path):
+    from gcd_etl_spark.config import load_config
+
+    p = tmp_path / "c.yml"
+    p.write_text("gcdatabase:\n  url: jdbc:mysql://h2/db2\n")
+    assert load_config(str(p)).source.url == "jdbc:mysql://h2/db2"
+
+
+def test_update_sessions_orders_across_chunks():
+    """Arrow may split one group's micro-batch into several pandas
+    chunks with NO ordering between them; the sessionizer must
+    produce the same split as a single sorted chunk (it used to sort
+    each chunk independently, so a later chunk could deliver earlier
+    timestamps and corrupt the session boundaries)."""
+    import pandas as pd
+
+    from gcd_etl_spark.streaming.stateful import SESSION_GAP_US, _update_sessions
+
+    class FakeState:
+        hasTimedOut = False
+        exists = False
+
+        def __init__(self):
+            self.updated = None
+            self.timeout = None
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutTimestamp(self, v):
+            self.timeout = v
+
+    h = 3_600 * 1_000_000
+    # one user's events: two sessions split by a > gap hole, with the
+    # EARLIEST event delivered in the SECOND chunk
+    t0 = 1_700_000_000 * 1_000_000
+    sess2 = [t0 + SESSION_GAP_US + 10 * h, t0 + SESSION_GAP_US + 11 * h]
+    sess1 = [t0, t0 + h, t0 + 2 * h]
+
+    def mk(us_list):
+        return pd.DataFrame({"ts": pd.to_datetime([u * 1000 for u in us_list])})
+
+    # chunk 1 carries the LATER events, chunk 2 the earlier ones
+    state = FakeState()
+    out = list(_update_sessions((7,), [mk(sess2), mk(sess1)], state))
+    assert len(out) == 1
+    emitted = out[0]
+    assert emitted["session_start_us"].tolist() == [sess1[0]]
+    assert emitted["session_end_us"].tolist() == [sess1[-1]]
+    assert emitted["n_events"].tolist() == [3]
+    # open session = sess2, held in state
+    assert state.updated == (sess2[0], sess2[-1], 2)
+
+
+def test_bench_flush_barrier_is_order_safe(tmp_path):
+    """The barrier helper returns once its token is visible and the
+    subsequent offset read picks up everything logged before it."""
+    import bench
+
+    log = tmp_path / "jvm.log"
+    log.write_text("WARN x: Whole-stage codegen disabled for reasons\n")
+
+    class _Jvm:
+        class org:
+            class apache:
+                class logging:
+                    class log4j:
+                        class LogManager:
+                            @staticmethod
+                            def getLogger(name):
+                                class L:
+                                    @staticmethod
+                                    def warn(msg):
+                                        with open(log, "a") as f:
+                                            f.write(f"WARN b: {msg}\n")
+
+                                return L
+
+    class _Spark:
+        _jvm = _Jvm
+
+    bench._flush_barrier(_Spark, str(log), "t1", timeout_s=2.0)
+    n, off = bench._fallbacks_since(str(log), 0)
+    assert n == 1  # the marker, not the barrier token
+    assert "gcd-bench-flush-barrier-t1" in log.read_text()
 
 
 # ----------------- nightly dynamic-partition-overwrite composition
