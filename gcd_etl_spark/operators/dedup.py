@@ -137,6 +137,49 @@ def minhash_signature_table(
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """(_id, band_idx, band_hash): the banded-signature LSH index rows
+    for every document. This IS the persistable corpus index — two
+    docs are near-dup candidates iff they share a row's (band_idx,
+    band_hash). Factored out of ``minhash_lsh_candidates`` so the
+    self-join path and the delta-vs-persisted-index path
+    (plans/dedup.dedup_delta_vs_corpus) share one definition."""
+    rows_per_band = num_hashes // bands
+
+    def band_hash(b: int) -> F.Column:
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        if portable:
+            # md5 of the comma-joined decimal minima — same string
+            # DuckDB's array_to_string produces
+            joined = F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+            return F.md5(joined)
+        return F.xxhash64(sl.cast("string")).cast("string")
+
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k_shingle, portable)
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        band_hash(b).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -156,32 +199,9 @@ def minhash_lsh_candidates(
     hash to md5-derived forms DuckDB reproduces bit-for-bit (the
     oracle-checked configuration; see ``portable_hash64``).
     """
-    rows_per_band = num_hashes // bands
-
-    def band_hash(b: int) -> F.Column:
-        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        if portable:
-            # md5 of the comma-joined decimal minima — same string
-            # DuckDB's array_to_string produces
-            joined = F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
-            return F.md5(joined)
-        return F.xxhash64(sl.cast("string")).cast("string")
-
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k_shingle, portable)
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        band_hash(b).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "band.band_idx", "band.band_hash")
+    banded = minhash_band_table(
+        df, text_col, id_col, num_hashes, bands, k_shingle, portable
+    )
     # Pair generation inside buckets: self-join on the bucket key.
     left = banded.alias("l")
     right = banded.alias("r")

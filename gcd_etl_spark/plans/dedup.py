@@ -141,11 +141,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _portable_minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
-    """The ENTIRE MinHash-LSH pipeline restated in DuckDB SQL: same
-    md5-derived base hash, same (a*h+b) mod p permutation family, same
-    banding and Jaccard verify — exact value parity, not a smoke
-    check."""
+def _portable_band_ctes(num_hashes: int = 32, bands: int = 8) -> str:
+    """Shared DuckDB CTE chain (shingles -> md5 base hash -> minhash
+    signature -> band hashes) used by every portable-MinHash oracle,
+    so the self-join and delta-vs-corpus oracles cannot drift from
+    each other (they differ only in the candidate predicate)."""
     p = (1 << 61) - 1
     rpb = num_hashes // bands
     sig_elems = ", ".join(
@@ -174,7 +174,16 @@ WITH t AS (
 ), bands AS (
   SELECT doc_id, band.i AS band_idx, band.h AS band_hash
   FROM (SELECT doc_id, unnest([{band_structs}]) AS band FROM sig)
-), cand AS (
+)"""
+
+
+def _portable_minhash_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """The ENTIRE MinHash-LSH pipeline restated in DuckDB SQL: same
+    md5-derived base hash, same (a*h+b) mod p permutation family, same
+    banding and Jaccard verify — exact value parity, not a smoke
+    check."""
+    return _portable_band_ctes(num_hashes, bands) + """
+, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -202,6 +211,100 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_spread(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5, portable=True)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+#: doc_id % DELTA_MOD == 0 -> "tonight's delta"; everything else is
+#: the standing corpus whose LSH band index is already on disk.
+DELTA_MOD = 7
+
+
+def _delta_vs_corpus_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Delta-vs-corpus dedup restated in DuckDB: identical signature /
+    band CTEs as _portable_minhash_oracle (shared builder), candidate
+    predicate = one side delta, other side corpus."""
+    return _portable_band_ctes(num_hashes, bands) + f"""
+, cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+  FROM bands d JOIN bands c
+    ON d.band_idx = c.band_idx AND d.band_hash = c.band_hash
+  WHERE d.doc_id % {DELTA_MOD} = 0 AND c.doc_id % {DELTA_MOD} <> 0
+)
+SELECT cand.delta_id, cand.corpus_id,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+         AS jaccard
+FROM cand
+JOIN s sa ON cand.delta_id = sa.doc_id
+JOIN s sb ON cand.corpus_id = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+"""
+
+
+@query("dedup_delta_vs_corpus", oracle=_delta_vs_corpus_oracle())
+def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: which NEW documents (tonight's delta,
+    ``doc_id % DELTA_MOD == 0``) already near-duplicate something in
+    the standing corpus — WITHOUT re-self-joining the corpus.
+
+    This is the nightly production shape at 100 TB: you never re-dedup
+    the whole corpus; its LSH band index (operators/dedup.
+    minhash_band_table — the same banded signatures the self-join path
+    uses) is PERSISTED once at ingest, bucketed by band_hash, and each
+    night only the delta is shingled/hashed. The candidate join
+    broadcasts the delta's band rows against the index scan, so the
+    corpus side never shuffles and never recomputes signatures —
+    per-night cost is O(delta) + one index scan, independent of how
+    the corpus grew. (For a delta too big to broadcast, the fallback
+    is a sort-merge join against the bucketed index where still only
+    the delta side exchanges.) Delta-internal duplicates are
+    deliberately out of scope here — that's the standard self-join
+    path (dedup_minhash_portable) run on the delta alone.
+
+    Portable md5 hash family end-to-end, so banding, candidate
+    generation, and the exact-Jaccard verify all sit under the DuckDB
+    value-hash oracle. Plan shape pinned by tests/test_round9.py:
+    corpus index is read from the staged table (no signature
+    recomputation in-plan) and the band join is a broadcast of the
+    delta side."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    # --- one-time corpus index staging (ingest-side cost, idempotent)
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    name = f"corpus_band_idx_{tag}"
+    if not spark.catalog.tableExists(name):
+        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+        corpus_bands = D.minhash_band_table(docs.where(~is_delta), portable=True).select(
+            F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
+        )
+        write_bucketed_table(
+            corpus_bands, name, ["band_hash"], n_buckets=16, sort_cols=["band_hash"]
+        )
+    idx = spark.table(name)
+    # --- nightly delta path: hash only the delta, broadcast its bands
+    delta_bands = D.minhash_band_table(docs.where(is_delta), portable=True).select(
+        F.col("_id").alias("delta_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        F.broadcast(delta_bands)
+        .join(idx, ["band_idx", "band_hash"])
+        .select(F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+        .distinct()
+    )
+    verified = D.jaccard_pairs(docs, cand, threshold=0.5)
+    return verified.select(
+        F.col("id_a").alias("delta_id"),
+        F.col("id_b").alias("corpus_id"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
 
 
 @query("dedup_simhash", oracle=None)

@@ -1,0 +1,217 @@
+"""Amplified-scale plan-shape audit (round-7 verdict item 5, round-8
+item 4): run the most expensive registered queries at 1x/4x/8x the
+sf0.1 inputs and record (a) wall-clock scaling exponent, (b) physical
+plan shape at both ends — Exchange count, broadcast->SMJ flips,
+whole-stage-codegen span count, AQE skew splits — so anything
+super-linear or shape-shifting at scale is caught with a measurement,
+not a guess.
+
+Methodology: each input table the audit targets read is amplified by
+writing k key-shifted copies to scratch parquet (one scratch dir per
+k, shared by every query needing that table; untouched tables are
+symlinked). Key shifts keep copies DISJOINT — the graph queries get k
+disconnected subgraphs, the events stream gets k disjoint user
+populations — so the intended workload scales linearly and any
+super-linear wall growth is the PLAN's doing. Embedding vectors get a
+large per-copy first-component shift so copies are not near-duplicates
+(identical vectors would inflate candidate pairs by C(k,2) per vector
+and make the workload itself quadratic); document texts get a per-copy
+suffix token, which leaves them near-duplicates across copies —
+deliberate: the dedup-clustering stress then includes components that
+SPAN copies (bigger components, the hard case for star contraction).
+
+gcd_snapshot_bucketed is audited separately by
+scripts/study_bucketed_sweep.py (BASELINE.md round 8: fixed bucket
+count is a parallelism cap; re-stage buckets as data grows).
+
+Usage: python scripts/study_amplified_audit.py [sf_dir] [amps...]
+Writes a markdown table to stdout; paste into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from gcd_etl_spark.plans import QUERIES
+from gcd_etl_spark.session import get_spark
+
+#: query -> tables to amplify (everything else symlinks to base).
+TARGETS = {
+    "graph_link_prediction_capped": ["lineitem"],
+    "graph_link_prediction_abscap": ["lineitem"],
+    "entity_clusters": ["customer"],
+    "entity_clusters_star": ["customer"],
+    "dedup_clusters": ["documents"],
+    "ml_naive_bayes_confusion": ["documents"],
+    "dedup_semantic_srp_scaled": ["embeddings"],
+    "sim_ann_ivfpq_recall": ["embeddings"],
+    "stream_sessions_timeout": ["events"],
+}
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+#: key columns to shift per amplified copy, per table. Shifts are
+#: multiples of a power of 10 above the column span so id arithmetic
+#: (% residues) inside plans keeps behaving like the base data.
+_SHIFT_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def _span10(v: int) -> int:
+    """Smallest power of 10 strictly above v (keeps % residues)."""
+    return 10 ** (len(str(max(int(v), 1))) + 1)
+
+
+def amplify_table(spark, base_path: str, table: str, k: int, out_path: str) -> None:
+    df = spark.read.parquet(base_path)
+    if k == 1:
+        df.write.mode("overwrite").parquet(out_path)
+        return
+    cols = _SHIFT_COLS[table]
+    spans = {
+        c: _span10(df.agg(F.max(F.col(c))).collect()[0][0] or 1) for c in cols
+    }
+    parts = []
+    for i in range(k):
+        part = df
+        for c in cols:
+            part = part.withColumn(c, F.col(c) + F.lit(i * spans[c]))
+        if table == "embeddings" and i > 0:
+            # big first-component shift: copies must NOT be near-dups
+            part = part.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda v, j: (
+                        v + F.when(j == 0, F.lit(float(i) * 7.3)).otherwise(F.lit(0.0))
+                    ).cast("float"),
+                ),
+            )
+        if table == "documents" and i > 0:
+            part = part.withColumn("text", F.concat(F.col("text"), F.lit(f" amp{i}")))
+        if table == "customer" and i > 0:
+            # entity resolution matches on NAME (edit distance <= 1),
+            # not id — identical names across copies would make the
+            # intended workload quadratic (C(k,2) cross-copy pairs per
+            # name). A per-copy 4-char suffix differing in 3 positions
+            # keeps within-copy distances intact (shared suffix) and
+            # puts cross-copy pairs at distance >= 3: disjoint.
+            part = part.withColumn(
+                "c_name", F.concat(F.col("c_name"), F.lit(f" q{str(i) * 3}"))
+            )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(out_path)
+
+
+def stage_dir(spark, sf_dir: str, k: int, scratch_root: str) -> str:
+    """Scratch sf-dir with amplified copies of the audited tables and
+    symlinks for the rest. Idempotent per (sf, k)."""
+    need = sorted({t for ts in TARGETS.values() for t in ts})
+    d = os.path.join(scratch_root, f"amp_audit_k{k}")
+    os.makedirs(d, exist_ok=True)
+    for t in ALL_TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(d, f"{t}.parquet")
+        if t in need:
+            if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+                amplify_table(spark, src, t, k, dst)
+        elif not os.path.exists(dst):
+            os.symlink(src, dst)
+    return d
+
+
+_PLAN_MARKS = (
+    ("exchanges", "Exchange"),
+    ("bhj", "BroadcastHashJoin"),
+    ("smj", "SortMergeJoin"),
+    ("skew", "isSkew=true"),
+    ("aqeread", "AQEShuffleRead"),
+)
+
+
+def plan_features(df) -> dict[str, int]:
+    s = df._jdf.queryExecution().executedPlan().toString()
+    out = {k: s.count(m) for k, m in _PLAN_MARKS}
+    # executedPlan toString renders codegen spans as "*(n) Op" line
+    # prefixes — count DISTINCT span ids, not prefixed lines.
+    out["wsc"] = len(set(re.findall(r"\*\((\d+)\)", s)))
+    return out
+
+
+def run_one(spark, name: str, d: str, runs: int) -> tuple[float, dict]:
+    q = QUERIES[name]
+    best, feats = float("inf"), {}
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df = q.build(spark, d)
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        try:
+            feats = plan_features(df)
+        except Exception:  # noqa: BLE001 — streaming results have no plan
+            feats = {}
+    return best, feats
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    amps = [int(a) for a in sys.argv[2:]] or [1, 4, 8]
+    only = os.environ.get("GCD_AUDIT_ONLY")
+    if only:  # re-measure a subset (comma-separated) without re-running all
+        keep = set(only.split(","))
+        for k in [t for t in TARGETS if t not in keep]:
+            del TARGETS[k]
+    spark = get_spark("amp_audit")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+    )
+    dirs = {k: stage_dir(spark, sf_dir, k, scratch) for k in amps}
+    print(f"| query | " + " | ".join(f"{k}x" for k in amps)
+          + " | exp | plan 1x -> max (exch/bhj/smj/wsc/skew) |")
+    print("|---|" + "---|" * (len(amps) + 2))
+    for name in TARGETS:
+        walls, flo, fhi = {}, {}, {}
+        for k in amps:
+            runs = 2 if k == amps[0] else 1
+            print(f"## running {name} @ {k}x", file=sys.stderr, flush=True)
+            walls[k], feats = run_one(spark, name, dirs[k], runs)
+            if k == amps[0]:
+                flo = feats
+            fhi = feats
+        lo, hi = amps[0], amps[-1]
+        exp = (
+            math.log(walls[hi] / walls[lo]) / math.log(hi / lo)
+            if walls[lo] > 0 else float("nan")
+        )
+        def fs(f):
+            return (f"{f.get('exchanges','-')}/{f.get('bhj','-')}/"
+                    f"{f.get('smj','-')}/{f.get('wsc','-')}/{f.get('skew','-')}"
+                    if f else "n/a")
+        print(f"| {name} | "
+              + " | ".join(f"{walls[k]:.1f}" for k in amps)
+              + f" | {exp:.2f} | {fs(flo)} -> {fs(fhi)} |", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

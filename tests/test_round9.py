@@ -56,6 +56,7 @@ def test_abscap_derived_from_wedge_budget():
         # ADVICE round 7: the id%10 incremental variant had no
         # value-level oracle row in any pytest parametrization
         "gcd_snapshot_incremental",
+        "dedup_delta_vs_corpus",
     ],
 )
 def test_round9_queries_match_oracle(spark, sf_smoke, name):
@@ -270,7 +271,50 @@ def test_state_store_provider_rejects_unknown(monkeypatch):
 _EMPTY_OK_R9 = [
     "graph_link_prediction_abscap",
     "gcd_snapshot_nightly_overwrite",
+    "dedup_delta_vs_corpus",
 ]
+
+
+# ------------------- delta-vs-corpus dedup: persisted-index plan shape
+
+
+def test_delta_vs_corpus_index_reuse_plan_shape(spark, sf_smoke):
+    """The 100 TB property of dedup_delta_vs_corpus, pinned: the
+    corpus's band index is read from the PERSISTED bucketed table
+    (never re-derived from corpus text in the nightly plan), and the
+    candidate join broadcasts the delta's bands — so the corpus side
+    of the band join carries no shuffle exchange and no signature
+    recomputation. Also pins that a second build reuses the staged
+    index (idempotent, no re-write)."""
+    import contextlib
+    import io
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    df = QUERIES["dedup_delta_vs_corpus"].build(spark, sf_smoke)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # corpus index comes off the staged bucketed table...
+    assert "corpus_band_idx_" in plan, plan[:2000]
+    assert plan.count("Bucketed: true") >= 1, plan[:2000]
+    # ...and the nightly side recomputes exactly one signature tree
+    # (the delta's): formatted explain prints one partial_min per
+    # minhash permutation (32), so a corpus-side signature branch
+    # would double this to 64.
+    assert plan.count("partial_min") == 32, plan.count("partial_min")
+    # band join broadcasts the delta side
+    assert "BroadcastHashJoin" in plan
+    # idempotence: a rebuild reads the same staged table, not a rewrite
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    idx_dir = os.path.join(warehouse, f"corpus_band_idx_{tag}")
+    files_before = sorted(os.listdir(idx_dir))
+    QUERIES["dedup_delta_vs_corpus"].build(spark, sf_smoke)
+    files_after = sorted(os.listdir(idx_dir))
+    assert files_before == files_after
 
 
 @pytest.fixture(scope="module")
