@@ -47,113 +47,86 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 
 #: The first ~50 registry entries = the driver's correctness window,
 #: ROTATED each round (round-3 verdict #7) so every registered query
-#: has a driver-green row at most ~2 rounds old. ROUND-7 composition
-#: (round-6 verdict item 1 — "drain the backlog to zero"): after this
-#: window, EVERY query in the registry has at least one driver
-#: correctness row.
-#: (a) the round-7 registrants, all slotted inside the sampled 50:
-#:     graph_link_prediction_capped (capped-only production plan,
-#:     full value-hash oracle, exact-anchor recall gate moved to
-#:     tests/test_round7.py — verdict item 2),
-#:     gcd_snapshot_incremental_cdc (incremental flagship selecting
-#:     on the real `modified` CDC column with a watermark-bucket
-#:     carry — verdict item 6), gcd_snapshot_bucketed (bucketed
-#:     staging, 4 -> 1 exchanges), source_schema_evolution,
-#:     source_json_corrupt_quarantine, and stream_sessions_timeout
-#:     (event-time-expiry stateful sessions);
-#: (b) the 25 queries with no driver row ever (verdict's exact list),
-#:     led by the round-6 registrants whose scale claims were
-#:     otherwise unverified: dedup_semantic_srp_scaled,
-#:     reconcile_full_outer, graph_triangles; includes cluster_kmeans
-#:     (rows-only by design — its oracled twin cluster_kmeans_quality
-#:     is green r4/r6; a rows-only row still retires its
-#:     "never-tested" status);
-#: (c) rotation refresh: all 14 queries whose latest green row is
-#:     still round 2, then the 7 oldest round-3 rows (the bench
-#:     drift-watch pair snapshot_denorm + sim_bruteforce_topk among
-#:     them, so the idle-box-isolate question gets a fresh driver
-#:     number too);
-#: (d) the flagship pair, re-verified every round; riders 51-52
-#:     refresh two more r3-vintage rows if the driver samples past 50.
-#: Round-6 composition (kept for the rotation ledger): the five r5
-#: HUGEINT reds + two latent fixes, four round-6 scale/production
-#: variants, 37 backlog debuts, flagship pair — 50/50 green.
+#: has a driver-green row at most ~2 rounds old. Composition is
+#: derived from the CORRECTNESS_r*.json ledger: newest registrants
+#: first (no driver row ever), then every query whose latest driver
+#: row is oldest, then the flagship trio re-verified every round.
+#: Rotation ledger: r6 = five r5 HUGEINT reds + 37 backlog debuts;
+#: r7 = drain-to-zero (after it every query had >= 1 driver row);
+#: r8 = NOT ROTATED (the round's one commit skipped it — the r8
+#: verdict's abscap no-driver-row complaint is exactly this miss);
+#: r9 = below (computed from the ledger: 5 registrants, the 5
+#: r1-vintage rows-only whose band-builder code path changed, the r2
+#: straggler, all 35 r3-vintage rows, flagship trio, r4 riders).
 _DRIVER_WINDOW = [
-    # --- (a) round-7 registrants ---
-    "graph_link_prediction_capped",
-    "gcd_snapshot_incremental_cdc",
-    # --- (b) never-driver-tested backlog, drained to zero ---
-    "dedup_semantic_srp_scaled",
-    "reconcile_full_outer",
-    "graph_triangles",
-    "agg_mode_per_group",
-    "pivot_user_features",
-    "data_split_grouped",
-    "anomaly_zscore_events",
-    "window_rolling_range",
-    "emb_quantize_int8",
-    "events_retention_cohorts",
-    "events_path_topk",
-    "text_ngram_counts",
-    "text_tfidf_topk",
-    "text_hashing_vectorizer",
-    "dq_expectations",
-    "agg_histogram",
-    "agg_percentiles_exact",
-    "sketch_heavy_hitters",
-    "agg_weighted_median",
-    "asof_join_nearest",
-    "dim_calendar_generate",
-    "trend_mom_revenue",
-    "events_cohort_ltv",
-    "attribution_linear_touch",
-    "cluster_kmeans",
-    # --- (c) rotation refresh: every remaining r2-vintage row ---
-    "join_inner_chain",
-    "agg_distinct",
-    "agg_cube",
-    "sort_limit_topk",
-    "skew_salted_distinct",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_shingle_stats",
-    "pandas_grouped_stats",
-    "sql_q18_large_orders",
-    "sql_exists_correlated",
-    "text_pii_scrub",
-    # --- (c) cont.: oldest r3 rows, incl. the drift-watch pair ---
-    "snapshot_denorm",
-    "sim_bruteforce_topk",
-    "join_left_fanout",
-    # round-7 registrants: parquet schema evolution (mergeSchema read
-    # across an evolved batch layout) and corrupt-record quarantine
-    # (P6 at the source layer) — slotted inside the sampled 50 so no
-    # registrant leaves this round without a driver row
-    "source_schema_evolution",
-    "source_json_corrupt_quarantine",
-    # round-7 registrants: stateful sessions with event-time expiry
-    # (GroupStateTimeout.EventTimeTimeout emit-on-expiry) and the
-    # Observation-API in-flight metrics query
-    "stream_sessions_timeout",
-    "dq_observed_metrics",
-    # --- (d) flagship, re-verified every round, + the round-7
-    #     bucketed-staging flagship variant (same oracle; 4 -> 1
-    #     shuffle exchanges, tests/test_round7.py) ---
+    # ---------------- ROUND-9 composition. (a) the five round-8/9
+    # registrants, none of which has ever had a driver row (the r8
+    # verdict's exact complaint for abscap — the window had not been
+    # rotated since r7): the absolute-ceiling link predictor, the
+    # closed nightly loop, and the three dedup additions ----------
+    "graph_link_prediction_abscap",
+    "gcd_snapshot_nightly_overwrite",
+    "dedup_delta_vs_corpus",
+    "dedup_keep_canonical",
+    "dedup_crossdoc_spans",
+    # --- (b) rows-only family whose latest row is r1 AND whose code
+    #     path just changed (minhash_band_table refactor feeds
+    #     dedup_minhash_lsh; the ANN/simhash/fingerprint twins ride
+    #     the same rotation) ---
+    "dedup_minhash_lsh",
+    "dedup_fingerprints",
+    "dedup_simhash",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    # --- (c) the single remaining r2-vintage row ---
+    "sample_weighted",
+    # --- (d) every r3-vintage row: the SQL suite, the portable dedup
+    #     twins, the multimodal plumbing, dump staging ---
+    "agg_approx_distinct",
+    "arrow_vector_stats",
+    "corpus_curation",
+    "dedup_clusters",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "dump_roundtrip",
+    "mm_binary_meta",
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "q1_pricing_summary",
+    "sim_ann_ivf_recall",
+    "sim_ann_lsh_recall",
+    "sim_embedding_neardup_blas",
+    "sql_q2_min_cost_supplier",
+    "sql_q3_shipping_priority",
+    "sql_q4_priority_exists",
+    "sql_q5_local_supplier",
+    "sql_q6_forecast_revenue",
+    "sql_q7_nation_volume",
+    "sql_q8_market_share",
+    "sql_q9_product_profit",
+    "sql_q10_returned_items",
+    "sql_q11_important_stock",
+    "sql_q13_cust_distribution",
+    "sql_q14_promo_revenue",
+    "sql_q15_top_supplier",
+    "sql_q16_supplier_cnt",
+    "sql_q17_small_qty",
+    "sql_q19_disjunctive",
+    "sql_q20_part_promotion",
+    "sql_q21_waiting_supplier",
+    "sql_q22_idle_customers",
+    "term_table",
+    "udtf_token_runs",
+    # --- (e) flagship trio, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
     "gcd_snapshot_bucketed",
-    # riders if the driver samples past 50 (dump_roundtrip, term_table
-    # and dedup_clusters displaced from the r3-refresh block by the
-    # round-7 registrants above: all green r3, all rotate in r8;
-    # dedup_clusters is also the 14.6 s quadratic anchor)
-    "q1_pricing_summary",
-    "sample_weighted",
-    "dump_roundtrip",
-    "term_table",
-    "dedup_clusters",
-    "corpus_curation",
-    "sim_embedding_neardup_blas",
+    # riders if the driver samples past 50: the oldest r4 rows
+    "agg_collect_list",
+    "scalar_dates",
+    "win_session",
+    "window_topk_per_group",
+    "dedup_exact",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -307,6 +307,171 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _keep_canonical_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Retention restated in DuckDB: the portable-MinHash CTE chain
+    (shared builder — same bands, same verify) feeds a recursive-CTE
+    transitive closure; canonical = min doc_id per component."""
+    ctes = _portable_band_ctes(num_hashes, bands).replace(
+        "WITH t AS", "WITH RECURSIVE t AS", 1
+    )
+    return ctes + """
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN s sa ON c.id_a = sa.doc_id
+  JOIN s sb ON c.id_b = sb.doc_id
+  WHERE len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) > 0
+    AND CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(label) AS cluster_id,
+       (id = min(label)) AS is_kept
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_keep_canonical", oracle=_keep_canonical_oracle())
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETAINED corpus after near-dedup — the step every curation
+    pipeline actually ships: LSH candidate pairs (portable MinHash
+    family) -> exact-Jaccard verify -> connected components -> keep
+    exactly one canonical document per duplicate cluster (min doc_id;
+    swap the min for a quality-score argmax in production — same
+    plan). Output is one row per document: (doc_id, cluster_id,
+    is_kept); downstream corpus = ``WHERE is_kept``.
+
+    Scale shape: candidate generation shuffles only on band-bucket
+    keys (never document pairs), the verify joins only the candidate
+    fraction of n^2, and component propagation is the driver-loop
+    min-label operator (operators/dedup.connected_components) whose
+    O(log n)-round star-contraction twin is the 100 TB path. Unlike
+    dedup_clusters (exact all-pairs anchor, broadcast quadratic),
+    THIS plan's every stage is sub-quadratic — it is the production
+    composition, and the full pipeline (banding, verify, closure,
+    retention) sits under one DuckDB value-hash oracle."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, portable=True).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs, docs, id_col="doc_id")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+    )
+
+
+#: Span-dedup keep/drop ceiling: docs whose 5-token windows are >30%
+#: occupied by grams that also appear verbatim in ANOTHER document get
+#: flagged (boilerplate, mirrored pages, licence walls).
+CROSSDOC_SHARED_PPM_MAX = 300_000
+
+_CROSSDOC_K = 5
+
+_CROSSDOC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+           AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_CROSSDOC_K - 2}))
+          AS i
+        FROM t WHERE len(toks) >= {_CROSSDOC_K})
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram
+), cd AS (
+  SELECT doc_id, cnt, count(*) OVER (PARTITION BY gram) AS n_docs FROM c
+)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+         AS shared_slots,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) * 1000000
+            // sum(cnt) AS BIGINT) AS shared_ppm,
+       (sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) * 1000000
+        // sum(cnt)) <= {CROSSDOC_SHARED_PPM_MAX} AS keep
+FROM cd GROUP BY doc_id
+"""
+
+
+@query("dedup_crossdoc_spans", oracle=_CROSSDOC_ORACLE)
+def dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection — the distributed form
+    of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): per document, the fraction of
+    5-token window slots whose exact text also occurs in at least one
+    OTHER document. Whole-doc dedup (exact/MinHash) misses this —
+    mirrored boilerplate, licence headers and templated pages share
+    long verbatim spans inside otherwise-distinct documents; this is
+    the signal used to excise or down-weight them.
+
+    Three shuffles, all on bounded keys: window explode ->
+    groupBy(doc_id, gram) with map-side partials; ONE gram-keyed
+    exchange where a count-over-partition window computes each gram's
+    document frequency (deliberately a window, not a groupBy+self-join
+    back onto the same table — that shape re-shuffles the gram table
+    twice); then the per-doc re-aggregate. All-integer output (ppm by
+    truncating div; both operands >= 0, where Spark's ``div`` and
+    DuckDB's ``//`` agree exactly). At 100 TB the gram exchange is the
+    big one and it's embarrassingly key-parallel; production adds a
+    df>=2 frequency pre-filter via a CountMinSketch broadcast to skip
+    singleton grams before the exchange — plan shape unchanged."""
+    from pyspark.sql import Window
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    k = _CROSSDOC_K
+    d = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("toks"),
+    )
+    g = d.where(F.size("toks") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j) for j in range(k)]
+                ),
+            )
+        ).alias("gram"),
+    )
+    c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    cd = c.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    )
+    shared_cnt = F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    m = cd.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_windows"),
+        F.sum(shared_cnt).alias("shared_slots"),
+    )
+    ppm = F.expr("shared_slots * 1000000 div n_windows")
+    return m.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("shared_slots").cast("long").alias("shared_slots"),
+        ppm.cast("long").alias("shared_ppm"),
+        (ppm <= CROSSDOC_SHARED_PPM_MAX).alias("keep"),
+    )
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit fingerprint, 4-block pigeonhole

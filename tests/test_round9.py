@@ -57,6 +57,8 @@ def test_abscap_derived_from_wedge_budget():
         # value-level oracle row in any pytest parametrization
         "gcd_snapshot_incremental",
         "dedup_delta_vs_corpus",
+        "dedup_keep_canonical",
+        "dedup_crossdoc_spans",
     ],
 )
 def test_round9_queries_match_oracle(spark, sf_smoke, name):
@@ -272,6 +274,8 @@ _EMPTY_OK_R9 = [
     "graph_link_prediction_abscap",
     "gcd_snapshot_nightly_overwrite",
     "dedup_delta_vs_corpus",
+    "dedup_keep_canonical",
+    "dedup_crossdoc_spans",
 ]
 
 
@@ -315,6 +319,57 @@ def test_delta_vs_corpus_index_reuse_plan_shape(spark, sf_smoke):
     QUERIES["dedup_delta_vs_corpus"].build(spark, sf_smoke)
     files_after = sorted(os.listdir(idx_dir))
     assert files_before == files_after
+
+
+# ------------------- retention + cross-doc spans: invariants
+
+
+def test_keep_canonical_invariants(spark, sf_smoke):
+    """Structural guarantees the oracle comparison alone doesn't spell
+    out: every document appears exactly once, every cluster keeps
+    EXACTLY one document, and the kept one is the cluster's min id
+    (the cluster label itself)."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["dedup_keep_canonical"].build(spark, sf_smoke).cache()
+    n_docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").count()
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
+    per = df.groupBy("cluster_id").agg(
+        F.sum(F.col("is_kept").cast("int")).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+    )
+    assert per.where(F.col("n_kept") != 1).count() == 0
+    assert df.where("is_kept AND doc_id != cluster_id").count() == 0
+    assert per.where(F.col("min_id") != F.col("cluster_id")).count() == 0
+    df.unpersist()
+
+
+def test_crossdoc_spans_bounds_and_duplicate_detection(spark, sf_smoke):
+    """shared_slots <= n_windows (so ppm <= 1e6), and a doc whose text
+    verbatim-duplicates another's (exact dups exist in the fixture via
+    dedup_exact's construction — verify dynamically) must score
+    shared_ppm = 1e6 and keep = false."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["dedup_crossdoc_spans"].build(spark, sf_smoke).cache()
+    assert df.where(F.col("shared_slots") > F.col("n_windows")).count() == 0
+    assert df.where((F.col("shared_ppm") < 0) | (F.col("shared_ppm") > 1_000_000)).count() == 0
+    # find a full-text duplicate pair in the fixture, if any
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    dup_ids = [
+        r["doc_id"]
+        for r in docs.groupBy(F.lower("text").alias("t"))
+        .agg(F.collect_list("doc_id").alias("ids"), F.count(F.lit(1)).alias("n"))
+        .where("n >= 2")
+        .select(F.explode("ids").alias("doc_id"))
+        .collect()
+    ]
+    if dup_ids:
+        flagged = df.where(F.col("doc_id").isin(dup_ids))
+        assert flagged.where("shared_ppm != 1000000").count() == 0
+        assert flagged.where("keep").count() == 0
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
