@@ -55,20 +55,22 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: r7 = drain-to-zero (after it every query had >= 1 driver row);
 #: r8 = NOT ROTATED (the round's one commit skipped it — the r8
 #: verdict's abscap no-driver-row complaint is exactly this miss);
-#: r9 = below (computed from the ledger: 5 registrants, the 5
+#: r9 = below (computed from the ledger: 6 registrants, the 5
 #: r1-vintage rows-only whose band-builder code path changed, the r2
 #: straggler, all 35 r3-vintage rows, flagship trio, r4 riders).
 _DRIVER_WINDOW = [
-    # ---------------- ROUND-9 composition. (a) the five round-8/9
+    # ---------------- ROUND-9 composition. (a) the round-8/9
     # registrants, none of which has ever had a driver row (the r8
     # verdict's exact complaint for abscap — the window had not been
     # rotated since r7): the absolute-ceiling link predictor, the
-    # closed nightly loop, and the three dedup additions ----------
+    # closed nightly loop, the three dedup additions, and the
+    # concat-and-split packer ----------
     "graph_link_prediction_abscap",
     "gcd_snapshot_nightly_overwrite",
     "dedup_delta_vs_corpus",
     "dedup_keep_canonical",
     "dedup_crossdoc_spans",
+    "pack_concat_split",
     # --- (b) rows-only family whose latest row is r1 AND whose code
     #     path just changed (minhash_band_table refactor feeds
     #     dedup_minhash_lsh; the ANN/simhash/fingerprint twins ride

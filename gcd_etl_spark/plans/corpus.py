@@ -238,6 +238,106 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Context length for the concat-and-split packer below. Distinct
+#: from PACK_BUDGET so the two packers' oracles can never be confused.
+PACK_CONTEXT = 512
+
+_PACK_CONCAT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN start_offset // {PACK_CONTEXT} END AS BIGINT)
+         AS seq_first,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (start_offset + n_tokens - 1) // {PACK_CONTEXT} END
+            AS BIGINT) AS seq_last
+FROM c
+"""
+
+
+@query("pack_concat_split", oracle=_PACK_CONCAT_ORACLE)
+def pack_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's token
+    stream in doc_id order and split the stream into PACK_CONTEXT-token
+    context windows; per document, report its global token offset and
+    the first/last window it lands in (a doc spanning a boundary is
+    the "crossing" a loader must mask or split). Complements
+    pack_token_budget, which packs at DOCUMENT granularity per shard —
+    this one is the exact-global-order form training jobs use when
+    context windows must be byte-identical across re-runs.
+
+    The interesting part is the plan. The direct expression of
+    "running total in global doc_id order" is a window with no
+    partitionBy — Spark executes that as Exchange SinglePartition +
+    one task scanning everything: the canonical scale-killer. The
+    registered plan is the classic two-phase distributed prefix sum
+    instead: repartitionByRange(doc_id) so partition order equals key
+    order (frozen with an eager localCheckpoint so the offsets and
+    the final pass cannot see different samplings), per-partition
+    token totals -> a #partitions-row control-plane collect ->
+    exclusive offsets broadcast back, and a partition-LOCAL cumsum
+    window keyed by spark_partition_id. No single-partition exchange
+    anywhere (pinned in tests); every stage is as wide as the data.
+    """
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = (
+        docs.select("doc_id", F.size(toks).alias("n_tokens"))
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # control plane: one row per partition — never data-sized
+    part_sums = {
+        r["pid"]: r["s"]
+        for r in d.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    running, offsets = 0, []
+    for pid in sorted(part_sums):
+        offsets.append((pid, running))
+        running += part_sums[pid] or 0
+    off = spark.createDataFrame(offsets or [(0, 0)], "pid int, pid_offset long")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        d.join(F.broadcast(off), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("pid_offset") + F.sum("n_tokens").over(w) - F.col("n_tokens")
+            ).alias("start_offset"),
+        )
+    )
+    nz = F.col("n_tokens") > 0
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.when(nz, F.floor(F.col("start_offset") / PACK_CONTEXT))
+        .cast("long")
+        .alias("seq_first"),
+        F.when(
+            nz,
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / PACK_CONTEXT),
+        )
+        .cast("long")
+        .alias("seq_last"),
+    )
+
+
 # ------------------------------------------------ sliding chunking
 #: RAG-style chunk geometry: fixed token window, fixed overlap.
 CHUNK_SIZE = 128

@@ -49,7 +49,11 @@ TARGETS = {
     "graph_link_prediction_abscap": ["lineitem"],
     "entity_clusters": ["customer"],
     "entity_clusters_star": ["customer"],
-    "dedup_clusters": ["documents"],
+    # dedup_clusters deliberately absent: it is the documented
+    # all-pairs EXACT anchor, quadratic by construction — re-measuring
+    # a known exponent costs ~20 min and informs nothing (its
+    # sub-quadratic production twins are the LSH family and
+    # dedup_keep_canonical, which IS audited via its components).
     "ml_naive_bayes_confusion": ["documents"],
     "dedup_semantic_srp_scaled": ["embeddings"],
     "sim_ann_ivfpq_recall": ["embeddings"],
@@ -93,13 +97,38 @@ def amplify_table(spark, base_path: str, table: str, k: int, out_path: str) -> N
         for c in cols:
             part = part.withColumn(c, F.col(c) + F.lit(i * spans[c]))
         if table == "embeddings" and i > 0:
-            # big first-component shift: copies must NOT be near-dups
+            # Per-copy shift in EVERY dimension (deterministic md5-
+            # derived +/-4.0 per (copy, dim)) so copies are spread in
+            # all directions. The first revision shifted only
+            # component 0 — all copies then lay on a LINE, and every
+            # SRP hyperplane with small weight on dim 0 saw all k
+            # copies collide into the same buckets: candidate pairs
+            # grew ~k^2 and dedup_semantic_srp_scaled measured exp
+            # 1.68 that was the FIXTURE's geometry, not the plan's.
             part = part.withColumn(
                 "embedding",
                 F.transform(
                     "embedding",
                     lambda v, j: (
-                        v + F.when(j == 0, F.lit(float(i) * 7.3)).otherwise(F.lit(0.0))
+                        v
+                        + (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            ":", F.lit(str(i)), j.cast("string")
+                                        )
+                                    ),
+                                    1,
+                                    4,
+                                ),
+                                16,
+                                10,
+                            ).cast("double")
+                            / F.lit(65535.0)
+                            * F.lit(8.0)
+                            - F.lit(4.0)
+                        )
                     ).cast("float"),
                 ),
             )
@@ -124,9 +153,15 @@ def amplify_table(spark, base_path: str, table: str, k: int, out_path: str) -> N
 
 def stage_dir(spark, sf_dir: str, k: int, scratch_root: str) -> str:
     """Scratch sf-dir with amplified copies of the audited tables and
-    symlinks for the rest. Idempotent per (sf, k)."""
+    symlinks for the rest. Idempotent per (sf, k) — the sf tag is part
+    of the dir name AND every reused amplified table is row-count
+    verified against k x base. (The first round-9 audit run was
+    invalidated by exactly this: a k{k}-only dir name let a stale
+    sf0.01-staged 1x dir satisfy an sf0.1 audit, so the "1x -> 4x"
+    step was really 40x and every exponent came out inflated.)"""
     need = sorted({t for ts in TARGETS.values() for t in ts})
-    d = os.path.join(scratch_root, f"amp_audit_k{k}")
+    sftag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    d = os.path.join(scratch_root, f"amp_audit_{sftag}_k{k}")
     os.makedirs(d, exist_ok=True)
     for t in ALL_TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
@@ -134,6 +169,12 @@ def stage_dir(spark, sf_dir: str, k: int, scratch_root: str) -> str:
         if t in need:
             if not os.path.exists(os.path.join(dst, "_SUCCESS")):
                 amplify_table(spark, src, t, k, dst)
+            n_base = spark.read.parquet(src).count()
+            n_amp = spark.read.parquet(dst).count()
+            if n_amp != k * n_base:
+                raise AssertionError(
+                    f"staged {dst} has {n_amp} rows, want {k}x{n_base}"
+                )
         elif not os.path.exists(dst):
             os.symlink(src, dst)
     return d
@@ -173,8 +214,36 @@ def run_one(spark, name: str, d: str, runs: int) -> tuple[float, dict]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    amps = [int(a) for a in sys.argv[2:]] or [1, 4, 8]
+    argv = sys.argv[1:]
+    per_query = "--per-query" in argv
+    if per_query:
+        argv.remove("--per-query")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    amps = [int(a) for a in argv[1:]] or [1, 4, 8]
+    if per_query and not os.environ.get("GCD_AUDIT_ONLY"):
+        # One fresh JVM per query: the shared-JVM form let block-
+        # manager/GC state from earlier queries inflate later walls
+        # (measured: capped linkpred 189 s shared vs 72.6 s fresh on
+        # identical inputs). Staging happens in the first child and is
+        # reused (row-count-verified) by the rest.
+        import subprocess
+
+        for name in TARGETS:
+            # 32 local threads share ONE heap here; a cluster gives
+            # every executor its own. Default the audit JVM to 32g so
+            # an 8x fixture measures the PLAN, not local-heap
+            # endurance (the capped-linkpred 8x wedge aggregate OOMs
+            # a shared 8g heap) — still overridable from outside.
+            env = dict(os.environ, GCD_AUDIT_ONLY=name)
+            env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), sf_dir]
+                + [str(a) for a in amps],
+                env=env,
+            )
+            if r.returncode != 0:
+                print(f"| {name} | FAILED (rc={r.returncode}) |", flush=True)
+        return
     only = os.environ.get("GCD_AUDIT_ONLY")
     if only:  # re-measure a subset (comma-separated) without re-running all
         keep = set(only.split(","))

@@ -59,11 +59,38 @@ def test_abscap_derived_from_wedge_budget():
         "dedup_delta_vs_corpus",
         "dedup_keep_canonical",
         "dedup_crossdoc_spans",
+        "pack_concat_split",
     ],
 )
 def test_round9_queries_match_oracle(spark, sf_smoke, name):
     q = QUERIES[name]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=name)
+
+
+def test_pack_concat_split_no_single_partition_exchange(spark, sf_smoke):
+    """The whole point of the two-phase prefix sum: the naive global
+    cumsum window funnels EVERYTHING through Exchange SinglePartition.
+    The registered plan must never contain one."""
+    df = QUERIES["pack_concat_split"].build(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pack_concat_split_offsets_are_contiguous(spark, sf_smoke):
+    """Global packing invariant the per-row oracle comparison implies
+    but is worth stating directly: offsets sorted by doc_id are the
+    exclusive prefix sum of token counts (no gaps, no overlaps), and
+    the stream total equals the last doc's offset + its tokens."""
+    rows = (
+        QUERIES["pack_concat_split"]
+        .build(spark, sf_smoke)
+        .orderBy("doc_id")
+        .collect()
+    )
+    run = 0
+    for r in rows:
+        assert r["start_offset"] == run
+        run += r["n_tokens"]
 
 
 # --------------------------- ADVICE round-7 fixes, pinned
@@ -276,6 +303,7 @@ _EMPTY_OK_R9 = [
     "dedup_delta_vs_corpus",
     "dedup_keep_canonical",
     "dedup_crossdoc_spans",
+    "pack_concat_split",
 ]
 
 
