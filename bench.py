@@ -51,6 +51,42 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _spill_bytes(df) -> int:
+    """Total bytes spilled by the (already-executed) plan, summed from
+    the SQLMetrics the physical operators publish (HashAggregate /
+    Sort / SMJ spillSize, etc.). Complements the codegen-fallback
+    detector: a query can stay value-green and plan-shape-stable while
+    its aggregate state quietly outgrows execution memory and degrades
+    to sort-spill — invisible to any value check, ruinous at 100 TB
+    (the round-9 amplified audit chased exactly this failure mode).
+    AQE roots and query stages are unwrapped; a py4j hiccup returns -1
+    (unknown) rather than killing the bench."""
+    try:
+        node = df._jdf.queryExecution().executedPlan()
+        total = 0
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            cls = n.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                stack.append(n.executedPlan())
+                continue
+            if cls.endswith("QueryStageExec"):
+                stack.append(n.plan())
+                continue
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if "spill" in kv._1().lower():
+                    total += max(kv._2().value(), 0)
+            ch = n.children()
+            for i in range(ch.length()):
+                stack.append(ch.apply(i))
+        return total
+    except Exception:  # noqa: BLE001 — detector must never kill the bench
+        return -1
+
+
 #: Log markers of a silent codegen fallback (round-6 lesson: the SRP
 #: bucket stage was value-green and driver-green while running 8x
 #: slow in INTERPRETED mode after a Janino 64 KB overflow — a class
@@ -179,6 +215,7 @@ def main() -> None:
     # degrades, it doesn't crash. Failures time as null.
     timings: dict[str, float | None] = {}
     fallbacks: dict[str, int] = {}
+    spills: dict[str, int] = {}
     _flush_barrier(spark, log_path, "warmup")
     _, log_off = _fallbacks_since(log_path, 0)  # discard warmup WARNs
     for name in HEADLINE:
@@ -187,9 +224,19 @@ def main() -> None:
         try:
             for _ in range(2):
                 t0 = time.perf_counter()
-                _materialize(q.build(spark, sf_dir))
+                df = q.build(spark, sf_dir)
+                _materialize(df)
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            sp = _spill_bytes(df)
+            if sp:  # nonzero or -1 (unknown) both worth surfacing
+                spills[name] = sp
+                print(
+                    f"SPILL: {name} spilled {sp} bytes at bench scale — "
+                    "execution memory outgrown; investigate before "
+                    "trusting its scaling",
+                    file=sys.stderr,
+                )
         except Exception as exc:  # noqa: BLE001
             print(f"bench query {name} failed: {exc}", file=sys.stderr)
             timings[name] = None
@@ -215,6 +262,7 @@ def main() -> None:
                 "sf": sf,
                 "codegen_fallbacks": fallbacks,
                 "codegen_fallback_detector": "ok" if detector_ok else "dead",
+                "spill_bytes": spills,
             }
         )
     )
