@@ -241,6 +241,36 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 """
 
 
+def ensure_corpus_band_index(
+    spark: SparkSession, sf_dir: str, corpus_docs: DataFrame
+) -> DataFrame:
+    """The persisted corpus LSH band index, staged once per sf dir as
+    a band_hash-bucketed table (ingest-side cost, idempotent) and read
+    back on every use. Shared by the nightly delta path
+    (dedup_delta_vs_corpus) and its streaming form
+    (stream_dedup_against_corpus) so the two can never index
+    differently."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    name = f"corpus_band_idx_{tag}"
+    if not spark.catalog.tableExists(name):
+        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+        corpus_bands = D.minhash_band_table(corpus_docs, portable=True).select(
+            F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
+        )
+        write_bucketed_table(
+            corpus_bands, name, ["band_hash"], n_buckets=16, sort_cols=["band_hash"]
+        )
+    return spark.table(name)
+
+
 @query("dedup_delta_vs_corpus", oracle=_delta_vs_corpus_oracle())
 def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: which NEW documents (tonight's delta,
@@ -267,28 +297,9 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus index is read from the staged table (no signature
     recomputation in-plan) and the band join is a broadcast of the
     delta side."""
-    import os as _os
-    import re as _re
-    import shutil as _shutil
-    from urllib.parse import urlparse as _urlparse
-
-    from gcd_etl_spark.sources.sinks import write_bucketed_table
-
     docs = read_table_spread(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
-    # --- one-time corpus index staging (ingest-side cost, idempotent)
-    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
-    name = f"corpus_band_idx_{tag}"
-    if not spark.catalog.tableExists(name):
-        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
-        corpus_bands = D.minhash_band_table(docs.where(~is_delta), portable=True).select(
-            F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
-        )
-        write_bucketed_table(
-            corpus_bands, name, ["band_hash"], n_buckets=16, sort_cols=["band_hash"]
-        )
-    idx = spark.table(name)
+    idx = ensure_corpus_band_index(spark, sf_dir, docs.where(~is_delta))
     # --- nightly delta path: hash only the delta, broadcast its bands
     delta_bands = D.minhash_band_table(docs.where(is_delta), portable=True).select(
         F.col("_id").alias("delta_id"), "band_idx", "band_hash"

@@ -437,3 +437,89 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_sessions_timeout(
         spark, staged, name=f"stream_sess_timeout_{tag}"
     )
+
+
+# --------------------- streaming dedup against the persisted corpus
+def _stream_delta_dedup_oracle() -> str:
+    from gcd_etl_spark.plans.dedup import _delta_vs_corpus_oracle
+
+    return _delta_vs_corpus_oracle()
+
+
+@query("stream_dedup_against_corpus", oracle=_stream_delta_dedup_oracle())
+def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of dedup_delta_vs_corpus: new documents
+    arrive as file-source micro-batches and each batch is near-dedup
+    checked against the PERSISTED corpus LSH band index inside
+    ``foreachBatch`` — band the batch (only the batch), broadcast its
+    band rows against the bucketed index table, exact-Jaccard verify
+    the candidates, append the verdicts to the results sink. This is
+    the ingest-gate a 100 TB corpus actually runs: per-arrival cost is
+    O(batch) + one index probe, the corpus is never re-shingled, and
+    state lives in the STORAGE LAYER (the band index + appended
+    verdicts), not the stream's state store — so the gate restarts
+    for free and batch boundaries cannot change the answer (per-doc
+    verdicts are independent, so the union over any batching equals
+    the one-shot batch result; the oracle IS the batch query's
+    oracle, value-hash exact).
+
+    Delta-internal duplicates are out of scope exactly as in the
+    nightly form (the self-join path handles those); the index is
+    shared via ensure_corpus_band_index so stream and nightly can
+    never index differently."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.operators import dedup as D
+    from gcd_etl_spark.plans.dedup import DELTA_MOD, ensure_corpus_band_index
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    idx = ensure_corpus_band_index(spark, sf_dir, docs.where(~is_delta))
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_stream_deltadedup_{tag}"
+    out_root = f"/tmp/gcd_etl_stream_deltadedup_out_{tag}"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(out_root, ignore_errors=True)
+    delta = docs.where(is_delta)
+    # ~4 files -> ~4 micro-batches (maxFilesPerTrigger=1); per-doc
+    # independence makes the batch split immaterial to the answer
+    delta.repartition(4).write.parquet(staged)
+    # seed the sink with an empty frame so a zero-delta stream still
+    # yields a readable (empty) result
+    empty = spark.createDataFrame(
+        [], "delta_id long, corpus_id long, jaccard double"
+    )
+    empty.write.parquet(out_root)
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        bands = D.minhash_band_table(batch, portable=True).select(
+            F.col("_id").alias("delta_id"), "band_idx", "band_hash"
+        )
+        cand = (
+            F.broadcast(bands)
+            .join(idx, ["band_idx", "band_hash"])
+            .select(
+                F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+            )
+            .distinct()
+        )
+        verified = D.jaccard_pairs(docs, cand, threshold=0.5)
+        verified.select(
+            F.col("id_a").alias("delta_id"),
+            F.col("id_b").alias("corpus_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        ).write.mode("append").parquet(out_root)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = stream.writeStream.foreachBatch(dedup_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_root)

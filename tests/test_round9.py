@@ -60,11 +60,25 @@ def test_abscap_derived_from_wedge_budget():
         "dedup_keep_canonical",
         "dedup_crossdoc_spans",
         "pack_concat_split",
+        "stream_dedup_against_corpus",
     ],
 )
 def test_round9_queries_match_oracle(spark, sf_smoke, name):
     q = QUERIES[name]
     assert_matches_oracle(q.build(spark, sf_smoke), q.oracle, sf_smoke, name=name)
+
+
+def test_stream_dedup_against_corpus_matches_nightly(spark, sf_smoke):
+    """Batch/stream unification for the ingest gate: the union of the
+    streaming micro-batch verdicts must equal the one-shot nightly
+    query exactly (per-doc verdicts are independent, so batching
+    cannot change the answer)."""
+    s = sorted(
+        map(tuple, QUERIES["stream_dedup_against_corpus"].build(spark, sf_smoke).collect())
+    )
+    b = sorted(map(tuple, QUERIES["dedup_delta_vs_corpus"].build(spark, sf_smoke).collect()))
+    assert s == b
+    assert s, "fixture produced no delta-vs-corpus pairs — parity is vacuous"
 
 
 def test_pack_concat_split_no_single_partition_exchange(spark, sf_smoke):
@@ -304,6 +318,7 @@ _EMPTY_OK_R9 = [
     "dedup_keep_canonical",
     "dedup_crossdoc_spans",
     "pack_concat_split",
+    "stream_dedup_against_corpus",
 ]
 
 
