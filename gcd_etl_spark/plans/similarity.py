@@ -353,6 +353,146 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_bound(ann, exact)
 
 
+def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
+    """The persisted ANN index, staged once per sf dir (ingest-side
+    cost, idempotent) and read back on every query: a cell-bucketed
+    table of int8-quantized corpus codes plus a 16-row centroid table.
+    The similarity twin of plans/dedup.ensure_corpus_band_index — at
+    100 TB the index IS storage (build amortized across every query),
+    and the query path must touch only (centroid table, nprobe cell
+    buckets), never the raw corpus vectors.
+
+    Returns (index_df, centroids_ndarray)."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    import numpy as np
+
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    idx_name = f"ivfpq_index_{tag}"
+    cent_name = f"ivfpq_centroids_{tag}"
+    if not spark.catalog.tableExists(idx_name):
+        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for n in (idx_name, cent_name):
+            _shutil.rmtree(_os.path.join(warehouse, n.lower()), ignore_errors=True)
+        cent_rows = (
+            emb.select("vec_id", "embedding")
+            .where(F.col("vec_id") % 62 == 0)
+            .orderBy("vec_id")
+            .limit(16)
+            .collect()
+        )
+        if not cent_rows:
+            # empty corpus: stage empty tables with the right schemas
+            spark.createDataFrame(
+                [], "cell_id int, centroid array<double>"
+            ).write.mode("overwrite").saveAsTable(cent_name)
+            spark.createDataFrame(
+                [],
+                "neighbor_id long, cell int, mn double, mx double, "
+                "q_codes array<bigint>",
+            ).write.mode("overwrite").saveAsTable(idx_name)
+        else:
+            centroids = np.asarray(
+                [r["embedding"] for r in cent_rows], dtype=np.float64
+            )
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cell_id int, centroid array<double>",
+            ).write.mode("overwrite").saveAsTable(cent_name)
+            mn = F.array_min("embedding").cast("double")
+            mx = F.array_max("embedding").cast("double")
+            codes = F.transform(
+                F.col("embedding"),
+                lambda x: F.when(
+                    F.col("mx") > F.col("mn"),
+                    F.floor(
+                        (x.cast("double") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * 255
+                        + 0.5
+                    ).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint")),
+            )
+            index = (
+                emb.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.element_at(
+                        S.ivf_cells_udf(centroids, 1)(F.col("embedding")), 1
+                    ).alias("cell"),
+                    mn.alias("mn"),
+                    mx.alias("mx"),
+                    "embedding",
+                )
+                .withColumn("q_codes", codes)
+                .drop("embedding")
+            )
+            write_bucketed_table(
+                index, idx_name, ["cell"], n_buckets=16, sort_cols=["cell"]
+            )
+    cent = spark.table(cent_name).orderBy("cell_id").collect()
+    centroids = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
+    return spark.table(idx_name), centroids
+
+
+@query("sim_ann_ivfpq_persisted", oracle=_RECALL_ORACLE)
+def sim_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_ivfpq_recall with the index build/query split made
+    REAL: the int8-quantized, cell-bucketed corpus index and the
+    centroid table are PERSISTED once (ensure_ivfpq_index) and the
+    query path only (a) collects the 16-row centroid table to route
+    each query to its nprobe=4 cells and (b) probes the bucketed
+    index — the corpus is never re-read, re-quantized, or re-assigned
+    per query, which is the production contract for an ANN serving
+    path at 100 TB (index build amortizes across every query ever
+    run; per-query cost is O(nprobe cell buckets)). Scoring is the
+    same asymmetric dequantized-cosine as the in-plan variant, held
+    to the same exact recall@10 floor against the brute-force anchor;
+    index-reuse plan shape pinned in tests/test_round9.py."""
+    from pyspark.sql import Window
+
+    from gcd_etl_spark.functions.vector import dot_fixed, norm_fixed
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    idx, centroids = ensure_ivfpq_index(spark, sf_dir, emb)
+    if centroids.size == 0:
+        return spark.createDataFrame(
+            [], "query_id long, n_exact bigint, recall_floor_ok int"
+        )
+    q = _query_set(emb)
+    queries = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.explode(S.ivf_cells_udf(centroids, 4)(F.col("embedding"))).alias("cell"),
+    )
+    dequant = F.transform(
+        F.col("q_codes"),
+        lambda c: (
+            F.col("mn") + c.cast("double") / 255 * (F.col("mx") - F.col("mn"))
+        ).cast("float"),
+    )
+    cand = (
+        idx.join(F.broadcast(queries), on="cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx_vec", dequant)
+    )
+    denom = norm_fixed("query_vec", EMB_DIM) * norm_fixed("approx_vec", EMB_DIM)
+    cos = F.when(denom > 0, dot_fixed("query_vec", "approx_vec", EMB_DIM) / denom)
+    scored = cand.select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+    )
+    ann = scored.withColumn("rank", rank).where(F.col("rank") <= TOP_K)
+    exact = S.brute_force_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
+    return _recall_bound(ann, exact)
+
+
 # ------------------------------------------- power-iteration PCA
 #: Fixed power-method budget (static job graph + unrollable oracle).
 PCA_ITERS = 3

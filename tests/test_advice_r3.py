@@ -166,6 +166,8 @@ _WINDOW_ROWS_ONLY_OK = {
     "sim_ann_ivf",
     "sim_ann_lsh",
 }
+# sim_ann_ivfpq_persisted is NOT here: it carries the _RECALL_ORACLE
+# value oracle like the other *_recall ANN forms.
 
 
 def test_driver_window_all_oracled():

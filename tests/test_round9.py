@@ -61,6 +61,7 @@ def test_abscap_derived_from_wedge_budget():
         "dedup_crossdoc_spans",
         "pack_concat_split",
         "stream_dedup_against_corpus",
+        "sim_ann_ivfpq_persisted",
     ],
 )
 def test_round9_queries_match_oracle(spark, sf_smoke, name):
@@ -319,6 +320,7 @@ _EMPTY_OK_R9 = [
     "dedup_crossdoc_spans",
     "pack_concat_split",
     "stream_dedup_against_corpus",
+    "sim_ann_ivfpq_persisted",
 ]
 
 
@@ -360,6 +362,39 @@ def test_delta_vs_corpus_index_reuse_plan_shape(spark, sf_smoke):
     idx_dir = os.path.join(warehouse, f"corpus_band_idx_{tag}")
     files_before = sorted(os.listdir(idx_dir))
     QUERIES["dedup_delta_vs_corpus"].build(spark, sf_smoke)
+    files_after = sorted(os.listdir(idx_dir))
+    assert files_before == files_after
+
+
+def test_ivfpq_persisted_index_reuse_plan_shape(spark, sf_smoke):
+    """The ANN serving contract, pinned: the query plan reads the
+    quantized corpus off the PERSISTED cell-bucketed index table —
+    no per-query re-quantization (the plan must not contain the
+    min-max quantization's array_min/array_max over the corpus scan
+    on the index side) — the probe join broadcasts the query side,
+    and a rebuild reuses the staged index byte-for-byte."""
+    import contextlib
+    import io
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    df = QUERIES["sim_ann_ivfpq_persisted"].build(spark, sf_smoke)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ivfpq_index_" in plan, plan[:2000]
+    assert plan.count("Bucketed: true") >= 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    # the quantization expressions live only in the staging write;
+    # the query plan reconstructs (dequantizes) but never re-encodes
+    assert "array_min" not in plan and "array_max" not in plan, plan[:2000]
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    idx_dir = os.path.join(warehouse, f"ivfpq_index_{tag}")
+    files_before = sorted(os.listdir(idx_dir))
+    QUERIES["sim_ann_ivfpq_persisted"].build(spark, sf_smoke)
     files_after = sorted(os.listdir(idx_dir))
     assert files_before == files_after
 
