@@ -483,6 +483,116 @@ def dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _index_append_cycle_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Two-night index lifecycle restated in DuckDB: night 1's delta
+    (doc_id % 14 == 0) probes the corpus-only index; night 2's delta
+    (doc_id % 14 == 7) probes corpus PLUS night-1 docs — the
+    night-2-vs-night-1 pairs are exactly what an append-less index
+    would miss."""
+    m2 = 2 * DELTA_MOD
+    return _portable_band_ctes(num_hashes, bands) + f"""
+, cand AS (
+  SELECT 1 AS night, d.doc_id AS delta_id, c.doc_id AS other_id
+  FROM bands d JOIN bands c
+    ON d.band_idx = c.band_idx AND d.band_hash = c.band_hash
+  WHERE d.doc_id % {m2} = 0 AND c.doc_id % {DELTA_MOD} <> 0
+  UNION
+  SELECT 2, d.doc_id, c.doc_id
+  FROM bands d JOIN bands c
+    ON d.band_idx = c.band_idx AND d.band_hash = c.band_hash
+  WHERE d.doc_id % {m2} = {DELTA_MOD}
+    AND (c.doc_id % {DELTA_MOD} <> 0 OR c.doc_id % {m2} = 0)
+)
+SELECT cand.night, cand.delta_id, cand.other_id,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)
+         AS jaccard
+FROM cand
+JOIN s sa ON cand.delta_id = sa.doc_id
+JOIN s sb ON cand.other_id = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+"""
+
+
+@query("dedup_index_append_cycle", oracle=_index_append_cycle_oracle())
+def dedup_index_append_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPDATE path of the persisted-index dedup lifecycle, which
+    dedup_delta_vs_corpus deliberately leaves open: after a night's
+    delta is deduped, its band rows are APPENDED to the bucketed
+    index, so the NEXT night's delta is checked against corpus +
+    night-1 — without the append, tonight's dup of yesterday's doc
+    sails through. Simulated as two nights (delta split by
+    doc_id % 14): night 1 probes the corpus-only index, its bands
+    land via a bucketed APPEND (bucket spec unchanged, so the
+    equi-join co-location property survives updates), night 2 probes
+    the updated table and its verdicts include night-2-vs-night-1
+    pairs — the rows the oracle proves an append-less index would
+    miss. Night-1 verdicts are eagerly materialized BEFORE the append
+    (a lazy plan would re-resolve the table's files after the append
+    and see night-1's own bands). This cycle table is rebuilt per run
+    BY DESIGN — the amortized staged-once contract is
+    dedup_delta_vs_corpus's pin; this query's subject is the append
+    itself."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    m2 = 2 * DELTA_MOD
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    is_n1 = F.col("doc_id") % m2 == 0
+    is_n2 = is_delta & ~is_n1
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    name = f"corpus_band_idx_cycle_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+    corpus_bands = D.minhash_band_table(docs.where(~is_delta), portable=True).select(
+        F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
+    )
+    write_bucketed_table(
+        corpus_bands, name, ["band_hash"], n_buckets=16, sort_cols=["band_hash"]
+    )
+
+    def night(delta_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        bands = D.minhash_band_table(delta_docs, portable=True).select(
+            F.col("_id").alias("delta_id"), "band_idx", "band_hash"
+        )
+        cand = (
+            F.broadcast(bands)
+            .join(spark.table(name), ["band_idx", "band_hash"])
+            .select(F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+            .distinct()
+        )
+        return D.jaccard_pairs(docs, cand, threshold=0.5), bands
+
+    v1, bands1 = night(docs.where(is_n1))
+    v1 = v1.localCheckpoint(eager=True)  # materialize BEFORE the append
+    write_bucketed_table(
+        bands1.select(F.col("delta_id").alias("corpus_id"), "band_idx", "band_hash"),
+        name,
+        ["band_hash"],
+        n_buckets=16,
+        sort_cols=["band_hash"],
+        mode="append",
+    )
+    v2, _ = night(docs.where(is_n2))
+    out = v1.select(F.lit(1).alias("night"), "id_a", "id_b", "jaccard").unionByName(
+        v2.select(F.lit(2).alias("night"), "id_a", "id_b", "jaccard")
+    )
+    return out.select(
+        "night",
+        F.col("id_a").alias("delta_id"),
+        F.col("id_b").alias("other_id"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit fingerprint, 4-block pigeonhole

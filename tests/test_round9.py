@@ -62,6 +62,7 @@ def test_abscap_derived_from_wedge_budget():
         "pack_concat_split",
         "stream_dedup_against_corpus",
         "sim_ann_ivfpq_persisted",
+        "dedup_index_append_cycle",
     ],
 )
 def test_round9_queries_match_oracle(spark, sf_smoke, name):
@@ -321,6 +322,7 @@ _EMPTY_OK_R9 = [
     "pack_concat_split",
     "stream_dedup_against_corpus",
     "sim_ann_ivfpq_persisted",
+    "dedup_index_append_cycle",
 ]
 
 
@@ -397,6 +399,44 @@ def test_ivfpq_persisted_index_reuse_plan_shape(spark, sf_smoke):
     QUERIES["sim_ann_ivfpq_persisted"].build(spark, sf_smoke)
     files_after = sorted(os.listdir(idx_dir))
     assert files_before == files_after
+
+
+def test_index_append_cycle_catches_cross_night_dups(spark, tmp_path):
+    """The fixture documents happen to contain no night-2-vs-night-1
+    duplicates, so the sf-fixture oracle row alone cannot prove the
+    APPEND matters. Plant one: doc 14 (night 1) and doc 7 (night 2)
+    share a text no corpus doc has — the (night=2, 7, 14) verdict can
+    ONLY come from night-1 bands appended to the index. Full oracle
+    comparison on the planted dir too, so the planted world stays
+    under the same differential check."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import assert_matches_oracle
+
+    d = str(tmp_path / "sf_planted")
+    base = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [(i, f"unique filler document number {i} with its own words entirely")
+            for i in range(1, 30) if i not in (7, 14)]
+    rows += [(7, base), (14, base)]
+    spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text", F.lit("en").alias("lang"),
+        F.lit("planted").alias("source"), F.length("text").alias("n_chars"),
+    ).write.parquet(f"{d}/documents.parquet")
+    q = QUERIES["dedup_index_append_cycle"]
+    df = q.build(spark, d)
+    got = sorted(map(tuple, df.collect()))
+    assert (2, 7, 14) in {(n, a, b) for n, a, b, _ in got}, got
+    # full differential on the planted world too (documents is the
+    # only table the oracle references)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(q.oracle).fetchall()))
+    assert got == want
 
 
 # ------------------- retention + cross-doc spans: invariants
