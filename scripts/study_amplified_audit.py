@@ -58,6 +58,16 @@ TARGETS = {
     "dedup_semantic_srp_scaled": ["embeddings"],
     "sim_ann_ivfpq_recall": ["embeddings"],
     "stream_sessions_timeout": ["events"],
+    # round-9 registrants whose scale posture is a claim until
+    # measured (the suffix-token document amplification makes copies
+    # near-duplicates ACROSS copies — deliberate stress for the
+    # LSH/verify/components stages; crossdoc gram sharing also grows
+    # with k, so expect these superlinear IN WORKLOAD and read the
+    # plan-shape columns, not just the exponent)
+    "dedup_keep_canonical": ["documents"],
+    "dedup_crossdoc_spans": ["documents"],
+    "pack_concat_split": ["documents"],
+    "stream_dedup_against_corpus": ["documents"],
 }
 
 ALL_TABLES = [

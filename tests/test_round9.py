@@ -439,6 +439,23 @@ def test_index_append_cycle_catches_cross_night_dups(spark, tmp_path):
     assert got == want
 
 
+def test_index_append_preserves_bucket_colocation(spark, sf_smoke):
+    """The docstring's scale claim, pinned: after the night-1 APPEND,
+    the cycle index table still carries its bucket spec, so a
+    bucket-key aggregation plans ZERO exchanges (and an equi-join on
+    band_hash stays co-located). If the append ever degrades to a
+    plain (unbucketed) write, this plans a shuffle and fails."""
+    import os
+    import re
+
+    QUERIES["dedup_index_append_cycle"].build(spark, sf_smoke).collect()
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    t = spark.table(f"corpus_band_idx_cycle_{tag}")
+    agg = t.groupBy("band_hash").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+
+
 # ------------------- retention + cross-doc spans: invariants
 
 
