@@ -483,6 +483,129 @@ def dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXCISION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, i,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+           AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_CROSSDOC_K - 2}))
+          AS i
+        FROM t WHERE len(toks) >= {_CROSSDOC_K})
+), sh AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, u.p
+  FROM g JOIN sh USING (gram), unnest(range(g.i, g.i + {_CROSSDOC_K})) AS u(p)
+), tok AS (
+  SELECT t.doc_id, u.p, t.toks[u.p] AS tk
+  FROM t, unnest(range(1, len(t.toks) + 1)) AS u(p)
+), kept AS (
+  SELECT tok.doc_id, tok.p, tok.tk
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+  WHERE cov.p IS NULL
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COUNT(kept.tk) AS BIGINT) AS n_removed,
+       md5(string_agg(kept.tk, ' ' ORDER BY kept.p)) AS clean_md5
+FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+GROUP BY t.doc_id, len(t.toks)
+"""
+
+
+@query("dedup_span_excision", oracle=_EXCISION_ORACLE)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMEDIATION half of cross-document span dedup:
+    dedup_crossdoc_spans scores how much of a document recurs verbatim
+    elsewhere; this operator actually EXCISES those spans — every
+    token covered by any {_CROSSDOC_K}-gram that appears in >= 2
+    distinct documents is removed, and the cleaned token stream is
+    emitted as an md5 (plus exact removal counts), which is what a
+    curation pipeline writes back (Lee et al. 2022 excise duplicated
+    spans rather than dropping whole documents).
+
+    Shuffle inventory, all bounded keys: one gram-keyed exchange for
+    the shared-gram set (COUNT(DISTINCT doc) >= 2 — a groupBy, never
+    a self-join), a (doc, position)-keyed distinct for span coverage,
+    one LEFT-ANTI join of the token stream against covered positions,
+    and the per-doc reassembly groupBy. Reassembly order is carried
+    by the token position through a sorted-struct collect_list — the
+    same total-order trick the credits pipeline uses (gcd/credits.py)
+    — so the cleaned text is deterministic under any shuffle
+    schedule. NULL clean_md5 = nothing kept (fully-duplicated doc) or
+    an empty doc; both engines agree by construction."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    k = _CROSSDOC_K
+    t = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("toks"),
+    )
+    g = (
+        t.where(F.size("toks") >= k)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - (k - 1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ", *[F.element_at("toks", F.col("i") + j) for j in range(k)]
+            ).alias("gram"),
+        )
+    )
+    shared = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    cov = (
+        g.join(shared, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("p"),
+        )
+        .distinct()
+    )
+    tok = t.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tk")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tk")
+    kept = tok.join(cov, ["doc_id", "p"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tk"))),
+                    lambda s: s.getField("tk"),
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        t.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            "clean_md5",
+        )
+    )
+
+
 def _index_append_cycle_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     """Two-night index lifecycle restated in DuckDB: night 1's delta
     (doc_id % 14 == 0) probes the corpus-only index; night 2's delta

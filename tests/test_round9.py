@@ -63,6 +63,7 @@ def test_abscap_derived_from_wedge_budget():
         "stream_dedup_against_corpus",
         "sim_ann_ivfpq_persisted",
         "dedup_index_append_cycle",
+        "dedup_span_excision",
     ],
 )
 def test_round9_queries_match_oracle(spark, sf_smoke, name):
@@ -323,6 +324,7 @@ _EMPTY_OK_R9 = [
     "stream_dedup_against_corpus",
     "sim_ann_ivfpq_persisted",
     "dedup_index_append_cycle",
+    "dedup_span_excision",
 ]
 
 
@@ -454,6 +456,27 @@ def test_index_append_preserves_bucket_colocation(spark, sf_smoke):
     agg = t.groupBy("band_hash").count()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_span_excision_consistent_with_crossdoc_scores(spark, sf_smoke):
+    """The scorer and the remediator must agree: a document whose
+    EVERY window is shared (shared_ppm = 1e6 in dedup_crossdoc_spans)
+    has every token inside some shared gram, so excision must remove
+    all of them (clean_md5 NULL); and a doc with shared_ppm = 0 must
+    lose zero tokens. Also n_removed <= n_tokens everywhere."""
+    from pyspark.sql import functions as F
+
+    ex = QUERIES["dedup_span_excision"].build(spark, sf_smoke).alias("ex")
+    sc = QUERIES["dedup_crossdoc_spans"].build(spark, sf_smoke).alias("sc")
+    j = ex.join(sc, "doc_id").cache()
+    assert j.where(F.col("n_removed") > F.col("ex.n_tokens")).count() == 0
+    full = j.where(F.col("shared_ppm") == 1_000_000)
+    assert full.count() > 0, "fixture has no fully-shared doc — vacuous"
+    assert full.where(F.col("clean_md5").isNotNull()).count() == 0
+    assert full.where(F.col("n_removed") != F.col("ex.n_tokens")).count() == 0
+    clean = j.where(F.col("shared_ppm") == 0)
+    assert clean.where(F.col("n_removed") != 0).count() == 0
+    j.unpersist()
 
 
 # ------------------- retention + cross-doc spans: invariants
