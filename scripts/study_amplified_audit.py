@@ -66,6 +66,7 @@ TARGETS = {
     # plan-shape columns, not just the exponent)
     "dedup_keep_canonical": ["documents"],
     "dedup_crossdoc_spans": ["documents"],
+    "dedup_span_excision": ["documents"],
     "pack_concat_split": ["documents"],
     "stream_dedup_against_corpus": ["documents"],
 }
