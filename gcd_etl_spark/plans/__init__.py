@@ -55,7 +55,7 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: r7 = drain-to-zero (after it every query had >= 1 driver row);
 #: r8 = NOT ROTATED (the round's one commit skipped it — the r8
 #: verdict's abscap no-driver-row complaint is exactly this miss);
-#: r9 = below (computed from the ledger: 10 registrants, the 5
+#: r9 = below (computed from the ledger: 11 registrants, the 5
 #: r1-vintage rows-only whose band-builder code path changed, the r2
 #: straggler, all 35 r3-vintage rows, flagship trio, r4 riders).
 _DRIVER_WINDOW = [
@@ -75,6 +75,7 @@ _DRIVER_WINDOW = [
     "sim_ann_ivfpq_persisted",
     "dedup_index_append_cycle",
     "dedup_span_excision",
+    "batch_length_buckets",
     # --- (b) rows-only family whose latest row is r1 AND whose code
     #     path just changed (minhash_band_table refactor feeds
     #     dedup_minhash_lsh; the ANN/simhash/fingerprint twins ride

@@ -338,6 +338,88 @@ def pack_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Closed power-of-two bucket ladder for length-bucketed batching —
+#: a CASE chain over a FIXED set (not float log2, whose behavior at
+#: exact powers of two is an engine-dependent last-ulp coin flip).
+LENGTH_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048]
+
+_LB_SQL_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN n_tokens <= {b} THEN {b}" for b in LENGTH_BUCKETS
+    )
+    + f" ELSE {LENGTH_BUCKETS[-1]} END"
+)
+
+_LENGTH_BUCKETS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len({_DUCK_TOKS}) AS n_tokens FROM documents
+), b AS (
+  SELECT doc_id,
+         LEAST(n_tokens, {LENGTH_BUCKETS[-1]}) AS kept_tokens,
+         n_tokens > {LENGTH_BUCKETS[-1]} AS truncated,
+         {_LB_SQL_CASE} AS bucket
+  FROM t
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(kept_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) * bucket AS BIGINT) AS padded_slots,
+       CAST((COUNT(*) * bucket - SUM(kept_tokens)) * 1000000
+            // (COUNT(*) * bucket) AS BIGINT) AS pad_waste_ppm,
+       CAST(SUM(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated
+FROM b GROUP BY bucket
+"""
+
+
+@query("batch_length_buckets", oracle=_LENGTH_BUCKETS_ORACLE)
+def batch_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching accounting: documents are assigned to
+    the smallest power-of-two context bucket holding their token
+    count (capped at 2048 with a truncation count — the cap is the
+    model's context limit), and each bucket reports exact pad-waste
+    ppm = (padded slots - real tokens) / padded slots. This is the
+    number that decides batching strategy: padding waste is wall-clock
+    waste on the training cluster, and the bucket histogram is what a
+    loader uses to size its per-bucket batch dimensions.
+
+    One map-side-combinable groupBy on a CLOSED 8-value key — the
+    cheapest possible shuffle — after pure per-row expression work.
+    The bucket ladder is a literal CASE chain over fixed powers of
+    two, deliberately NOT float log2: at exact powers of two
+    ceil(log2(x)) is a last-ulp coin flip across engines, while the
+    CASE chain is bit-exact everywhere."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    cap = LENGTH_BUCKETS[-1]
+    n = F.size(toks)
+    bucket = F.lit(cap)
+    for b in reversed(LENGTH_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    t = docs.select(
+        F.least(n, F.lit(cap)).alias("kept_tokens"),
+        (n > cap).cast("int").alias("truncated"),
+        bucket.alias("bucket"),
+    )
+    agg = t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept_tokens").cast("long").alias("total_tokens"),
+        F.sum("truncated").cast("long").alias("n_truncated"),
+    )
+    padded = F.col("n_docs") * F.col("bucket")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        padded.cast("long").alias("padded_slots"),
+        F.expr("(n_docs * bucket - total_tokens) * 1000000 div (n_docs * bucket)")
+        .cast("long")
+        .alias("pad_waste_ppm"),
+        "n_truncated",
+    )
+
+
 # ------------------------------------------------ sliding chunking
 #: RAG-style chunk geometry: fixed token window, fixed overlap.
 CHUNK_SIZE = 128

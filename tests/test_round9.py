@@ -64,6 +64,7 @@ def test_abscap_derived_from_wedge_budget():
         "sim_ann_ivfpq_persisted",
         "dedup_index_append_cycle",
         "dedup_span_excision",
+        "batch_length_buckets",
     ],
 )
 def test_round9_queries_match_oracle(spark, sf_smoke, name):
@@ -325,6 +326,7 @@ _EMPTY_OK_R9 = [
     "sim_ann_ivfpq_persisted",
     "dedup_index_append_cycle",
     "dedup_span_excision",
+    "batch_length_buckets",
 ]
 
 
