@@ -55,85 +55,71 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: r7 = drain-to-zero (after it every query had >= 1 driver row);
 #: r8 = NOT ROTATED (the round's one commit skipped it — the r8
 #: verdict's abscap no-driver-row complaint is exactly this miss);
-#: r9 = below (computed from the ledger: 11 registrants, the 5
-#: r1-vintage rows-only whose band-builder code path changed, the r2
-#: straggler, all 35 r3-vintage rows, flagship trio, r4 riders).
+#: r9 = 11 registrants + the 5 r1-vintage rows-only + r2/r3 backlog;
+#: r10 = below: the converted defaults (round-9 verdict item 3 — the
+#: six no_oracle registrants are GONE; dedup_minhash_lsh /
+#: dedup_simhash / dedup_fingerprints / sim_ann_lsh / sim_ann_ivf now
+#: name the value-oracled builds, so their first driver rows under
+#: the new semantics come first), the round-10 registrants, the two
+#: r3-vintage stragglers the r9 window listed past position 50, then
+#: the oldest (r4-vintage) rows, flagship trio always re-verified.
 _DRIVER_WINDOW = [
-    # ---------------- ROUND-9 composition. (a) the round-8/9
-    # registrants, none of which has ever had a driver row (the r8
-    # verdict's exact complaint for abscap — the window had not been
-    # rotated since r7): the absolute-ceiling link predictor, the
-    # closed nightly loop, the three dedup additions, and the
-    # concat-and-split packer ----------
-    "graph_link_prediction_abscap",
-    "gcd_snapshot_nightly_overwrite",
-    "dedup_delta_vs_corpus",
-    "dedup_keep_canonical",
-    "dedup_crossdoc_spans",
-    "pack_concat_split",
-    "stream_dedup_against_corpus",
-    "sim_ann_ivfpq_persisted",
-    "dedup_index_append_cycle",
-    "dedup_span_excision",
-    "batch_length_buckets",
-    # --- (b) rows-only family whose latest row is r1 AND whose code
-    #     path just changed (minhash_band_table refactor feeds
-    #     dedup_minhash_lsh; the ANN/simhash/fingerprint twins ride
-    #     the same rotation) ---
+    # --- (a) round-10 conversions: first driver rows under the new
+    #     oracled semantics ---
     "dedup_minhash_lsh",
-    "dedup_fingerprints",
     "dedup_simhash",
-    "sim_ann_ivf",
+    "dedup_fingerprints",
     "sim_ann_lsh",
-    # --- (c) the single remaining r2-vintage row ---
-    "sample_weighted",
-    # --- (d) every r3-vintage row: the SQL suite, the portable dedup
-    #     twins, the multimodal plumbing, dump staging ---
-    "agg_approx_distinct",
-    "arrow_vector_stats",
-    "corpus_curation",
-    "dedup_clusters",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "dump_roundtrip",
-    "mm_binary_meta",
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "q1_pricing_summary",
-    "sim_ann_ivf_recall",
-    "sim_ann_lsh_recall",
-    "sim_embedding_neardup_blas",
-    "sql_q2_min_cost_supplier",
-    "sql_q3_shipping_priority",
-    "sql_q4_priority_exists",
-    "sql_q5_local_supplier",
-    "sql_q6_forecast_revenue",
-    "sql_q7_nation_volume",
-    "sql_q8_market_share",
-    "sql_q9_product_profit",
-    "sql_q10_returned_items",
-    "sql_q11_important_stock",
-    "sql_q13_cust_distribution",
-    "sql_q14_promo_revenue",
-    "sql_q15_top_supplier",
-    "sql_q16_supplier_cnt",
-    "sql_q17_small_qty",
-    "sql_q19_disjunctive",
-    "sql_q20_part_promotion",
-    "sql_q21_waiting_supplier",
-    "sql_q22_idle_customers",
+    "sim_ann_ivf",
+    # --- (b) r3-vintage stragglers (r9 window positions > 50) ---
     "term_table",
     "udtf_token_runs",
-    # --- (e) flagship trio, re-verified every round ---
+    # --- (c) flagship trio, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
     "gcd_snapshot_bucketed",
-    # riders if the driver samples past 50: the oldest r4 rows
+    # --- (d) the oldest backlog: r4-vintage rows (the rest roll to
+    #     the r11 window) ---
     "agg_collect_list",
-    "scalar_dates",
-    "win_session",
-    "window_topk_per_group",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "bucketed_colocated_join",
+    "cluster_kmeans_quality",
+    "data_split_deterministic",
     "dedup_exact",
+    "fuzzy_join_symspell",
+    "graph_pagerank",
+    "join_anti",
+    "join_bloom_pruned",
+    "join_semi",
+    "pivot_status",
+    "profile_columns",
+    "range_join_events",
+    "sample_stratified",
+    "scalar_dates",
+    "scalar_datetime",
+    "scalar_defaults",
+    "scalar_dict_decode",
+    "scalar_higher_order",
+    "scalar_json",
+    "scalar_multi_split",
+    "scalar_strings",
+    "scalar_try_cast",
+    "scalar_variant",
+    "scd2_history",
+    "set_ops",
+    "skew_salted_join",
+    "snapshot_apply_cdc",
+    "snapshot_diff",
+    "sql_q12_priority_case",
+    "stream_dedup",
+    "stream_sessions",
+    "stream_sliding",
+    "stream_stateful_totals",
+    "stream_tumbling",
+    "text_token_stats",
+    "win_session",
+    "win_sliding",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

@@ -737,12 +737,14 @@ KMEANS_ITERS = 3
 EMB_DIM = 64
 
 
-@query("cluster_kmeans", oracle=None)
 def cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means assignment over embeddings
     (k=8, 3 refinement iterations, deterministic lowest-id init).
-    Iterative -> rows-only here; the Lloyd invariants are
-    driver-checked by cluster_kmeans_quality."""
+    UNREGISTERED raw-assignment form since round 10 (verdict item 3:
+    assignment rows are iterative/non-SQL-expressible, so the
+    registered face is cluster_kmeans_quality, whose Lloyd-descent +
+    nonempty-cluster flags run the IDENTICAL kmeans_fit and carry the
+    value oracle). Kept callable for tests and ad-hoc use."""
     from gcd_etl_spark.operators.clustering import kmeans_fit
 
     emb = read_table_spread(spark, sf_dir, "embeddings")

@@ -54,19 +54,23 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("sim_ann_lsh", oracle=None)
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed ANN top-k: 8 tables x 4 sign bits (32
-    deterministic hyperplanes). Recall vs brute force is asserted in
-    tests/test_similarity.py."""
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN top-k rows: 8 tables x 4 sign bits (32
+    deterministic hyperplanes). UNREGISTERED raw-result form since
+    round 10 (top-k neighbor rows are approximate by definition, so
+    there is no value oracle for them); the registered sim_ann_lsh
+    wraps this exact plan in the in-plan recall@10 gate. Recall vs
+    brute force is also asserted in tests/test_similarity.py."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
     planes = S.make_planes(dim=EMB_DIM, n_planes=32)
     return S.lsh_topk(emb, _query_set(emb), planes, n_tables=8, k=TOP_K, dim=EMB_DIM)
 
 
-@query("sim_ann_ivf", oracle=None)
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN top-k (16 cells, nprobe=4)."""
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN top-k rows (16 cells, nprobe=4).
+    UNREGISTERED raw-result form since round 10; the registered
+    sim_ann_ivf wraps this exact plan in the in-plan recall@10
+    gate."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, _query_set(emb), n_cells=16, nprobe=4, k=TOP_K, dim=EMB_DIM)
 
@@ -107,10 +111,14 @@ def _recall_bound(ann: DataFrame, exact: DataFrame) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh_recall", oracle=_RECALL_ORACLE)
-def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH ANN held to an exact recall@10 floor in-plan (the
-    oracle-checkable form of sim_ann_lsh)."""
+@query("sim_ann_lsh", oracle=_RECALL_ORACLE)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN held to an exact recall@10 floor in-plan — the
+    registered DEFAULT since round 10 (verdict item 3: the raw top-k
+    form is approximate by definition and could never be
+    driver-greened; it lives on as the unregistered sim_ann_lsh_topk,
+    twin-pinned to this plan through the shared lsh_topk operator).
+    Formerly registered as sim_ann_lsh_recall."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
     q = _query_set(emb)
     planes = S.make_planes(dim=EMB_DIM, n_planes=32)
@@ -119,10 +127,12 @@ def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_bound(ann, exact)
 
 
-@query("sim_ann_ivf_recall", oracle=_RECALL_ORACLE)
-def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN held to an exact recall@10 floor in-plan (the
-    oracle-checkable form of sim_ann_ivf)."""
+@query("sim_ann_ivf", oracle=_RECALL_ORACLE)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN held to an exact recall@10 floor in-plan — the
+    registered DEFAULT since round 10 (raw top-k form lives on as the
+    unregistered sim_ann_ivf_topk, twin-pinned through the shared
+    ivf_topk operator). Formerly registered as sim_ann_ivf_recall."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
     q = _query_set(emb)
     ann = S.ivf_topk(emb, q, n_cells=16, nprobe=4, k=TOP_K, dim=EMB_DIM)

@@ -20,7 +20,7 @@ all — its only numeric work is per-field casts, Main.java:253-258):
   sketch over event-type audiences with the portable md5 hash
   family: estimated vs exact Jaccard side by side, ALL integers, so
   even the sketch estimate carries a full value-hash oracle
-  (the dedup_minhash_portable stance applied to audience overlap).
+  (the portable-hash dedup_minhash_lsh stance applied to audience overlap).
 """
 
 from __future__ import annotations

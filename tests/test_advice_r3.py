@@ -145,42 +145,28 @@ def test_quadratic_anchor_demoted_and_guarded(spark, sf_smoke, monkeypatch):
         sim_plans.sim_embedding_neardup(spark, sf_smoke)
 
 
-#: Rows-only entries DELIBERATELY windowed: cluster_kmeans is the
-#: last registry entry with no driver row ever (round-6 verdict item
-#: 1 — drain to zero); it is non-SQL-expressible by design (iterative
-#: Lloyd's) and its oracled twin cluster_kmeans_quality carries the
-#: value gate (green r4). A rows-only driver row is the strongest
-#: check it can receive.
-_WINDOW_ROWS_ONLY_OK = {
-    "cluster_kmeans",
-    # Round-9 rotation (plans/__init__.py block (b)): these five are
-    # rows-only BY DESIGN (xxhash64-keyed; each has a value-oracled
-    # portable twin that stays green), and their latest driver rows
-    # were r1-vintage when the shared minhash band builder was
-    # refactored this round — a deliberate one-round re-window so the
-    # changed code path gets fresh driver evidence. Rotate them back
-    # out next round.
-    "dedup_minhash_lsh",
-    "dedup_fingerprints",
-    "dedup_simhash",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
-}
-# sim_ann_ivfpq_persisted is NOT here: it carries the _RECALL_ORACLE
-# value oracle like the other *_recall ANN forms.
+#: Rows-only entries DELIBERATELY windowed: DRAINED TO EMPTY in round
+#: 10 (round-9 verdict item 3). The six no_oracle registrants are
+#: gone from the registry: the dedup/ANN names now bind their
+#: value-oracled builds (the xxhash/raw-top-k production variants
+#: live on as unregistered builders, twin-pinned in
+#: tests/test_round7.py), and cluster_kmeans folded into its
+#: quality-gated twin. Every registered query now carries an oracle;
+#: this set existing (and being empty) keeps the invariant loud.
+_WINDOW_ROWS_ONLY_OK: set[str] = set()
 
 
 def test_driver_window_all_oracled():
-    """First 50 registry entries (the driver's sample) must all carry
-    DuckDB oracles — a registry edit must not push an oracled query
-    out in favor of a rows-only one. Exceptions are explicit and
-    documented (_WINDOW_ROWS_ONLY_OK), never incidental."""
+    """EVERY registry entry must carry a DuckDB oracle (since round
+    10 — the driver's correctness file must be able to read 100%
+    green, with zero err:no_oracle rows). Exceptions are explicit and
+    documented (_WINDOW_ROWS_ONLY_OK, empty since r10), never
+    incidental."""
     from gcd_etl_spark.plans import QUERIES
 
-    window = list(QUERIES)[:50]
     missing = [
         n
-        for n in window
+        for n in QUERIES
         if QUERIES[n].oracle is None and n not in _WINDOW_ROWS_ONLY_OK
     ]
-    assert not missing, f"driver window entries without oracle: {missing}"
+    assert not missing, f"registry entries without oracle: {missing}"

@@ -19,8 +19,8 @@ from gcd_etl_spark.plans import QUERIES
 #: composites). Everything else must stay off nested loops.
 QUADRATIC_ANCHORS = {
     "sim_bruteforce_topk",  # exact top-k baseline (broadcast q x corpus)
-    "sim_ann_lsh_recall",  # embeds the exact baseline as recall denominator
-    "sim_ann_ivf_recall",  # embeds the exact baseline as recall denominator
+    "sim_ann_lsh",  # embeds the exact baseline as recall denominator
+    "sim_ann_ivf",  # embeds the exact baseline as recall denominator
     "sim_ann_ivfpq_recall",  # embeds the exact baseline as recall denominator
     "sim_ann_ivfpq_persisted",  # same recall denominator, persisted index
     "dedup_ngram_jaccard",  # all-pairs Jaccard ground truth

@@ -106,16 +106,21 @@ def test_star_contraction_survives_colliding_signature(spark, monkeypatch):
 #: the cheaper xxhash production variants; this pin makes it
 #: impossible to refactor one's candidate generation without the
 #: other (round-6 verdict item 9 / "What's wrong" #4).
+#: Since round 10 the xxhash production variants are UNREGISTERED
+#: plain builders (round-9 verdict item 3: every registered query
+#: carries a value oracle) and the registered name IS the oracled
+#: build — the pin direction is unchanged: both members must route
+#: through the shared candidate-generation operator.
 _TWIN_PAIRS = [
-    ("dedup_minhash_lsh", "dedup_minhash_portable",
+    ("gcd_etl_spark.plans.dedup", "dedup_minhash_lsh_xxhash", "dedup_minhash_lsh",
      "gcd_etl_spark.operators.dedup", "minhash_dedup_pairs"),
-    ("dedup_simhash", "dedup_simhash_portable",
+    ("gcd_etl_spark.plans.dedup", "dedup_simhash_xxhash", "dedup_simhash",
      "gcd_etl_spark.operators.dedup", "simhash_dedup_pairs"),
-    ("dedup_fingerprints", "dedup_simhash_portable",
+    ("gcd_etl_spark.plans.dedup", "dedup_fingerprints_xxhash", "dedup_fingerprints",
      "gcd_etl_spark.operators.dedup", "simhash_table"),
-    ("sim_ann_lsh", "sim_ann_lsh_recall",
+    ("gcd_etl_spark.plans.similarity", "sim_ann_lsh_topk", "sim_ann_lsh",
      "gcd_etl_spark.operators.similarity", "lsh_topk"),
-    ("sim_ann_ivf", "sim_ann_ivf_recall",
+    ("gcd_etl_spark.plans.similarity", "sim_ann_ivf_topk", "sim_ann_ivf",
      "gcd_etl_spark.operators.similarity", "ivf_topk"),
 ]
 
@@ -125,15 +130,18 @@ class _TwinSentinel(Exception):
 
 
 @pytest.mark.parametrize(
-    "rows_only,twin,module,attr", _TWIN_PAIRS, ids=[p[0] for p in _TWIN_PAIRS]
+    "xx_module,xx_fn,registered,module,attr",
+    _TWIN_PAIRS,
+    ids=[p[1] for p in _TWIN_PAIRS],
 )
 def test_xxhash_twin_shares_candidate_generation(
-    spark, sf_smoke, monkeypatch, rows_only, twin, module, attr
+    spark, sf_smoke, monkeypatch, xx_module, xx_fn, registered, module, attr
 ):
     """Runtime pin, not a source grep: replace the shared operator
-    with a raiser and require BOTH the rows-only query and its
-    oracled twin to hit it while building their plans. A refactor
-    that reroutes one member silently is a hard failure here."""
+    with a raiser and require BOTH the unregistered xxhash production
+    builder and the registered oracled query to hit it while building
+    their plans. A refactor that reroutes one member silently is a
+    hard failure here."""
     import importlib
 
     mod = importlib.import_module(module)
@@ -143,9 +151,10 @@ def test_xxhash_twin_shares_candidate_generation(
         raise _TwinSentinel(attr)
 
     monkeypatch.setattr(mod, attr, _boom)
-    for name in (rows_only, twin):
+    xx_build = getattr(importlib.import_module(xx_module), xx_fn)
+    for build in (xx_build, QUERIES[registered].build):
         with pytest.raises(_TwinSentinel):
-            QUERIES[name].build(spark, sf_smoke)
+            build(spark, sf_smoke)
 
 
 # ----------------------------- bench codegen-fallback detector
@@ -344,8 +353,8 @@ def test_cdc_buckets_partition_all_modified_values(spark):
 #: their constant rows with zero counts — that is correct).
 _EMPTY_OK = [
     "dedup_exact",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "q1_pricing_summary",
     "agg_rollup",
     "win_session",
