@@ -64,8 +64,12 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: r3-vintage stragglers the r9 window listed past position 50, then
 #: the oldest (r4-vintage) rows, flagship trio always re-verified.
 _DRIVER_WINDOW = [
-    # --- (a) round-10 conversions: first driver rows under the new
-    #     oracled semantics ---
+    # --- (a) round-10 registrants + conversions: first driver rows
+    #     under the new oracled semantics ---
+    "sim_ann_ivfpq_recall",
+    "sim_ann_ivfpq_persisted",
+    "sim_ann_ivfsq8_recall",
+    "sim_ann_ivfsq8_persisted",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_fingerprints",

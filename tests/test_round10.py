@@ -65,3 +65,115 @@ def test_bench_spill_detector_can_fire(spark):
     clean = spark.range(0, 1000).groupBy((F.col("id") % 5).alias("k")).count()
     _materialize(clean)
     assert _spill_bytes(clean) == 0
+
+
+# ------------------------- trained-quantizer ANN (round-9 verdict 4)
+
+
+@pytest.fixture(scope="module")
+def tiny_emb_dir(spark):
+    """A 20-vector corpus with 1-BASED ids — the exact shape that made
+    the old `vec_id % 62` centroid sample select NOTHING (round-10
+    ADVICE low #2): no id is a multiple of 62, so the modulo index
+    staged zero centroids and the persisted ANN query returned an
+    empty frame against a non-empty oracle."""
+    import tempfile
+
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    d = tempfile.mkdtemp(prefix="gcd_tinyemb_")
+    rng = [
+        (
+            i,
+            [float(np.sin(i * 37 + j) * 0.5) for j in range(64)],
+        )
+        for i in range(1, 21)
+    ]
+    spark.createDataFrame(rng, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_small_corpus_trains_real_centroids(spark, tiny_emb_dir):
+    """ADVICE pin: a small-but-nonempty corpus must stage real
+    trained centroids and the persisted ANN queries must emit their
+    per-query rows (never an empty frame vs a non-empty oracle)."""
+    from gcd_etl_spark.plans import QUERIES
+    from gcd_etl_spark.plans.similarity import ensure_ivfsq8_index
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    emb = read_table_spread(spark, tiny_emb_dir, "embeddings")
+    _, cent = ensure_ivfsq8_index(spark, tiny_emb_dir, emb)
+    assert cent.size > 0 and cent.shape[1] == 64
+
+    for name in ("sim_ann_ivfsq8_persisted", "sim_ann_ivfpq_persisted"):
+        rows = QUERIES[name].build(spark, tiny_emb_dir).collect()
+        assert len(rows) == 4, (name, rows)  # query set = vec_id < 5 -> ids 1..4
+        assert all(r["n_exact"] == 10 for r in rows)
+
+
+def test_pq_adc_scores_match_explicit_reconstruction(spark, sf_smoke):
+    """The ADC identity, pinned numerically: the LUT-gather cosine
+    pq_adc_topk emits must equal the cosine of the query against the
+    EXPLICITLY reconstructed vector c_cell + concat(cb[m][code_m])
+    (they are the same arithmetic, factored differently). Catches any
+    subspace-indexing or cross-term mistake in the LUT tables."""
+    import numpy as np
+
+    from gcd_etl_spark.operators import similarity as S
+    from gcd_etl_spark.plans.similarity import EMB_DIM, TOP_K, _query_set
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    emb = read_table_spread(spark, sf_smoke, "embeddings")
+    cent = S.train_coarse_centroids(emb, n_cells=16, dim=EMB_DIM)
+    cb = S.pq_train_codebooks(emb, cent)
+    idx = S.pq_encode(emb, cent, cb)
+    ann = S.pq_adc_topk(idx, _query_set(emb), cent, cb, nprobe=4, k=TOP_K)
+
+    codes = {r["neighbor_id"]: (r["cell"], r["codes"]) for r in idx.collect()}
+    queries = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in _query_set(emb).collect()
+    }
+    m, _, dsub = cb.shape
+    checked = 0
+    for r in ann.collect():
+        cell, cvec = codes[r["neighbor_id"]]
+        recon = cent[cell] + np.concatenate([cb[i, cvec[i]] for i in range(m)])
+        q = queries[r["query_id"]]
+        expect = float(q @ recon / (np.linalg.norm(q) * np.linalg.norm(recon)))
+        assert abs(round(expect, 6) - r["cosine"]) <= 1e-6, r
+        checked += 1
+    assert checked >= 10
+
+
+def test_ivfpq_persisted_index_reuse_plan_shape(spark, sf_smoke):
+    """Same serving contract as the SQ8 pin: the PQ query plan reads
+    the persisted cell-bucketed CODE table (8 bytes/vector — the raw
+    corpus is never re-encoded per query), the probe join broadcasts
+    the query side, and a rebuild reuses the staged files."""
+    import contextlib
+    import io
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from gcd_etl_spark.plans import QUERIES
+
+    df = QUERIES["sim_ann_ivfpq_persisted"].build(spark, sf_smoke)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ivfpq_codes_" in plan, plan[:2000]
+    assert plan.count("Bucketed: true") >= 1, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    idx_dir = os.path.join(warehouse, f"ivfpq_codes_{tag}")
+    files_before = sorted(os.listdir(idx_dir))
+    QUERIES["sim_ann_ivfpq_persisted"].build(spark, sf_smoke)
+    files_after = sorted(os.listdir(idx_dir))
+    assert files_before == files_after

@@ -257,7 +257,7 @@ def test_pit_join_matches_interval_semantics(spark):
             assert r["version"] == len(set(prior))
 
 
-def test_ivfpq_quantization_fidelity(spark):
+def test_ivfsq8_quantization_fidelity(spark):
     """int8 min-max dequantization must reconstruct cosines to ~1e-3:
     the reason the compressed index can share the exact-recall gate."""
     import numpy as np

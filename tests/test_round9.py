@@ -61,7 +61,7 @@ def test_abscap_derived_from_wedge_budget():
         "dedup_crossdoc_spans",
         "pack_concat_split",
         "stream_dedup_against_corpus",
-        "sim_ann_ivfpq_persisted",
+        "sim_ann_ivfsq8_persisted",
         "dedup_index_append_cycle",
         "dedup_span_excision",
         "batch_length_buckets",
@@ -323,7 +323,7 @@ _EMPTY_OK_R9 = [
     "dedup_crossdoc_spans",
     "pack_concat_split",
     "stream_dedup_against_corpus",
-    "sim_ann_ivfpq_persisted",
+    "sim_ann_ivfsq8_persisted",
     "dedup_index_append_cycle",
     "dedup_span_excision",
     "batch_length_buckets",
@@ -372,7 +372,7 @@ def test_delta_vs_corpus_index_reuse_plan_shape(spark, sf_smoke):
     assert files_before == files_after
 
 
-def test_ivfpq_persisted_index_reuse_plan_shape(spark, sf_smoke):
+def test_ivfsq8_persisted_index_reuse_plan_shape(spark, sf_smoke):
     """The ANN serving contract, pinned: the query plan reads the
     quantized corpus off the PERSISTED cell-bucketed index table —
     no per-query re-quantization (the plan must not contain the
@@ -385,12 +385,12 @@ def test_ivfpq_persisted_index_reuse_plan_shape(spark, sf_smoke):
     import re
     from urllib.parse import urlparse
 
-    df = QUERIES["sim_ann_ivfpq_persisted"].build(spark, sf_smoke)
+    df = QUERIES["sim_ann_ivfsq8_persisted"].build(spark, sf_smoke)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "ivfpq_index_" in plan, plan[:2000]
+    assert "ivfsq8_index_" in plan, plan[:2000]
     assert plan.count("Bucketed: true") >= 1, plan[:2000]
     assert "BroadcastHashJoin" in plan
     # the quantization expressions live only in the staging write;
@@ -398,9 +398,9 @@ def test_ivfpq_persisted_index_reuse_plan_shape(spark, sf_smoke):
     assert "array_min" not in plan and "array_max" not in plan, plan[:2000]
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    idx_dir = os.path.join(warehouse, f"ivfpq_index_{tag}")
+    idx_dir = os.path.join(warehouse, f"ivfsq8_index_{tag}")
     files_before = sorted(os.listdir(idx_dir))
-    QUERIES["sim_ann_ivfpq_persisted"].build(spark, sf_smoke)
+    QUERIES["sim_ann_ivfsq8_persisted"].build(spark, sf_smoke)
     files_after = sorted(os.listdir(idx_dir))
     assert files_before == files_after
 
