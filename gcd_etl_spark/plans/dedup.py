@@ -299,8 +299,14 @@ def ensure_corpus_band_index(
 
     from gcd_etl_spark.sources.sinks import write_bucketed_table
 
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
-    name = f"corpus_band_idx_{tag}"
+    # Staleness key (round-10 ADVICE): the staged name carries a
+    # fingerprint of the documents table's data files, so a changed
+    # corpus under the same sf_dir — or a different sf_dir sharing a
+    # basename — can never be served a stale index.
+    name = f"corpus_band_idx_{tag}_{table_fingerprint(sf_dir, 'documents')}"
     if not spark.catalog.tableExists(name):
         warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)

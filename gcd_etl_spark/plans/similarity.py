@@ -385,7 +385,11 @@ def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
 
     from gcd_etl_spark.sources.sinks import write_bucketed_table
 
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    # data-file fingerprint in the name: stale-index guard (r10 ADVICE)
+    tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
     idx_name = f"ivfsq8_index_{tag}"
     cent_name = f"ivfsq8_centroids_{tag}"
     if not spark.catalog.tableExists(idx_name):
@@ -548,7 +552,11 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
 
     from gcd_etl_spark.sources.sinks import write_bucketed_table
 
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    # data-file fingerprint in the name: stale-index guard (r10 ADVICE)
+    tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
     codes_name = f"ivfpq_codes_{tag}"
     cent_name = f"ivfpq_centroids_{tag}"
     book_name = f"ivfpq_codebooks_{tag}"

@@ -440,6 +440,42 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------- streaming dedup against the persisted corpus
+def delta_dedup_batch_fn(docs: DataFrame, idx: DataFrame, out_root: str):
+    """The foreachBatch worker for the streaming ingest gate, shared
+    by the registered stream plan and the kill-and-restart test
+    (tests/test_round10.py) so the replay semantics under test are
+    the production code path, not a re-implementation: band the batch
+    (only the batch), broadcast its bands against the persisted
+    bucketed corpus index, exact-Jaccard verify, then OVERWRITE the
+    batch's own batch_id-keyed partition dir — idempotent under
+    at-least-once redelivery (a replayed batch lands on the same path
+    instead of appending duplicate verdict rows)."""
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.operators import dedup as D
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        bands = D.minhash_band_table(batch, portable=True).select(
+            F.col("_id").alias("delta_id"), "band_idx", "band_hash"
+        )
+        cand = (
+            F.broadcast(bands)
+            .join(idx, ["band_idx", "band_hash"])
+            .select(
+                F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+            )
+            .distinct()
+        )
+        verified = D.jaccard_pairs(docs, cand, threshold=0.5)
+        verified.select(
+            F.col("id_a").alias("delta_id"),
+            F.col("id_b").alias("corpus_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        ).write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
+
+    return dedup_batch
+
+
 def _stream_delta_dedup_oracle() -> str:
     from gcd_etl_spark.plans.dedup import _delta_vs_corpus_oracle
 
@@ -483,7 +519,15 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_delta = F.col("doc_id") % DELTA_MOD == 0
     idx = ensure_corpus_band_index(spark, sf_dir, docs.where(~is_delta))
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    import uuid
+
+    # uuid-suffixed scratch (round-10 ADVICE): two concurrent runs
+    # over the same sf dir (pytest-xdist, sweep + bench in parallel)
+    # must not rmtree each other's staging mid-stream. Each build
+    # gets private dirs; rmtree only ever touches this run's own.
+    tag = "{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"), uuid.uuid4().hex[:8]
+    )
     staged = f"/tmp/gcd_etl_stream_deltadedup_{tag}"
     out_root = f"/tmp/gcd_etl_stream_deltadedup_out_{tag}"
     shutil.rmtree(staged, ignore_errors=True)
@@ -500,29 +544,7 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     empty.write.parquet(f"{out_root}/batch_id=-1")
 
-    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
-        bands = D.minhash_band_table(batch, portable=True).select(
-            F.col("_id").alias("delta_id"), "band_idx", "band_hash"
-        )
-        cand = (
-            F.broadcast(bands)
-            .join(idx, ["band_idx", "band_hash"])
-            .select(
-                F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b")
-            )
-            .distinct()
-        )
-        verified = D.jaccard_pairs(docs, cand, threshold=0.5)
-        # idempotent at-least-once sink: each batch OVERWRITES its own
-        # batch_id-keyed partition dir, so a replayed batch (restart,
-        # retry) lands on the same path instead of appending duplicate
-        # verdict rows — the standard foreachBatch exactly-once-effect
-        # pattern when the sink is plain parquet.
-        verified.select(
-            F.col("id_a").alias("delta_id"),
-            F.col("id_b").alias("corpus_id"),
-            F.round("jaccard", 6).alias("jaccard"),
-        ).write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
+    dedup_batch = delta_dedup_batch_fn(docs, idx, out_root)
 
     stream = (
         spark.readStream.format("parquet")

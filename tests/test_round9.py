@@ -365,7 +365,10 @@ def test_delta_vs_corpus_index_reuse_plan_shape(spark, sf_smoke):
     # idempotence: a rebuild reads the same staged table, not a rewrite
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    idx_dir = os.path.join(warehouse, f"corpus_band_idx_{tag}")
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+    idx_dir = os.path.join(
+        warehouse, f"corpus_band_idx_{tag}_{table_fingerprint(sf_smoke, 'documents')}"
+    )
     files_before = sorted(os.listdir(idx_dir))
     QUERIES["dedup_delta_vs_corpus"].build(spark, sf_smoke)
     files_after = sorted(os.listdir(idx_dir))
@@ -398,7 +401,10 @@ def test_ivfsq8_persisted_index_reuse_plan_shape(spark, sf_smoke):
     assert "array_min" not in plan and "array_max" not in plan, plan[:2000]
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    idx_dir = os.path.join(warehouse, f"ivfsq8_index_{tag}")
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+    idx_dir = os.path.join(
+        warehouse, f"ivfsq8_index_{tag}_{table_fingerprint(sf_smoke, 'embeddings')}"
+    )
     files_before = sorted(os.listdir(idx_dir))
     QUERIES["sim_ann_ivfsq8_persisted"].build(spark, sf_smoke)
     files_after = sorted(os.listdir(idx_dir))
