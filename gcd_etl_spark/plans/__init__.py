@@ -66,6 +66,8 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 _DRIVER_WINDOW = [
     # --- (a) round-10 registrants + conversions: first driver rows
     #     under the new oracled semantics ---
+    "dedup_crossdoc_delta",
+    "dedup_index_compaction",
     "sim_ann_ivfpq_recall",
     "sim_ann_ivfpq_persisted",
     "sim_ann_ivfsq8_recall",

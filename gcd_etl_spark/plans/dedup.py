@@ -469,6 +469,32 @@ FROM cd GROUP BY doc_id
 """
 
 
+def _crossdoc_gram_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram): every _CROSSDOC_K-token window of every doc
+    with >= k tokens — the shared gram derivation for the full
+    recompute (dedup_crossdoc_spans), the persisted gram-DF index
+    build, and the nightly delta scorer, so the three can never
+    tokenize differently."""
+    k = _CROSSDOC_K
+    d = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("toks"),
+    )
+    return d.where(F.size("toks") >= k).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j) for j in range(k)]
+                ),
+            )
+        ).alias("gram"),
+    )
+
+
 @query("dedup_crossdoc_spans", oracle=_CROSSDOC_ORACLE)
 def dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document repeated-SPAN detection — the distributed form
@@ -494,29 +520,110 @@ def dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table_spread(spark, sf_dir, "documents")
-    k = _CROSSDOC_K
-    d = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
-        ).alias("toks"),
-    )
-    g = d.where(F.size("toks") >= k).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("toks", i + j) for j in range(k)]
-                ),
-            )
-        ).alias("gram"),
-    )
+    g = _crossdoc_gram_table(docs)
     c = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
     cd = c.withColumn(
         "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     )
     shared_cnt = F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    m = cd.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_windows"),
+        F.sum(shared_cnt).alias("shared_slots"),
+    )
+    ppm = F.expr("shared_slots * 1000000 div n_windows")
+    return m.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("shared_slots").cast("long").alias("shared_slots"),
+        ppm.cast("long").alias("shared_ppm"),
+        (ppm <= CROSSDOC_SHARED_PPM_MAX).alias("keep"),
+    )
+
+
+def ensure_gram_df_index(
+    spark: SparkSession, sf_dir: str, corpus_docs: DataFrame
+) -> DataFrame:
+    """The persisted gram document-frequency index for span dedup —
+    the lifecycle fix for round-9 verdict item 5: dedup_crossdoc_spans
+    re-derived gram DF from the WHOLE corpus every run; nightly
+    production should tokenize the standing corpus ONCE, persist
+    (gram, df) as a gram-bucketed table, and score each night's delta
+    against it (the ensure_corpus_band_index pattern applied to the
+    Lee-et-al exact-substring scorer). Staged once per (sf dir, data
+    fingerprint), idempotent; df = number of distinct corpus docs
+    containing the gram."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    name = f"gram_df_idx_{tag}_{table_fingerprint(sf_dir, 'documents')}"
+    if not spark.catalog.tableExists(name):
+        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+        gdf = (
+            _crossdoc_gram_table(corpus_docs)
+            .groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("df"))
+        )
+        write_bucketed_table(gdf, name, ["gram"], n_buckets=16, sort_cols=["gram"])
+    return spark.table(name)
+
+
+_CROSSDOC_DELTA_ORACLE = (
+    f"SELECT * FROM ({_CROSSDOC_ORACLE}) WHERE doc_id % {DELTA_MOD} = 0"
+)
+
+
+@query("dedup_crossdoc_delta", oracle=_CROSSDOC_DELTA_ORACLE)
+def dedup_crossdoc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup: score TONIGHT'S delta documents
+    (``doc_id % DELTA_MOD == 0``) for cross-document repeated spans
+    WITHOUT re-tokenizing the standing corpus — per-night cost is
+    O(delta) plus one probe of the persisted gram-DF index.
+
+    A delta gram is "shared" when its total document frequency —
+    corpus df (from the index) + distinct delta docs containing it —
+    is >= 2, exactly the full recompute's criterion, so the emitted
+    rows value-hash-match dedup_crossdoc_spans restricted to the
+    delta (the oracle IS that restriction). Shuffle inventory: two
+    delta-sized gram groupBys, ONE probe of the bucketed index with
+    the delta's gram set broadcast (the corpus side is a pushed-filter
+    scan of the staged table — pinned in tests/test_round10.py), and
+    the per-doc re-aggregate. The corpus text is never read: the only
+    documents.parquet scan in the plan is the delta's."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    idx = ensure_gram_df_index(spark, sf_dir, docs.where(~is_delta))
+
+    g = _crossdoc_gram_table(docs.where(is_delta))
+    # ONE tokenize pass over the delta: c feeds three consumers (the
+    # gram-set probe, the df_delta agg, and the final score join) —
+    # without materialization each would re-scan and re-window the
+    # delta text. localCheckpoint is delta-sized nightly state, the
+    # same trick kmeans_fit uses for its per-iteration assignment.
+    c = (
+        g.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # distinct delta docs per gram (c is already one row per doc-gram)
+    gset = c.groupBy("gram").agg(F.count(F.lit(1)).alias("df_delta"))
+    hits = idx.join(F.broadcast(gset.select("gram")), "gram").select(
+        "gram", F.col("df").alias("df_corpus")
+    )
+    tot = gset.join(hits, "gram", "left").select(
+        "gram",
+        (F.col("df_delta") + F.coalesce(F.col("df_corpus"), F.lit(0))).alias(
+            "df_total"
+        ),
+    )
+    cd = c.join(F.broadcast(tot), "gram")
+    shared_cnt = F.when(F.col("df_total") >= 2, F.col("cnt")).otherwise(F.lit(0))
     m = cd.groupBy("doc_id").agg(
         F.sum("cnt").alias("n_windows"),
         F.sum(shared_cnt).alias("shared_slots"),
@@ -761,6 +868,110 @@ def dedup_index_append_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("delta_id"),
         F.col("id_b").alias("other_id"),
         F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _index_compaction_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Value oracle for the compaction cycle: DuckDB recomputes the
+    band rows the index SHOULD hold after (corpus write + night-1
+    append) from the raw documents — so matching n_band_rows /
+    n_distinct_bands read off the COMPACTED table proves the rewrite
+    lost and invented nothing; the three flags are the in-plan checks
+    (row multiset equality, file-count reduction, zero-exchange
+    co-location) surfaced as literals, the recall-gate pattern."""
+    return _portable_band_ctes(num_hashes, bands) + f"""
+SELECT CAST(count(*) AS BIGINT) AS n_band_rows,
+       CAST(count(DISTINCT band_hash) AS BIGINT) AS n_distinct_bands,
+       1 AS rows_match, 1 AS files_reduced, 1 AS colocated_zero_exchange
+FROM bands
+WHERE doc_id % {DELTA_MOD} <> 0 OR doc_id % {2 * DELTA_MOD} = 0
+"""
+
+
+@query("dedup_index_compaction", oracle=_index_compaction_oracle())
+def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index MAINTENANCE — the file-count half of the append
+    lifecycle (round-9 verdict item 6): every bucketed APPEND adds at
+    least one file per touched bucket, so after N nights the band
+    index is N small files per bucket and open/scan overhead grows
+    without bound. This query builds a fragmented index the way the
+    nightly cycle does (corpus bands written bucketed, night-1 bands
+    appended), compacts it to EXACTLY one file per bucket
+    (sources/sinks.compact_bucketed_table — a bucket-aligned
+    repartition + bucketed rewrite, bucket spec unchanged), and emits
+    the equivalence evidence: row/band counts read off the COMPACTED
+    table (value-matched by the oracle's from-scratch recompute),
+    multiset equality original-vs-compacted, a file-count reduction
+    flag, and a zero-exchange co-location probe on the compacted
+    table. Rebuilt per run BY DESIGN (the subject is the rewrite);
+    assumes a non-empty corpus like the rest of the cycle family."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.sinks import (
+        compact_bucketed_table,
+        count_table_data_files,
+        write_bucketed_table,
+    )
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    m2 = 2 * DELTA_MOD
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    is_n1 = F.col("doc_id") % m2 == 0
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    name = f"corpus_band_idx_cmpct_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+    corpus_bands = D.minhash_band_table(docs.where(~is_delta), portable=True).select(
+        F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
+    )
+    write_bucketed_table(
+        corpus_bands, name, ["band_hash"], n_buckets=16, sort_cols=["band_hash"]
+    )
+    n1_bands = D.minhash_band_table(docs.where(is_n1), portable=True).select(
+        F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
+    )
+    write_bucketed_table(
+        n1_bands,
+        name,
+        ["band_hash"],
+        n_buckets=16,
+        sort_cols=["band_hash"],
+        mode="append",
+    )
+
+    files_before = count_table_data_files(spark, name)
+    dest = compact_bucketed_table(spark, name, ["band_hash"], 16, ["band_hash"])
+    files_after = count_table_data_files(spark, dest)
+
+    orig, comp = spark.table(name), spark.table(dest)
+    rows_match = (
+        comp.exceptAll(orig).limit(1).count() == 0
+        and orig.exceptAll(comp).limit(1).count() == 0
+    )
+    agg_plan = (
+        comp.groupBy("band_hash")
+        .count()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                comp.count(),
+                comp.select("band_hash").distinct().count(),
+                int(rows_match),
+                int(files_after < files_before),
+                int("Exchange" not in agg_plan),
+            )
+        ],
+        "n_band_rows bigint, n_distinct_bands bigint, rows_match int, "
+        "files_reduced int, colocated_zero_exchange int",
     )
 
 

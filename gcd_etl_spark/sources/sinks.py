@@ -153,3 +153,67 @@ def to_term_table(df: DataFrame, doc_id_col: str, term_cols: dict[str, str]) -> 
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def compact_bucketed_table(
+    spark,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    dest: str | None = None,
+) -> str:
+    """Rewrite a bucketed table into EXACTLY one file per bucket,
+    preserving the bucket spec — the maintenance operator the nightly
+    append lifecycle needs: every bucketed APPEND
+    (dedup_index_append_cycle) adds at least one file per touched
+    bucket, so after N nights a bucket is N small files and scan/open
+    overhead grows without bound (round-9 verdict item 6).
+
+    The rewrite is ZERO-shuffle: with the bucketed scan forced on
+    (``autoBucketedScan`` off — the planner otherwise disables bucket
+    reading for scans with no join/agg to exploit it, splitting by
+    file instead), the source reads as exactly one partition per
+    bucket, so each write task holds one bucket's rows and the
+    bucketed writer emits exactly one file for it — a pure per-bucket
+    merge-rewrite, embarrassingly parallel across buckets at any
+    scale. (A ``repartition(n, keys)`` would be optimizer-elided here
+    anyway: the table's partitioning already satisfies it.)
+    Co-location is untouched (same spec, same bucket count). Writes
+    to ``dest`` (default ``<name>_compact``); production would follow
+    with an atomic catalog swap, which plain parquet tables cannot do
+    transactionally — the swap is the caller's contract, the REWRITE
+    is this operator's.
+    """
+    dest = dest or f"{name}_compact"
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {dest}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(warehouse, dest.lower()), ignore_errors=True)
+    auto_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(auto_key, "true")
+    spark.conf.set(auto_key, "false")
+    try:
+        write_bucketed_table(
+            spark.table(name), dest, bucket_cols, n_buckets, sort_cols
+        )
+    finally:
+        spark.conf.set(auto_key, prev)
+    return dest
+
+
+def count_table_data_files(spark, name: str) -> int:
+    """Data-file count of a managed parquet table's directory
+    (excludes _SUCCESS and hidden files) — the compaction metric."""
+    import os
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    root = os.path.join(warehouse, name.lower())
+    n = 0
+    for _r, _d, files in os.walk(root):
+        n += sum(1 for f in files if not f.startswith(("_", ".")))
+    return n

@@ -264,3 +264,87 @@ def test_stream_dedup_restart_and_replay(spark, sf_smoke, tmp_path):
     # was d1's single file) — the overwrite sink must absorb it
     batch_fn(d1, 0)
     assert union_rows() == converged
+
+
+# ------------- incremental span dedup via persisted gram-DF index
+
+
+def test_crossdoc_delta_matches_full_recompute(spark, sf_smoke):
+    """The nightly incremental scorer must agree EXACTLY with the
+    full recompute restricted to the delta — same rows, same exact
+    integer ppm — even though it never tokenizes the corpus."""
+    import pyspark.sql.functions as F
+
+    from gcd_etl_spark.plans.dedup import DELTA_MOD
+
+    full = (
+        QUERIES["dedup_crossdoc_spans"]
+        .build(spark, sf_smoke)
+        .where(F.col("doc_id") % DELTA_MOD == 0)
+    )
+    delta = QUERIES["dedup_crossdoc_delta"].build(spark, sf_smoke)
+    f_rows = sorted(map(tuple, full.collect()))
+    d_rows = sorted(map(tuple, delta.collect()))
+    assert f_rows == d_rows
+    assert d_rows, "no delta docs scored — parity is vacuous"
+
+
+def test_crossdoc_delta_reads_persisted_gram_index(spark, sf_smoke):
+    """The 100 TB property, pinned: the delta plan probes the
+    PERSISTED bucketed gram-DF table and scans documents.parquet
+    exactly ONCE (the delta side) — the corpus is never re-tokenized.
+    A rebuild reuses the staged index files."""
+    import contextlib
+    import io
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+
+    df = QUERIES["dedup_crossdoc_delta"].build(spark, sf_smoke)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "gram_df_idx_" in plan, plan[:2000]
+    # the delta's gram counts are checkpointed once; the final plan
+    # contains ZERO documents.parquet scans — in particular the
+    # corpus text is never re-tokenized
+    assert plan.count("documents.parquet") == 0, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    idx_dir = os.path.join(
+        warehouse, f"gram_df_idx_{tag}_{table_fingerprint(sf_smoke, 'documents')}"
+    )
+    files_before = sorted(os.listdir(idx_dir))
+    QUERIES["dedup_crossdoc_delta"].build(spark, sf_smoke)
+    files_after = sorted(os.listdir(idx_dir))
+    assert files_before == files_after
+
+
+# --------------------------- bucketed index compaction (verdict 6)
+
+
+def test_index_compaction_one_file_per_bucket(spark, sf_smoke):
+    """The compaction contract, pinned at the file level: before —
+    more files than buckets (the append's accretion); after — EXACTLY
+    one data file per bucket; the flags the registered query emits
+    are all 1 (rows preserved, files reduced, co-location still
+    zero-exchange)."""
+    import os
+    import re
+
+    from gcd_etl_spark.sources.sinks import count_table_data_files
+
+    row = QUERIES["dedup_index_compaction"].build(spark, sf_smoke).collect()[0]
+    assert row["rows_match"] == 1
+    assert row["files_reduced"] == 1
+    assert row["colocated_zero_exchange"] == 1
+    assert row["n_band_rows"] > 0
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    name = f"corpus_band_idx_cmpct_{tag}"
+    assert count_table_data_files(spark, name) > 16  # fragmented
+    assert count_table_data_files(spark, f"{name}_compact") == 16
