@@ -56,6 +56,9 @@ TARGETS = {
     # dedup_keep_canonical, which IS audited via its components).
     "ml_naive_bayes_confusion": ["documents"],
     "dedup_semantic_srp_scaled": ["embeddings"],
+    "sim_ann_ivfsq8_recall": ["embeddings"],
+    # since r10 this name is TRUE product quantization (trained coarse
+    # cells + residual codebooks + ADC) — audit it separately from SQ8
     "sim_ann_ivfpq_recall": ["embeddings"],
     "stream_sessions_timeout": ["events"],
     # round-9 registrants whose scale posture is a claim until
@@ -69,6 +72,11 @@ TARGETS = {
     "dedup_span_excision": ["documents"],
     "pack_concat_split": ["documents"],
     "stream_dedup_against_corpus": ["documents"],
+    # round-10 registrants: the incremental gram-DF path (delta probe
+    # of the persisted index — expect ~flat in the probe, index build
+    # is the amortized cost) and the zero-shuffle bucket compaction
+    "dedup_crossdoc_delta": ["documents"],
+    "dedup_index_compaction": ["documents"],
 }
 
 ALL_TABLES = [
