@@ -68,6 +68,7 @@ _DRIVER_WINDOW = [
     #     under the new oracled semantics ---
     "dedup_crossdoc_delta",
     "dedup_index_compaction",
+    "dedup_gram_index_update_cycle",
     "sim_ann_ivfpq_recall",
     "sim_ann_ivfpq_persisted",
     "sim_ann_ivfsq8_recall",

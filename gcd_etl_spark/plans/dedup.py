@@ -439,12 +439,19 @@ CROSSDOC_SHARED_PPM_MAX = 300_000
 
 _CROSSDOC_K = 5
 
-_CROSSDOC_ORACLE = f"""
+
+def _crossdoc_oracle_sql(population: str = "TRUE") -> str:
+    """The cross-doc span scorer restated in DuckDB, parameterized by
+    a POPULATION filter (which documents exist when gram document
+    frequencies are counted) — shared by the full recompute
+    (population = everything), the nightly delta restriction, and the
+    two-night index-update cycle, so the three oracles cannot drift."""
+    return f"""
 WITH t AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS toks
-  FROM documents
+  FROM documents WHERE {population}
 ), g AS (
   SELECT doc_id,
          concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
@@ -467,6 +474,9 @@ SELECT doc_id,
         // sum(cnt)) <= {CROSSDOC_SHARED_PPM_MAX} AS keep
 FROM cd GROUP BY doc_id
 """
+
+
+_CROSSDOC_ORACLE = _crossdoc_oracle_sql()
 
 
 def _crossdoc_gram_table(docs: DataFrame) -> DataFrame:
@@ -574,6 +584,55 @@ def ensure_gram_df_index(
     return spark.table(name)
 
 
+def _score_delta_grams(c: DataFrame, idx: DataFrame) -> DataFrame:
+    """Score a delta's per-(doc, gram) window counts ``c`` against a
+    persisted gram-DF index ``idx`` (gram, df — MAY hold several rows
+    per gram after nightly appends; they sum). Shared by the one-shot
+    nightly query and the two-night update cycle so the two can never
+    score differently. The index-side aggregation after the probe is
+    zero-exchange (the index is gram-bucketed)."""
+    gset = c.groupBy("gram").agg(F.count(F.lit(1)).alias("df_delta"))
+    hits = (
+        idx.join(F.broadcast(gset.select("gram")), "gram")
+        .groupBy("gram")
+        .agg(F.sum("df").alias("df_corpus"))
+    )
+    tot = gset.join(hits, "gram", "left").select(
+        "gram",
+        (F.col("df_delta") + F.coalesce(F.col("df_corpus"), F.lit(0))).alias(
+            "df_total"
+        ),
+    )
+    cd = c.join(F.broadcast(tot), "gram")
+    shared_cnt = F.when(F.col("df_total") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    m = cd.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_windows"),
+        F.sum(shared_cnt).alias("shared_slots"),
+    )
+    ppm = F.expr("shared_slots * 1000000 div n_windows")
+    return m.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("shared_slots").cast("long").alias("shared_slots"),
+        ppm.cast("long").alias("shared_ppm"),
+        (ppm <= CROSSDOC_SHARED_PPM_MAX).alias("keep"),
+    )
+
+
+def _delta_gram_counts(delta_docs: DataFrame) -> DataFrame:
+    """One tokenize pass over a delta: per-(doc, gram) window counts,
+    checkpointed (the counts feed the gram-set probe, the df_delta
+    agg, and the final score join — without materialization each
+    would re-scan and re-window the delta text; delta-sized nightly
+    state, the kmeans_fit trick)."""
+    return (
+        _crossdoc_gram_table(delta_docs)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+
 _CROSSDOC_DELTA_ORACLE = (
     f"SELECT * FROM ({_CROSSDOC_ORACLE}) WHERE doc_id % {DELTA_MOD} = 0"
 )
@@ -599,42 +658,80 @@ def dedup_crossdoc_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_spread(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
     idx = ensure_gram_df_index(spark, sf_dir, docs.where(~is_delta))
+    return _score_delta_grams(_delta_gram_counts(docs.where(is_delta)), idx)
 
-    g = _crossdoc_gram_table(docs.where(is_delta))
-    # ONE tokenize pass over the delta: c feeds three consumers (the
-    # gram-set probe, the df_delta agg, and the final score join) —
-    # without materialization each would re-scan and re-window the
-    # delta text. localCheckpoint is delta-sized nightly state, the
-    # same trick kmeans_fit uses for its per-iteration assignment.
-    c = (
-        g.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+
+def _gram_update_cycle_oracle() -> str:
+    """Two-night oracle: night 1 scored against a world of (corpus +
+    night 1) — night 2 does not exist yet; night 2 scored against
+    everything. Both nights are _crossdoc_oracle_sql with the
+    population the index held AT SCORING TIME."""
+    corpus_or_n1 = f"doc_id % {DELTA_MOD} <> 0 OR doc_id % {2 * DELTA_MOD} = 0"
+    return f"""
+SELECT 1 AS night, * FROM ({_crossdoc_oracle_sql(corpus_or_n1)})
+WHERE doc_id % {2 * DELTA_MOD} = 0
+UNION ALL
+SELECT 2 AS night, * FROM ({_crossdoc_oracle_sql()})
+WHERE doc_id % {DELTA_MOD} = 0 AND doc_id % {2 * DELTA_MOD} <> 0
+"""
+
+
+@query("dedup_gram_index_update_cycle", oracle=_gram_update_cycle_oracle())
+def dedup_gram_index_update_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPDATE path of the gram-DF index lifecycle — the span-dedup
+    analog of dedup_index_append_cycle: after night 1's delta is
+    scored, its per-gram document frequencies are APPENDED to the
+    bucketed index (bucket spec unchanged), so night 2's scoring sees
+    corpus + night 1 — without the append, a night-2 page sharing
+    spans only with a night-1 page would score shared_ppm 0 and sail
+    through the gate. Appends mean a gram can hold SEVERAL index rows
+    (one per generation); the probe sums them (zero-exchange: the agg
+    runs on the gram-bucketed table) — and dedup_index_compaction is
+    the maintenance operator that merge-rewrites the generations back
+    to one row set per bucket. Night-1 scores are eagerly
+    materialized BEFORE the append. Cycle table rebuilt per run BY
+    DESIGN (the subject is the update; the amortized staged-once
+    contract is dedup_crossdoc_delta's pin)."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    m2 = 2 * DELTA_MOD
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    is_n1 = F.col("doc_id") % m2 == 0
+    is_n2 = is_delta & ~is_n1
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    name = f"gram_df_idx_cycle_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+    corpus_gdf = (
+        _crossdoc_gram_table(docs.where(~is_delta))
+        .groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
     )
-    # distinct delta docs per gram (c is already one row per doc-gram)
-    gset = c.groupBy("gram").agg(F.count(F.lit(1)).alias("df_delta"))
-    hits = idx.join(F.broadcast(gset.select("gram")), "gram").select(
-        "gram", F.col("df").alias("df_corpus")
+    write_bucketed_table(corpus_gdf, name, ["gram"], n_buckets=16, sort_cols=["gram"])
+
+    c1 = _delta_gram_counts(docs.where(is_n1))
+    v1 = _score_delta_grams(c1, spark.table(name)).localCheckpoint(eager=True)
+    # night 1's gram DFs land as a new generation: one row per gram,
+    # df = distinct night-1 docs (c1 is one row per doc-gram already)
+    write_bucketed_table(
+        c1.groupBy("gram").agg(F.count(F.lit(1)).alias("df")),
+        name,
+        ["gram"],
+        n_buckets=16,
+        sort_cols=["gram"],
+        mode="append",
     )
-    tot = gset.join(hits, "gram", "left").select(
-        "gram",
-        (F.col("df_delta") + F.coalesce(F.col("df_corpus"), F.lit(0))).alias(
-            "df_total"
-        ),
-    )
-    cd = c.join(F.broadcast(tot), "gram")
-    shared_cnt = F.when(F.col("df_total") >= 2, F.col("cnt")).otherwise(F.lit(0))
-    m = cd.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_windows"),
-        F.sum(shared_cnt).alias("shared_slots"),
-    )
-    ppm = F.expr("shared_slots * 1000000 div n_windows")
-    return m.select(
-        "doc_id",
-        F.col("n_windows").cast("long").alias("n_windows"),
-        F.col("shared_slots").cast("long").alias("shared_slots"),
-        ppm.cast("long").alias("shared_ppm"),
-        (ppm <= CROSSDOC_SHARED_PPM_MAX).alias("keep"),
+    v2 = _score_delta_grams(_delta_gram_counts(docs.where(is_n2)), spark.table(name))
+    return v1.select(F.lit(1).alias("night"), "*").unionByName(
+        v2.select(F.lit(2).alias("night"), "*")
     )
 
 

@@ -77,6 +77,7 @@ TARGETS = {
     # is the amortized cost) and the zero-shuffle bucket compaction
     "dedup_crossdoc_delta": ["documents"],
     "dedup_index_compaction": ["documents"],
+    "dedup_gram_index_update_cycle": ["documents"],
 }
 
 ALL_TABLES = [

@@ -348,3 +348,43 @@ def test_index_compaction_one_file_per_bucket(spark, sf_smoke):
     name = f"corpus_band_idx_cmpct_{tag}"
     assert count_table_data_files(spark, name) > 16  # fragmented
     assert count_table_data_files(spark, f"{name}_compact") == 16
+
+
+# ------------------- gram-DF index update cycle (span-dedup lifecycle)
+
+
+def test_gram_update_cycle_catches_cross_night_spans(spark):
+    """The cross-night catch, proven non-vacuously with planted docs:
+    a 5-gram that exists ONLY in one night-1 doc and one night-2 doc
+    (never in the corpus). Without the night-1 append the night-2 doc
+    would score shared_slots 0; with it, the night-2 row must show the
+    shared windows. Night-1's own row must NOT count it (night 2 did
+    not exist when night 1 was scored)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gcd_gramcycle_")
+    planted = "zulu yankee xray whiskey victor"
+    rows = []
+    # corpus docs (ids % 7 != 0): distinct boilerplate, no planted gram
+    for i in range(1, 14):
+        if i % 7 == 0:
+            continue
+        rows.append((i, f"corpus doc {i} alpha bravo charlie delta echo {i}"))
+    # night 1 (id 14): planted gram + unique filler
+    rows.append((14, f"{planted} night one filler foxtrot golf hotel"))
+    # night 2 (id 21): the SAME planted gram + different unique filler
+    rows.append((21, f"india juliett kilo lima mike {planted}"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+
+    out = {
+        (r["night"], r["doc_id"]): r
+    for r in QUERIES["dedup_gram_index_update_cycle"].build(spark, d).collect()}
+    n1 = out[(1, 14)]
+    n2 = out[(2, 21)]
+    # night 1 saw only corpus + itself: the planted gram was unique then
+    assert n1["shared_slots"] == 0, n1
+    # night 2 sees the updated index: the planted gram's 1 window slot
+    # (per doc) is shared ONLY because night 1's DFs were appended
+    assert n2["shared_slots"] >= 1, n2
