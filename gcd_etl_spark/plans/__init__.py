@@ -69,6 +69,8 @@ _DRIVER_WINDOW = [
     "dedup_crossdoc_delta",
     "dedup_index_compaction",
     "dedup_gram_index_update_cycle",
+    "dedup_gram_index_merge",
+    "sim_ann_ivfpq_index_append",
     "sim_ann_ivfpq_recall",
     "sim_ann_ivfpq_persisted",
     "sim_ann_ivfsq8_recall",

@@ -1072,6 +1072,92 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gram_merge_oracle() -> str:
+    """The merged gram-DF index recomputed from raw documents: after
+    the corpus write + night-1 append + generation merge, the index
+    must hold EXACTLY the per-gram distinct-document frequencies of
+    (corpus + night 1) — full value parity on the index contents, not
+    a summary flag."""
+    corpus_or_n1 = f"doc_id % {DELTA_MOD} <> 0 OR doc_id % {2 * DELTA_MOD} = 0"
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE {corpus_or_n1}
+), g AS (
+  SELECT doc_id,
+         concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
+           AS gram
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_CROSSDOC_K - 2}))
+          AS i
+        FROM t WHERE len(toks) >= {_CROSSDOC_K})
+)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM g GROUP BY gram
+"""
+
+
+@query("dedup_gram_index_merge", oracle=_gram_merge_oracle())
+def dedup_gram_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation MERGE for the gram-DF index — the semantic half of
+    index maintenance (dedup_index_compaction is the file half):
+    nightly appends leave one (gram, df) row per generation; this
+    operator folds them back to one row per gram by summing
+    frequencies — a ZERO-exchange aggregation (the table is
+    gram-bucketed, pinned in tests/test_round10.py) — and rewrites
+    the result bucketed, one file per bucket. The emitted result IS
+    the merged index, held to full value parity against the per-gram
+    distinct-doc frequencies recomputed from raw documents — proving
+    build + append + merge together lose and invent nothing. Cycle
+    tables rebuilt per run BY DESIGN."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    m2 = 2 * DELTA_MOD
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    is_n1 = F.col("doc_id") % m2 == 0
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    name = f"gram_df_idx_merge_{tag}"
+    merged_name = f"{name}_merged"
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for n in (name, merged_name):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+        _shutil.rmtree(_os.path.join(warehouse, n.lower()), ignore_errors=True)
+
+    def gdf(population: DataFrame) -> DataFrame:
+        return (
+            _crossdoc_gram_table(population)
+            .groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("df"))
+        )
+
+    write_bucketed_table(
+        gdf(docs.where(~is_delta)), name, ["gram"], n_buckets=16, sort_cols=["gram"]
+    )
+    write_bucketed_table(
+        gdf(docs.where(is_n1)),
+        name,
+        ["gram"],
+        n_buckets=16,
+        sort_cols=["gram"],
+        mode="append",
+    )
+    merged = (
+        spark.table(name).groupBy("gram").agg(F.sum("df").cast("long").alias("df"))
+    )
+    write_bucketed_table(
+        merged, merged_name, ["gram"], n_buckets=16, sort_cols=["gram"]
+    )
+    return spark.table(merged_name)
+
+
 def dedup_simhash_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit xxhash64 fingerprint, 4-block
     pigeonhole bucketing, hamming <= 3) — the production hash family,

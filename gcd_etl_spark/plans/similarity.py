@@ -634,6 +634,90 @@ def sim_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_bound(ann, exact)
 
 
+#: vec_id % EMB_DELTA_MOD == 0 -> "tonight's new vectors"; everything
+#: else is the standing corpus the quantizers were trained on.
+EMB_DELTA_MOD = 7
+
+_APPEND_RECALL_ORACLE = f"""
+SELECT vec_id AS query_id, CAST({TOP_K} AS BIGINT) AS n_exact,
+       1 AS recall_floor_ok, 1 AS delta_reachable
+FROM embeddings WHERE vec_id < {N_QUERIES}
+"""
+
+
+@query("sim_ann_ivfpq_index_append", oracle=_APPEND_RECALL_ORACLE)
+def sim_ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UPDATE path of the ANN index lifecycle — the similarity
+    twin of dedup_index_append_cycle: new vectors
+    (``vec_id % EMB_DELTA_MOD == 0``) are encoded with the FROZEN
+    corpus-trained quantizers (centroids + PQ codebooks — the FAISS
+    operational pattern: you do NOT retrain per ingest; you monitor
+    drift and retrain on a schedule) and their 8-byte codes land via
+    a bucketed APPEND into the cell-bucketed code table, so queries
+    immediately see them. Held to two gates in the hashed result: the
+    exact recall@10 floor against brute force over the FULL corpus
+    (old + new — an append-less index is structurally unable to
+    return new vectors, dragging recall), and delta_reachable = at
+    least one appended vector actually surfaces in the ANN top-k
+    (deterministic per fixture; 10/2/9 hits at sf 0.001/0.01/0.1).
+    Cycle table rebuilt per run BY DESIGN (the subject is the
+    append; staged-once serving is sim_ann_ivfpq_persisted's pin).
+    Append preserves the bucket spec — co-location pinned in
+    tests/test_round10.py."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % EMB_DELTA_MOD == 0
+    corpus, delta = emb.where(~is_delta), emb.where(is_delta)
+
+    centroids = S.train_coarse_centroids(corpus, n_cells=16, dim=EMB_DIM)
+    if centroids.size == 0:
+        return spark.createDataFrame(
+            [],
+            "query_id long, n_exact bigint, recall_floor_ok int, "
+            "delta_reachable int",
+        )
+    codebooks = S.pq_train_codebooks(corpus, centroids)
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    name = f"ivfpq_cycle_codes_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+    write_bucketed_table(
+        S.pq_encode(corpus, centroids, codebooks),
+        name,
+        ["cell"],
+        n_buckets=16,
+        sort_cols=["cell"],
+    )
+    # the append: tonight's vectors, frozen quantizers, same bucket spec
+    write_bucketed_table(
+        S.pq_encode(delta, centroids, codebooks),
+        name,
+        ["cell"],
+        n_buckets=16,
+        sort_cols=["cell"],
+        mode="append",
+    )
+    ann = S.pq_adc_topk(
+        spark.table(name), _query_set(emb), centroids, codebooks, nprobe=4, k=TOP_K
+    )
+    # control-plane reachability probe (1-row answer, like watermarks)
+    reach = (
+        ann.where(F.col("neighbor_id") % EMB_DELTA_MOD == 0).limit(1).count() > 0
+    )
+    exact = S.brute_force_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
+    return _recall_bound(ann, exact).withColumn(
+        "delta_reachable", F.lit(1 if reach else 0)
+    )
+
+
 # ------------------------------------------- power-iteration PCA
 #: Fixed power-method budget (static job graph + unrollable oracle).
 PCA_ITERS = 3

@@ -78,6 +78,8 @@ TARGETS = {
     "dedup_crossdoc_delta": ["documents"],
     "dedup_index_compaction": ["documents"],
     "dedup_gram_index_update_cycle": ["documents"],
+    "dedup_gram_index_merge": ["documents"],
+    "sim_ann_ivfpq_index_append": ["embeddings"],
 }
 
 ALL_TABLES = [

@@ -23,6 +23,7 @@ QUADRATIC_ANCHORS = {
     "sim_ann_ivf",  # embeds the exact baseline as recall denominator
     "sim_ann_ivfpq_recall",  # embeds the exact baseline as recall denominator
     "sim_ann_ivfpq_persisted",  # same recall denominator, persisted index
+    "sim_ann_ivfpq_index_append",  # same recall denominator, appended index
     "sim_ann_ivfsq8_recall",  # embeds the exact baseline as recall denominator
     "sim_ann_ivfsq8_persisted",  # same recall denominator, persisted index
     "dedup_ngram_jaccard",  # all-pairs Jaccard ground truth

@@ -388,3 +388,40 @@ def test_gram_update_cycle_catches_cross_night_spans(spark):
     # night 2 sees the updated index: the planted gram's 1 window slot
     # (per doc) is shared ONLY because night 1's DFs were appended
     assert n2["shared_slots"] >= 1, n2
+
+
+def test_gram_merge_zero_exchange_and_one_file_per_bucket(spark, sf_smoke):
+    """The merge's two scale claims, pinned: the generation-fold
+    aggregation plans ZERO exchanges (gram-bucketed source), and the
+    merged table lands as exactly one file per bucket."""
+    import os
+    import re
+
+    from gcd_etl_spark.sources.sinks import count_table_data_files
+
+    QUERIES["dedup_gram_index_merge"].build(spark, sf_smoke).limit(1).collect()
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    name = f"gram_df_idx_merge_{tag}"
+    agg = spark.table(name).groupBy("gram").agg({"df": "sum"})
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert count_table_data_files(spark, f"{name}_merged") == 16
+
+
+def test_ann_index_append_colocation_and_flags(spark, sf_smoke):
+    """The ANN append's claims, pinned: the appended code table still
+    plans zero-exchange cell aggregations (bucket spec survived the
+    append), and the registered query's gates read 1."""
+    import os
+    import re
+
+    rows = QUERIES["sim_ann_ivfpq_index_append"].build(spark, sf_smoke).collect()
+    assert len(rows) == 5
+    assert all(r["recall_floor_ok"] == 1 for r in rows)
+    assert all(r["delta_reachable"] == 1 for r in rows)
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    t = spark.table(f"ivfpq_cycle_codes_{tag}")
+    plan = (
+        t.groupBy("cell").count()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
