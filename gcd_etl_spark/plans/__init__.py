@@ -70,6 +70,8 @@ _DRIVER_WINDOW = [
     "dedup_index_compaction",
     "dedup_gram_index_update_cycle",
     "dedup_gram_index_merge",
+    "dedup_semantic_delta_vs_corpus",
+    "stream_semantic_dedup_gate",
     "sim_ann_ivfpq_index_append",
     "sim_ann_ivfpq_recall",
     "sim_ann_ivfpq_persisted",

@@ -1371,6 +1371,159 @@ WHERE dot > 0
 """
 
 
+def _srp_delta_oracle() -> str:
+    """Delta-vs-corpus SRP dedup restated in DuckDB: identical
+    quantization / bucket / verify expressions as _srp_oracle (shared
+    builders), candidate predicate = one side tonight's delta
+    (``vec_id % DELTA_MOD == 0``), other side the standing corpus."""
+    pair_dot = " + ".join(f"p.qa[{i}] * p.qb[{i}]" for i in range(1, _SRP_DIM + 1))
+    buckets = ", ".join(
+        f"{_srp_bucket_sql(t, True)} AS b{t}" for t in range(SRP_TABLES)
+    )
+    any_shared = " OR ".join(f"a.b{t} = c.b{t}" for t in range(SRP_TABLES))
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, qv, CAST({_srp_self_dot(True)} AS BIGINT) AS nrm, {buckets}
+  FROM e
+),
+p AS (
+  SELECT a.vec_id AS delta_id, c.vec_id AS corpus_id,
+         a.qv AS qa, c.qv AS qb, a.nrm AS na, c.nrm AS nb
+  FROM b a JOIN b c
+    ON a.vec_id % {DELTA_MOD} = 0 AND c.vec_id % {DELTA_MOD} <> 0
+   AND ({any_shared})
+),
+v AS (
+  SELECT delta_id, corpus_id, CAST({pair_dot} AS BIGINT) AS dot, na, nb
+  FROM p
+)
+SELECT delta_id, corpus_id, dot,
+       CAST(floor(CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+FROM v
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= {SRP_COS2} * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+"""
+
+
+def ensure_srp_bucket_index(
+    spark: SparkSession, sf_dir: str, corpus_emb: DataFrame
+) -> DataFrame:
+    """The persisted SRP bucket index of the standing embedding
+    corpus — the SemDeDup lifecycle's storage half, mirroring
+    ensure_corpus_band_index: (corpus_id, t, bk) staged once per
+    (sf dir, data fingerprint) as a bk-bucketed table. The nightly
+    delta path and the streaming ingest gate both probe it, so
+    neither ever re-projects the corpus through the hyperplanes."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    name = f"srp_bucket_idx_{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
+    if not spark.catalog.tableExists(name):
+        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+        tb = _srp_bucket_frame(corpus_emb, SRP_BITS, SRP_TABLES).select(
+            F.col("vec_id").alias("corpus_id"), F.posexplode("bks").alias("t", "bk")
+        )
+        write_bucketed_table(tb, name, ["bk"], n_buckets=16, sort_cols=["bk"])
+    return spark.table(name)
+
+
+def _srp_verify_delta(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """Exact integer-dot verification of (delta_id, corpus_id)
+    candidates: vectors re-attached by id equi-joins against the
+    embeddings table (the index holds only bucket ids — the verify
+    never depends on how candidates were generated), same accept rule
+    and emitted columns as the anchor family."""
+    from gcd_etl_spark.functions.vector import dot_fixed_long
+
+    q = _srp_quant_frame(read_table_spread(spark, sf_dir, "embeddings"))
+    pairs = cand.join(
+        q.select(
+            F.col("vec_id").alias("delta_id"),
+            F.col("qv").alias("qa"),
+            F.col("nrm").alias("na"),
+        ),
+        "delta_id",
+    ).join(
+        q.select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("qv").alias("qb"),
+            F.col("nrm").alias("nb"),
+        ),
+        "corpus_id",
+    )
+    dot = dot_fixed_long("qa", "qb", _SRP_DIM)
+    v = pairs.select("delta_id", "corpus_id", dot.alias("dot"), "na", "nb")
+    dd = F.col("dot").cast("double")
+    return v.where(
+        (F.col("dot") > 0)
+        & (
+            dd * dd
+            >= F.lit(SRP_COS2)
+            * F.col("na").cast("double")
+            * F.col("nb").cast("double")
+        )
+    ).select(
+        "delta_id",
+        "corpus_id",
+        "dot",
+        F.floor(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("cos_ppm"),
+    )
+
+
+@query("dedup_semantic_delta_vs_corpus", oracle=_srp_delta_oracle())
+def dedup_semantic_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup — SemDeDup at the nightly boundary:
+    which newly-embedded documents (``vec_id % DELTA_MOD == 0``)
+    semantically near-duplicate something in the standing corpus
+    (cosine >= 0.40 on the portable SRP family), WITHOUT re-projecting
+    the corpus through the 48 hyperplanes: the corpus's SRP buckets
+    are read from the persisted bk-bucketed index
+    (ensure_srp_bucket_index), the delta's buckets are one Arrow
+    matmul over O(delta) rows, candidates come from broadcasting the
+    delta's (t, bk) rows against the index scan, and the exact
+    integer-dot verify re-attaches vectors by id. Per-night cost is
+    O(delta + probe); the oracle is the full SRP restatement with the
+    delta/corpus candidate predicate — exact value parity including
+    the rounded cos_ppm."""
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % DELTA_MOD == 0
+    idx = ensure_srp_bucket_index(spark, sf_dir, emb.where(~is_delta))
+    delta_tb = _srp_bucket_frame(emb.where(is_delta), SRP_BITS, SRP_TABLES).select(
+        F.col("vec_id").alias("delta_id"), F.posexplode("bks").alias("t", "bk")
+    )
+    cand = (
+        idx.join(F.broadcast(delta_tb), ["t", "bk"])
+        .select("delta_id", "corpus_id")
+        .dropDuplicates(["delta_id", "corpus_id"])
+    )
+    return _srp_verify_delta(spark, sf_dir, cand)
+
+
 @query("dedup_semantic_srp", oracle=_srp_oracle())
 def dedup_semantic_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) near-duplicate pairs via PORTABLE
@@ -1423,6 +1576,55 @@ def dedup_semantic_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_quant_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, qv, nrm): the exact integer-quantized vector (1e6
+    fixed point, the SRP family's only float->int step) and its
+    int64 self-dot — the verify-side attachment every SRP pipeline
+    stage shares."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * 1_000_000 + 0.5).cast("long"),
+        ).alias("qv"),
+    ).select(
+        "vec_id",
+        "qv",
+        F.expr(f"CAST({_srp_self_dot(False)} AS BIGINT)").alias("nrm"),
+    )
+
+
+def _srp_bucket_frame(emb: DataFrame, bits: int, n_tables: int) -> DataFrame:
+    """(vec_id, qv, nrm, bks): quantized vector + per-table SRP bucket
+    ids, all ``n_tables x bits`` sign projections as ONE Arrow-batched
+    exact int64 matmul (see _srp_accepted's docstring for why not
+    literal SQL). Shared by the self-join anchor, the delta-vs-corpus
+    path, the persisted bucket index build, and the streaming gate —
+    the four can never bucket differently."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    signs = np.asarray(
+        [[_srp_signs(t, j) for j in range(bits)] for t in range(n_tables)],
+        dtype=np.int64,
+    ).reshape(n_tables * bits, _SRP_DIM)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(qv):
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        m = np.asarray(qv.tolist(), dtype=np.int64)
+        hits = (m @ signs.T) >= 0
+        packed = hits.reshape(len(m), n_tables, bits) @ weights
+        return pd.Series(list(packed))
+
+    return _srp_quant_frame(emb).select(
+        "vec_id", "qv", "nrm", _buckets("qv").alias("bks")
+    )
+
+
 def _srp_accepted(
     spark: SparkSession, sf_dir: str, bits: int, n_tables: int
 ) -> DataFrame:
@@ -1451,36 +1653,8 @@ def _srp_accepted(
     fallback is ~0 at fixture scale because the candidate stream is
     the narrow (id, id) set.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    e = read_table_spread(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda v: F.floor(v.cast("double") * 1_000_000 + 0.5).cast("long")
-        ).alias("qv"),
-    )
-    signs = np.asarray(
-        [[_srp_signs(t, j) for j in range(bits)] for t in range(n_tables)],
-        dtype=np.int64,
-    ).reshape(n_tables * bits, _SRP_DIM)
-    weights = 1 << np.arange(bits, dtype=np.int64)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _buckets(qv):
-        if len(qv) == 0:
-            return pd.Series([], dtype=object)
-        m = np.asarray(qv.tolist(), dtype=np.int64)
-        hits = (m @ signs.T) >= 0
-        packed = hits.reshape(len(m), n_tables, bits) @ weights
-        return pd.Series(list(packed))
-
-    b = e.select(
-        "vec_id",
-        "qv",
-        F.expr(f"CAST({_srp_self_dot(False)} AS BIGINT)").alias("nrm"),
-        _buckets("qv").alias("bks"),
+    b = _srp_bucket_frame(
+        read_table_spread(spark, sf_dir, "embeddings"), bits, n_tables
     ).localCheckpoint(eager=False)
     # ONE self-join on the exploded (table, bucket) key instead of a
     # per-table join loop: T joins made the logical plan (and its

@@ -555,3 +555,95 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = stream.writeStream.foreachBatch(dedup_batch).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(out_root).select("delta_id", "corpus_id", "jaccard")
+
+
+# ----------------- streaming SEMANTIC dedup gate (SemDeDup at ingest)
+def semantic_gate_batch_fn(spark, sf_dir: str, idx: DataFrame, out_root: str):
+    """foreachBatch worker for the semantic ingest gate, shared with
+    tests: SRP-bucket the batch's embeddings (one Arrow matmul over
+    O(batch) rows), broadcast its (t, bk) rows against the persisted
+    corpus bucket index, exact-integer-dot verify, OVERWRITE the
+    batch's own batch_id-keyed partition dir (idempotent under
+    at-least-once redelivery — the dedup gate's sink pattern)."""
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.plans.dedup import (
+        SRP_BITS,
+        SRP_TABLES,
+        _srp_bucket_frame,
+        _srp_verify_delta,
+    )
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        delta_tb = _srp_bucket_frame(batch, SRP_BITS, SRP_TABLES).select(
+            F.col("vec_id").alias("delta_id"), F.posexplode("bks").alias("t", "bk")
+        )
+        cand = (
+            idx.join(F.broadcast(delta_tb), ["t", "bk"])
+            .select("delta_id", "corpus_id")
+            .dropDuplicates(["delta_id", "corpus_id"])
+        )
+        _srp_verify_delta(spark, sf_dir, cand).write.mode("overwrite").parquet(
+            f"{out_root}/batch_id={batch_id}"
+        )
+
+    return gate_batch
+
+
+def _semantic_gate_oracle() -> str:
+    from gcd_etl_spark.plans.dedup import _srp_delta_oracle
+
+    return _srp_delta_oracle()
+
+
+@query("stream_semantic_dedup_gate", oracle=_semantic_gate_oracle())
+def stream_semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of dedup_semantic_delta_vs_corpus — SemDeDup
+    as an ingest gate: newly-embedded documents arrive as file-source
+    micro-batches and each batch is checked for semantic near-dups
+    (cosine >= 0.40, portable SRP family) against the PERSISTED corpus
+    bucket index inside foreachBatch. Per-arrival cost is O(batch) +
+    one index probe; the corpus is never re-projected through the
+    hyperplanes; state lives in the storage layer (bucket index +
+    per-batch verdict partitions), so the gate restarts for free and
+    batch boundaries cannot change the answer (per-vector verdicts
+    are independent; the union over any batching equals the one-shot
+    nightly result — the oracle IS the nightly query's oracle,
+    value-hash exact including the rounded cos_ppm)."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.plans.dedup import DELTA_MOD, ensure_srp_bucket_index
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % DELTA_MOD == 0
+    idx = ensure_srp_bucket_index(spark, sf_dir, emb.where(~is_delta))
+
+    tag = "{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"), uuid.uuid4().hex[:8]
+    )
+    staged = f"/tmp/gcd_etl_stream_semgate_{tag}"
+    out_root = f"/tmp/gcd_etl_stream_semgate_out_{tag}"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(out_root, ignore_errors=True)
+    delta = emb.where(is_delta)
+    delta.repartition(4).write.parquet(staged)
+    spark.createDataFrame(
+        [], "delta_id long, corpus_id long, dot long, cos_ppm long"
+    ).write.parquet(f"{out_root}/batch_id=-1")
+
+    gate = semantic_gate_batch_fn(spark, sf_dir, idx, out_root)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_root).select(
+        "delta_id", "corpus_id", "dot", "cos_ppm"
+    )

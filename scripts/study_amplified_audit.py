@@ -80,6 +80,8 @@ TARGETS = {
     "dedup_gram_index_update_cycle": ["documents"],
     "dedup_gram_index_merge": ["documents"],
     "sim_ann_ivfpq_index_append": ["embeddings"],
+    "dedup_semantic_delta_vs_corpus": ["embeddings"],
+    "stream_semantic_dedup_gate": ["embeddings"],
 }
 
 ALL_TABLES = [

@@ -425,3 +425,67 @@ def test_ann_index_append_colocation_and_flags(spark, sf_smoke):
         t.groupBy("cell").count()._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+# ------------------- semantic dedup lifecycle (SemDeDup gate family)
+
+
+def test_semantic_gate_stream_matches_nightly(spark, sf_smoke):
+    """Batch/stream unification for the SEMANTIC ingest gate: the
+    union of streaming micro-batch verdicts must equal the one-shot
+    nightly delta query exactly (per-vector verdicts are independent,
+    so batching cannot change the answer) — and non-vacuously."""
+    s = sorted(
+        map(
+            tuple,
+            QUERIES["stream_semantic_dedup_gate"].build(spark, sf_smoke).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            QUERIES["dedup_semantic_delta_vs_corpus"]
+            .build(spark, sf_smoke)
+            .collect(),
+        )
+    )
+    assert s == b
+    assert s, "fixture produced no semantic delta-vs-corpus pairs — vacuous"
+
+
+def test_semantic_delta_never_reprojects_corpus(spark, sf_smoke):
+    """The 100 TB property: the nightly plan reads the PERSISTED SRP
+    bucket index (never re-projecting the corpus through the
+    hyperplanes — the delta side is the only bucket computation) and
+    a rebuild reuses the staged index files."""
+    import contextlib
+    import io
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+
+    df = QUERIES["dedup_semantic_delta_vs_corpus"].build(spark, sf_smoke)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "srp_bucket_idx_" in plan, plan[:2000]
+    # the only Arrow eval stage(s) are the delta branch's stacked
+    # pair (Spark splits the quant+bucket UDF chain into two eval
+    # nodes over the SAME delta scan); a corpus re-projection would
+    # add a third node id on the index side of the join
+    node_ids = set(re.findall(r"ArrowEvalPython \(\d+\)", plan))
+    assert len(node_ids) <= 2, (node_ids, plan[:2000])
+    assert "BroadcastHashJoin" in plan
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    idx_dir = os.path.join(
+        warehouse,
+        f"srp_bucket_idx_{tag}_{table_fingerprint(sf_smoke, 'embeddings')}",
+    )
+    files_before = sorted(os.listdir(idx_dir))
+    QUERIES["dedup_semantic_delta_vs_corpus"].build(spark, sf_smoke)
+    files_after = sorted(os.listdir(idx_dir))
+    assert files_before == files_after
