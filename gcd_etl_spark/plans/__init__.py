@@ -66,6 +66,11 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 _DRIVER_WINDOW = [
     # --- (a) round-10 registrants + conversions: first driver rows
     #     under the new oracled semantics ---
+    "corpus_shuffle_shards",
+    "quality_bigram_nll",
+    "sample_temperature_mix",
+    "stat_zipf_fit",
+    "sim_bitext_margin",
     "dedup_crossdoc_delta",
     "dedup_index_compaction",
     "dedup_gram_index_update_cycle",

@@ -1230,3 +1230,157 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.desc("pmi_micro"), F.asc("bigram")))
         .cast("long"),
     )
+
+
+# ------------------------------------------- training-order shuffle
+#: Shard fan-out for the deterministic epoch shuffle. At 100 TB this
+#: is tens of thousands; the fixture keeps the per-shard window
+#: readable. Epoch reshuffle = bump the seed string — no state, no
+#: data dependency between epochs.
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = "epoch0"
+
+_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuf:{SHUFFLE_SEED}:'
+              || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hv % {SHUFFLE_SHARDS}
+                               ORDER BY hv, doc_id) AS BIGINT) AS pos
+FROM h
+"""
+
+
+@query("corpus_shuffle_shards", oracle=_SHUFFLE_ORACLE)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document is
+    assigned a shard and an intra-shard position by a seeded portable
+    md5 hash — the materialized random permutation a training loader
+    consumes (readers stream shard files in pos order; the epoch's
+    order is i.i.d.-like yet exactly reproducible on any engine).
+    No rand(), no driver state: a row's placement depends only on
+    (seed, doc_id), so a re-run, a retry, or a backfill lands every
+    doc in the same place.
+
+    Scale shape: ONE hash exchange on the shard key + a per-shard
+    sort for row_number — exactly the shuffle a writer needs anyway
+    to emit shard files; at 100 TB the shard count scales so each
+    sort fits an executor (no global single-partition order, unlike
+    a naive ORDER BY rand())."""
+    from pyspark.sql import Window as W
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"shuf:{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = docs.select("doc_id", hv.alias("hv"), (hv % SHUFFLE_SHARDS).alias("shard"))
+    pos = F.row_number().over(W.partitionBy("shard").orderBy("hv", "doc_id"))
+    return h.select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), pos.cast("long").alias("pos")
+    )
+
+
+# ---------------------------------------------- bigram LM scoring
+_BIGRAM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || chr(31) || toks[i + 1])) AS bg
+  FROM d
+),
+cb AS (SELECT bg, COUNT(*) AS c FROM bg GROUP BY bg),
+cu AS (
+  SELECT split_part(bg, chr(31), 1) AS p, CAST(SUM(c) AS BIGINT) AS cp
+  FROM cb GROUP BY 1
+),
+vv AS (
+  SELECT COUNT(DISTINCT w) AS vocab
+  FROM (SELECT unnest(toks) AS w FROM d)
+),
+cost AS (
+  SELECT cb.bg,
+         CAST(floor(-ln(CAST(cb.c + 1 AS DOUBLE) / (cu.cp + vv.vocab))
+                    * 1000000 + 0.5) AS BIGINT) AS nll_micro
+  FROM cb JOIN cu ON split_part(cb.bg, chr(31), 1) = cu.p
+  CROSS JOIN vv
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(cost.nll_micro) AS BIGINT) AS nll_total_micro,
+       CAST(SUM(cost.nll_micro) // COUNT(*) AS BIGINT) AS nll_mean_micro
+FROM bg b JOIN cost USING (bg)
+GROUP BY b.doc_id
+"""
+
+
+@query("quality_bigram_nll", oracle=_BIGRAM_ORACLE)
+def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring — quality_unigram_nll upgraded to
+    a conditional model: each adjacent pair (w_{i-1}, w_i) costs
+    -ln p(w_i | w_{i-1}) under the corpus's own Laplace-smoothed
+    bigram counts (p = (c(uv)+1) / (c(u·)+V)). Context-sensitive
+    cost separates fluent-but-rare wording from token salad — the
+    signal one smoothing step closer to KenLM than the unigram
+    filter. Costs are quantized to integer micro-units per DISTINCT
+    bigram, so per-document totals are exact integer sums (never an
+    order-dependent float reduction) and the mean is integer division.
+
+    Scale shape: the bigram table is the Zipf-small broadcast
+    artifact (like the unigram vocab, one power of context larger);
+    scoring = one count shuffle keyed on the bigram + one broadcast
+    join over the pair stream + one per-doc aggregate. Residual ln()
+    1-ulp risk at a .5 micro boundary accepted as in BM25/PSI."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    sep = "\x1f"
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
+        ),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    cu = cb.groupBy(F.split("bg", sep).getItem(0).alias("p")).agg(
+        F.sum("c").cast("bigint").alias("cp")
+    )
+    vv = (
+        docs.select(F.explode(toks).alias("w"))
+        .agg(F.countDistinct("w").alias("vocab"))
+    )
+    cost = (
+        cb.join(cu, F.split(cb.bg, sep).getItem(0) == cu.p)
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "bg",
+            F.floor(
+                -F.log((F.col("c") + 1).cast("double") / (F.col("cp") + F.col("vocab")))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(cost), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_micro").cast("bigint").alias("nll_total_micro"),
+            F.expr("sum(nll_micro) div count(1)").alias("nll_mean_micro"),
+        )
+    )

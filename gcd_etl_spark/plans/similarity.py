@@ -812,3 +812,187 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return v.select(F.col("j").alias("dim_idx"), F.col("v").cast("bigint").alias("component_milli"))
+
+
+# ----------------------------------------------- bitext margin mining
+#: Artetxe-Schwenk ratio-margin mining constants: top-K neighborhood
+#: for the margin denominator, the minimum margin (ppm) for an
+#: accepted pair, and the anchor's pair-count ceiling (the registered
+#: plan is the exact-scoring anchor; at corpus scale the candidate
+#: pairs come from the IVF shortlist instead of A x B).
+BITEXT_K = 4
+BITEXT_MARGIN_MIN_PPM = 1_050_000
+BITEXT_ANCHOR_MAX_PAIRS = 10_000_000
+
+
+def _bitext_oracle() -> str:
+    pair_dot = " + ".join(f"p.qa[{i}] * p.qb[{i}]" for i in range(1, EMB_DIM + 1))
+    self_dot = " + ".join(f"qv[{i}] * qv[{i}]" for i in range(1, EMB_DIM + 1))
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, label, qv, CAST({self_dot} AS BIGINT) AS nrm FROM e
+),
+p AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS tgt_id,
+         a.qv AS qa, c.qv AS qb, a.nrm AS na, c.nrm AS nb
+  FROM b a JOIN b c ON a.label % 2 = 0 AND c.label % 2 = 1
+),
+v AS (
+  SELECT src_id, tgt_id, CAST({pair_dot} AS BIGINT) AS dot, na, nb
+  FROM p
+),
+cosv AS (
+  SELECT src_id, tgt_id,
+         CAST(floor(CAST(dot AS DOUBLE)
+                    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+  FROM v WHERE dot > 0 AND na > 0 AND nb > 0
+),
+ranked AS (
+  SELECT src_id, tgt_id, cos_ppm,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY cos_ppm DESC, tgt_id) AS rk_s,
+         ROW_NUMBER() OVER (PARTITION BY tgt_id
+                            ORDER BY cos_ppm DESC, src_id) AS rk_t
+  FROM cosv
+),
+ax AS (
+  SELECT src_id, CAST(SUM(cos_ppm) AS BIGINT) AS asum
+  FROM ranked WHERE rk_s <= {BITEXT_K} GROUP BY src_id
+),
+ay AS (
+  SELECT tgt_id, CAST(SUM(cos_ppm) AS BIGINT) AS bsum
+  FROM ranked WHERE rk_t <= {BITEXT_K} GROUP BY tgt_id
+),
+m AS (
+  SELECT r.src_id, r.tgt_id, r.cos_ppm,
+         CAST(r.cos_ppm * {2 * BITEXT_K * 1_000_000} // (ax.asum + ay.bsum)
+              AS BIGINT) AS margin_ppm
+  FROM ranked r
+  JOIN ax ON r.src_id = ax.src_id
+  JOIN ay ON r.tgt_id = ay.tgt_id
+  WHERE ax.asum + ay.bsum > 0
+),
+best AS (
+  SELECT src_id, tgt_id, cos_ppm, margin_ppm,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY margin_ppm DESC, tgt_id) AS pick
+  FROM m
+)
+SELECT src_id, tgt_id, cos_ppm, margin_ppm
+FROM best WHERE pick = 1 AND margin_ppm >= {BITEXT_MARGIN_MIN_PPM}
+"""
+
+
+@query("sim_bitext_margin", oracle=_bitext_oracle())
+def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk / LASER,
+    CCMatrix): the parallel-corpus miner of a multilingual training
+    pipeline. Even labels play the source language, odd labels the
+    target; each cross pair is scored by exact integer-quantized
+    cosine, and a pair is accepted when its RATIO MARGIN — cosine
+    over the mean of both endpoints' top-K neighborhoods — clears
+    the threshold, which suppresses hub vectors that plain cosine
+    thresholds mis-mine. One best target per source, deterministic
+    tie-breaks, all post-cosine arithmetic in exact integers, so the
+    full miner sits under a value-hash oracle.
+
+    Scale shape: this is the exact-scoring ANCHOR (pair count
+    guarded at 10,000,000); the production path feeds the same
+    margin arithmetic from the IVF shortlist
+    (sim_ann_ivfpq_persisted) instead of A x B — neighborhood sums
+    are then over the shortlist, as in CCMatrix. Margin windows
+    shuffle only on src/tgt id equi-keys."""
+    from pyspark.sql import Window as W
+
+    from gcd_etl_spark.functions.vector import dot_fixed_long
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda v: F.floor(v.cast("double") * 1_000_000 + 0.5).cast("long")
+        ).alias("qv"),
+    ).select(
+        "vec_id",
+        "label",
+        "qv",
+        dot_fixed_long("qv", "qv", EMB_DIM).alias("nrm"),
+    )
+    a = q.where(F.col("label") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), F.col("qv").alias("qa"), F.col("nrm").alias("na")
+    )
+    b = q.where(F.col("label") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("qv").alias("qb"), F.col("nrm").alias("nb")
+    )
+    n_a, n_b = a.count(), b.count()
+    if n_a * n_b > BITEXT_ANCHOR_MAX_PAIRS:
+        raise ValueError(
+            f"sim_bitext_margin is the exact-scoring anchor; refusing "
+            f"{n_a} x {n_b} pairs (max {BITEXT_ANCHOR_MAX_PAIRS}); feed the "
+            f"margin arithmetic from the IVF shortlist "
+            f"(sim_ann_ivfpq_persisted) at this scale"
+        )
+    dot = dot_fixed_long("qa", "qb", EMB_DIM)
+    cosv = (
+        a.crossJoin(F.broadcast(b))
+        .select("src_id", "tgt_id", dot.alias("dot"), "na", "nb")
+        .where((F.col("dot") > 0) & (F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "src_id",
+            "tgt_id",
+            F.floor(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("cos_ppm"),
+        )
+    )
+    rk_s = F.row_number().over(
+        W.partitionBy("src_id").orderBy(F.col("cos_ppm").desc(), F.col("tgt_id").asc())
+    )
+    rk_t = F.row_number().over(
+        W.partitionBy("tgt_id").orderBy(F.col("cos_ppm").desc(), F.col("src_id").asc())
+    )
+    ranked = cosv.select("src_id", "tgt_id", "cos_ppm", rk_s.alias("rk_s"), rk_t.alias("rk_t"))
+    ax = (
+        ranked.where(F.col("rk_s") <= BITEXT_K)
+        .groupBy("src_id")
+        .agg(F.sum("cos_ppm").cast("bigint").alias("asum"))
+    )
+    ay = (
+        ranked.where(F.col("rk_t") <= BITEXT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_ppm").cast("bigint").alias("bsum"))
+    )
+    m = (
+        ranked.join(ax, "src_id")
+        .join(ay, "tgt_id")
+        .where(F.col("asum") + F.col("bsum") > 0)
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_ppm",
+            F.expr(
+                f"cos_ppm * {2 * BITEXT_K * 1_000_000}L div (asum + bsum)"
+            ).alias("margin_ppm"),
+        )
+    )
+    pick = F.row_number().over(
+        W.partitionBy("src_id").orderBy(F.col("margin_ppm").desc(), F.col("tgt_id").asc())
+    )
+    return (
+        m.withColumn("pick", pick)
+        .where((F.col("pick") == 1) & (F.col("margin_ppm") >= BITEXT_MARGIN_MIN_PPM))
+        .select("src_id", "tgt_id", "cos_ppm", F.col("margin_ppm").cast("long").alias("margin_ppm"))
+    )

@@ -1273,3 +1273,92 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_num",
         "d_ppm",
     )
+
+
+# ------------------------------------------------------- Zipf fit
+_ZIPF_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+_ZIPF_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_ZIPF_TOKS}) AS w FROM documents
+),
+v AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM v),
+q AS (
+  SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM r
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT n AS n_vocab,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+            AS BIGINT) AS slope_ppm,
+       CAST(floor(CAST(sy AS DOUBLE) / n
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / n) + 0.5)
+            AS BIGINT) AS intercept_micro
+FROM s
+"""
+
+
+@query("stat_zipf_fit", oracle=_ZIPF_ORACLE)
+def stat_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS of ln(frequency)
+    on ln(rank) — the one-number sanity check of a text corpus (a
+    natural corpus fits slope ~ -1; a slope collapsing toward 0
+    flags template/boilerplate floods, a cliff past -1.5 flags
+    vocabulary starvation). Ranks are a total order (count DESC,
+    token), each token's (ln rank, ln count) pair is quantized to
+    integer micro-units row-locally, and all OLS moments are exact
+    integer sums — the stat_corr_exact stance: the only float work
+    is a fixed scalar IEEE expression on already-exact moments, so
+    the ppm outputs are deterministic cross-engine.
+
+    Scale shape: one count shuffle on the token, one vocab-sized
+    rank window (Zipf-small; at web scale the vocab is millions of
+    rows while the corpus is trillions — the window runs on the
+    small side), one 1-row moment aggregate."""
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    v = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w").asc()))
+    q = v.select(
+        F.floor(F.log(rk.cast("double")) * 1_000_000 + 0.5).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        F.floor(slope * 1_000_000 + 0.5).cast("bigint").alias("slope_ppm"),
+        F.floor(
+            F.col("sy").cast("double") / F.col("n")
+            - slope * (F.col("sx").cast("double") / F.col("n"))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("intercept_micro"),
+    )

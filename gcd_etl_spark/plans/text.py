@@ -452,3 +452,108 @@ def sample_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sample_rank") <= 20)
         .select("lang", "doc_id", "sample_rank")
     )
+
+
+# ------------------------------------------- temperature-scaled mix
+#: alpha = 0.5 sampling temperature (sqrt scaling) and the overall
+#: keep budget in ppm of the corpus — the mT5/XLM-R multilingual
+#: recipe: low-resource sources are UP-weighted relative to their
+#: share because quota ~ n_s^alpha, not n_s.
+TEMP_KEEP_PPM = 300_000
+
+_TEMP_MIX_ORACLE = f"""
+WITH s AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+  FROM s
+),
+tot AS (
+  SELECT CAST(SUM(w_micro) AS BIGINT) AS wsum,
+         CAST(SUM(n_s) AS BIGINT) AS n_total
+  FROM w
+),
+q AS (
+  SELECT source, n_s, w_micro,
+         CAST((n_total * {TEMP_KEEP_PPM} // 1000000) * w_micro // wsum AS BIGINT)
+           AS quota
+  FROM w CROSS JOIN tot
+),
+h AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM documents
+),
+r AS (
+  SELECT h.doc_id, h.source, q.quota, q.n_s,
+         ROW_NUMBER() OVER (PARTITION BY h.source ORDER BY hv, doc_id) AS rk
+  FROM h JOIN q USING (source)
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+       CAST(n_s AS BIGINT) AS n_source, quota
+FROM r WHERE rk <= quota
+"""
+
+
+@query("sample_temperature_mix", oracle=_TEMP_MIX_ORACLE)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (alpha = 0.5): each
+    source's keep-quota is proportional to n_s^alpha rather than n_s
+    — the standard multilingual/domain rebalancing formula (mT5,
+    XLM-R), which up-weights low-resource sources without letting
+    any single head domain dominate the mix. Unlike
+    corpus_mix_sampling (fixed per-class ppm), the quota here is
+    COMPUTED from the observed counts, so the same plan adapts as
+    the corpus grows. Membership is bottom-rank by the portable md5
+    hash, so the selected set is deterministic across engines, runs
+    and partitionings; sqrt on an exact integer count is one
+    correctly-rounded IEEE op, deterministic cross-engine.
+
+    Scale shape: the per-source counts and quotas are a
+    sources-sized broadcast artifact; selection is one rank window
+    per source (at 100 TB: per-partition bottom-k + re-merge, the
+    sample_reservoir_per_group note applies verbatim)."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+    from pyspark.sql import Window
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = s.select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    tot = w.agg(
+        F.sum("w_micro").cast("bigint").alias("wsum"),
+        F.sum("n_s").cast("bigint").alias("n_total"),
+    )
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.expr(
+            f"(n_total * {TEMP_KEEP_PPM} div 1000000) * w_micro div wsum"
+        ).alias("quota"),
+    )
+    h = docs.select(
+        "doc_id",
+        "source",
+        portable_hash64(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))).alias("hv"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("hv").asc(), F.col("doc_id").asc())
+    )
+    return (
+        h.join(F.broadcast(q), "source")
+        .withColumn("rk", rk)
+        .where(F.col("rk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("n_s").cast("long").alias("n_source"),
+            F.col("quota").cast("long").alias("quota"),
+        )
+    )

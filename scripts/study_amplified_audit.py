@@ -82,6 +82,15 @@ TARGETS = {
     "sim_ann_ivfpq_index_append": ["embeddings"],
     "dedup_semantic_delta_vs_corpus": ["embeddings"],
     "stream_semantic_dedup_gate": ["embeddings"],
+    # round-10 second wave: loader/analysis plans over documents.
+    # sim_bitext_margin deliberately absent: like dedup_clusters it is
+    # the guarded exact-scoring anchor (quadratic by construction,
+    # refuses >10M pairs — 8x embeddings exceeds the guard by design);
+    # its scale path is the IVF shortlist.
+    "corpus_shuffle_shards": ["documents"],
+    "quality_bigram_nll": ["documents"],
+    "sample_temperature_mix": ["documents"],
+    "stat_zipf_fit": ["documents"],
 }
 
 ALL_TABLES = [
