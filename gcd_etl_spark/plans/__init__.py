@@ -71,6 +71,7 @@ _DRIVER_WINDOW = [
     "sample_temperature_mix",
     "stat_zipf_fit",
     "sim_bitext_margin",
+    "sim_bitext_margin_shortlist",
     "dedup_crossdoc_delta",
     "dedup_index_compaction",
     "dedup_gram_index_update_cycle",

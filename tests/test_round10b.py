@@ -20,6 +20,7 @@ _NEW = [
     "sample_temperature_mix",
     "stat_zipf_fit",
     "sim_bitext_margin",
+    "sim_bitext_margin_shortlist",
 ]
 
 
@@ -120,7 +121,7 @@ def test_bitext_anchor_guarded(spark, sf_smoke, monkeypatch):
     from gcd_etl_spark.plans import similarity as sim_plans
 
     monkeypatch.setattr(sim_plans, "BITEXT_ANCHOR_MAX_PAIRS", 10)
-    with pytest.raises(ValueError, match="sim_ann_ivfpq_persisted"):
+    with pytest.raises(ValueError, match="sim_bitext_margin_shortlist"):
         QUERIES["sim_bitext_margin"].build(spark, sf_smoke)
 
 
