@@ -72,6 +72,9 @@ _DRIVER_WINDOW = [
     "stat_zipf_fit",
     "sim_bitext_margin",
     "sim_bitext_margin_shortlist",
+    "corpus_shuffle_shards_write",
+    "stat_heaps_fit",
+    "quality_bigram_nll_delta",
     "dedup_crossdoc_delta",
     "dedup_index_compaction",
     "dedup_gram_index_update_cycle",

@@ -1384,3 +1384,259 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(nll_micro) div count(1)").alias("nll_mean_micro"),
         )
     )
+
+
+#: Rotation size for the materialized shard files — small enough that
+#: rotation actually fires on the fixture (500 docs / 8 shards ~= 62
+#: rows per shard -> ~2 files each); at 100 TB this is the usual
+#: file-size target expressed in records.
+SHUFFLE_WRITE_MAX_RECORDS = 32
+
+
+@query("corpus_shuffle_shards_write", oracle=_SHUFFLE_ORACLE)
+def corpus_shuffle_shards_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED half of the epoch shuffle — what a training
+    loader actually consumes: the (shard, pos) permutation lands as
+    shard-partitioned parquet (one directory per shard, pos-sorted
+    rows, record-count file rotation), is read BACK from those files,
+    and the read-back must value-match the computed permutation under
+    the same oracle — proving the storage hop loses and reorders
+    nothing (the gcd_snapshot_nightly_overwrite read-back discipline
+    applied to the loader artifact).
+
+    Scale shape: repartition BY the shard column (the write's own
+    distribution — one shuffle, same key the permutation already
+    sorts on), `sortWithinPartitions(shard, pos)` so every file is
+    loader-streamable in order, `maxRecordsPerFile` rotation for
+    bounded file sizes; readers of one epoch-shard touch exactly one
+    directory (partition pruning on shard)."""
+    import os as _os
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    staged = f"/tmp/gcd_etl_shards_{tag}"
+    perm = corpus_shuffle_shards(spark, sf_dir)
+    (
+        perm.repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", SHUFFLE_WRITE_MAX_RECORDS)
+        .partitionBy("shard")
+        .parquet(staged)
+    )
+    back = spark.read.parquet(staged)
+    return back.select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), F.col("pos").cast("long").alias("pos")
+    )
+
+
+# ------------------------------- frozen-LM delta scoring (lifecycle)
+def ensure_bigram_lm_index(
+    spark: SparkSession, sf_dir: str, corpus_docs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted bigram-LM artifact — the KenLM operational
+    pattern: the model TRAINS once on the standing corpus (one count
+    pass) and is staged as two fingerprint-keyed tables, then every
+    nightly delta and ingest gate scores against the FROZEN artifact
+    without ever re-counting the corpus. Returns (costs, contexts):
+    costs = (bg, nll_micro) for every corpus bigram; contexts =
+    (p, unseen_nll_micro) per corpus context — the Laplace cost of an
+    UNSEEN continuation, -ln(1/(c(p·)+V)) — plus one sentinel row
+    (p = '') carrying the unknown-context cost ln(V). Both bucketed
+    on their probe key."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    fp = table_fingerprint(sf_dir, "documents")
+    costs_name = f"bigram_lm_costs_{tag}_{fp}"
+    ctx_name = f"bigram_lm_ctx_{tag}_{fp}"
+    if not (
+        spark.catalog.tableExists(costs_name)
+        and spark.catalog.tableExists(ctx_name)
+    ):
+        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for n in (costs_name, ctx_name):
+            _shutil.rmtree(_os.path.join(warehouse, n.lower()), ignore_errors=True)
+        toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+        sep = "\x1f"
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
+            ),
+        )
+        bg = corpus_docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+        cu = cb.groupBy(F.split("bg", sep).getItem(0).alias("p")).agg(
+            F.sum("c").cast("bigint").alias("cp")
+        )
+        vv = (
+            corpus_docs.select(F.explode(toks).alias("w"))
+            .agg(F.countDistinct("w").alias("vocab"))
+        )
+        costs = (
+            cb.join(cu, F.split(cb.bg, sep).getItem(0) == cu.p)
+            .crossJoin(F.broadcast(vv))
+            .select(
+                "bg",
+                F.floor(
+                    -F.log(
+                        (F.col("c") + 1).cast("double")
+                        / (F.col("cp") + F.col("vocab"))
+                    )
+                    * 1_000_000
+                    + 0.5
+                )
+                .cast("bigint")
+                .alias("nll_micro"),
+            )
+        )
+        ctx = cu.crossJoin(F.broadcast(vv)).select(
+            "p",
+            F.floor(
+                F.log((F.col("cp") + F.col("vocab")).cast("double")) * 1_000_000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("unseen_nll_micro"),
+        )
+        sentinel = vv.select(
+            F.lit("").alias("p"),
+            F.floor(F.log(F.col("vocab").cast("double")) * 1_000_000 + 0.5)
+            .cast("bigint")
+            .alias("unseen_nll_micro"),
+        )
+        write_bucketed_table(costs, costs_name, ["bg"], n_buckets=16, sort_cols=["bg"])
+        write_bucketed_table(
+            ctx.unionByName(sentinel), ctx_name, ["p"], n_buckets=16, sort_cols=["p"]
+        )
+    return spark.table(costs_name), spark.table(ctx_name)
+
+
+def _bigram_delta_oracle() -> str:
+    from gcd_etl_spark.plans.dedup import DELTA_MOD
+
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+),
+corp_bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || chr(31) || toks[i + 1])) AS bg
+  FROM d WHERE doc_id % {DELTA_MOD} <> 0
+),
+cb AS (SELECT bg, COUNT(*) AS c FROM corp_bg GROUP BY bg),
+cu AS (
+  SELECT split_part(bg, chr(31), 1) AS p, CAST(SUM(c) AS BIGINT) AS cp
+  FROM cb GROUP BY 1
+),
+vv AS (
+  SELECT COUNT(DISTINCT w) AS vocab
+  FROM (SELECT unnest(toks) AS w FROM d WHERE doc_id % {DELTA_MOD} <> 0)
+),
+cost AS (
+  SELECT cb.bg,
+         CAST(floor(-ln(CAST(cb.c + 1 AS DOUBLE) / (cu.cp + vv.vocab))
+                    * 1000000 + 0.5) AS BIGINT) AS nll_micro
+  FROM cb JOIN cu ON split_part(cb.bg, chr(31), 1) = cu.p
+  CROSS JOIN vv
+),
+ctx AS (
+  SELECT p, CAST(floor(ln(CAST(cp + vv.vocab AS DOUBLE)) * 1000000 + 0.5)
+                 AS BIGINT) AS unseen_nll_micro
+  FROM cu CROSS JOIN vv
+),
+g AS (
+  SELECT CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS lnv
+  FROM vv
+),
+delta_bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || chr(31) || toks[i + 1])) AS bg
+  FROM d WHERE doc_id % {DELTA_MOD} = 0
+),
+scored AS (
+  SELECT b.doc_id,
+         COALESCE(cost.nll_micro, ctx.unseen_nll_micro, g.lnv) AS nll,
+         CAST(cost.bg IS NULL AS INT) AS unseen
+  FROM delta_bg b
+  LEFT JOIN cost USING (bg)
+  LEFT JOIN ctx ON split_part(b.bg, chr(31), 1) = ctx.p
+  CROSS JOIN g
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+       CAST(SUM(nll) AS BIGINT) AS nll_total_micro,
+       CAST(SUM(nll) // COUNT(*) AS BIGINT) AS nll_mean_micro
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("quality_bigram_nll_delta", oracle=_bigram_delta_oracle())
+def quality_bigram_nll_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly delta scoring under a FROZEN bigram LM — the
+    production form of quality_bigram_nll and the lifecycle pattern
+    of the dedup/ANN families applied to the quality filter: the LM
+    trains ONCE on the standing corpus (docs outside the delta
+    residue) and persists as two bucketed cost tables
+    (ensure_bigram_lm_index); each night only the delta documents
+    are tokenized and probed against the artifact. Unseen mass is
+    scored the Laplace way — a seen-context/unseen-continuation pair
+    costs -ln(1/(c(p·)+V)), an unknown context costs ln(V) — so the
+    frozen model assigns every possible delta bigram a finite,
+    deterministic integer cost, and n_unseen is reported per doc
+    (the drift signal that schedules retraining).
+
+    Scale shape: the staged LM is the broadcast artifact (Zipf-small
+    — this IS the shippable model, the KenLM posture); scoring is
+    one delta scan (residue filter pushed to parquet) + two
+    broadcast left joins + one per-doc aggregate. The corpus is
+    never re-counted — pinned by the plan test (zero corpus bigram
+    aggregations when the index exists, staged files byte-stable
+    across builds)."""
+    from gcd_etl_spark.plans.dedup import DELTA_MOD
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    costs, ctx_all = ensure_bigram_lm_index(spark, sf_dir, docs.where(~is_delta))
+    g = ctx_all.where(F.col("p") == "").select(
+        F.col("unseen_nll_micro").alias("lnv")
+    )
+    ctx = ctx_all.where(F.col("p") != "")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    sep = "\x1f"
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
+        ),
+    )
+    delta_bg = docs.where(is_delta).select("doc_id", F.explode(bigrams).alias("bg"))
+    scored = (
+        delta_bg.join(F.broadcast(costs), "bg", "left")
+        .join(
+            F.broadcast(ctx),
+            F.split(delta_bg.bg, sep).getItem(0) == ctx.p,
+            "left",
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            F.coalesce("nll_micro", "unseen_nll_micro", "lnv").alias("nll"),
+            F.when(F.col("nll_micro").isNull(), 1).otherwise(0).alias("unseen"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("unseen").cast("bigint").alias("n_unseen"),
+        F.sum("nll").cast("bigint").alias("nll_total_micro"),
+        F.expr("sum(nll) div count(1)").alias("nll_mean_micro"),
+    )

@@ -1362,3 +1362,127 @@ def stat_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("intercept_micro"),
     )
+
+
+# ---------------------------------------------------- Heaps' law fit
+#: Number of corpus prefixes the vocabulary-growth curve is sampled
+#: at (deciles of the doc_id range).
+HEAPS_POINTS = 10
+
+_HEAPS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_ZIPF_TOKS}) AS w FROM documents
+),
+mx AS (SELECT MAX(doc_id) + 1 AS n_ids FROM documents),
+cuts AS (
+  SELECT i, CAST(n_ids * i // {HEAPS_POINTS} AS BIGINT) AS cutoff
+  FROM generate_series(1, {HEAPS_POINTS}) AS g(i) CROSS JOIN mx
+),
+fd AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w),
+dtok AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+pts AS (
+  SELECT c.i,
+         (SELECT CAST(SUM(n_tok) AS BIGINT) FROM dtok WHERE doc_id < c.cutoff) AS n_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM fd WHERE first_doc < c.cutoff) AS vocab
+  FROM cuts c
+),
+q AS (
+  SELECT CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM pts WHERE n_tokens > 0 AND vocab > 0
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM q
+)
+SELECT n AS n_points,
+       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+            AS BIGINT) AS beta_ppm,
+       CAST(floor(CAST(sy AS DOUBLE) / n
+                  - CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / n) + 0.5)
+            AS BIGINT) AS lnk_micro
+FROM s
+"""
+
+
+@query("stat_heaps_fit", oracle=_HEAPS_ORACLE)
+def stat_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ~ K * n^beta,
+    estimated by OLS of ln(vocab) on ln(tokens) over ten corpus
+    prefixes (deciles of the doc-id range) — the companion diagnostic
+    to stat_zipf_fit (natural text: beta ~ 0.5; beta -> 0 means the
+    corpus stopped contributing new vocabulary — saturation/dup
+    flood; beta -> 1 means tokenizer or encoding garbage minting
+    unbounded new 'words'). Same exactness stance as the Zipf fit:
+    prefix token totals and first-occurrence vocab counts are exact
+    integers, each sample point quantizes ln() row-locally to micro
+    units, OLS moments are exact integer sums. (On THIS fixture the
+    diagnostic fires as designed: the synthetic ~31-word vocabulary
+    saturates inside the first decile, so beta_ppm = 0 exactly — the
+    'corpus stopped contributing vocabulary' verdict.)
+
+    Scale shape: NO per-prefix rescan — one token-count shuffle per
+    doc, one min(doc_id) shuffle per distinct token, then both
+    doc-sized/vocab-sized summaries range-join the 10-row broadcast
+    cutoff frame. Cost is one pass over the token stream regardless
+    of how many curve points are sampled."""
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    tok = docs.select("doc_id", F.explode(toks).alias("w"))
+    mx = docs.agg((F.max("doc_id") + 1).alias("n_ids"))
+    cuts = mx.select(
+        F.explode(F.sequence(F.lit(1), F.lit(HEAPS_POINTS))).alias("i"), "n_ids"
+    ).select("i", F.expr(f"n_ids * i div {HEAPS_POINTS}").alias("cutoff"))
+    fd = tok.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    dtok = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ntokens = (
+        dtok.crossJoin(F.broadcast(cuts))
+        .where(F.col("doc_id") < F.col("cutoff"))
+        .groupBy("i")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    vocab = (
+        fd.crossJoin(F.broadcast(cuts))
+        .where(F.col("first_doc") < F.col("cutoff"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    pts = ntokens.join(vocab, "i").where(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    )
+    q = pts.select(
+        F.floor(F.log(F.col("n_tokens").cast("double")) * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("vocab").cast("double")) * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.floor(slope * 1_000_000 + 0.5).cast("bigint").alias("beta_ppm"),
+        F.floor(
+            F.col("sy").cast("double") / F.col("n")
+            - slope * (F.col("sx").cast("double") / F.col("n"))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("lnk_micro"),
+    )

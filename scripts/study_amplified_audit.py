@@ -91,6 +91,9 @@ TARGETS = {
     "quality_bigram_nll": ["documents"],
     "sample_temperature_mix": ["documents"],
     "stat_zipf_fit": ["documents"],
+    "stat_heaps_fit": ["documents"],
+    "corpus_shuffle_shards_write": ["documents"],
+    "quality_bigram_nll_delta": ["documents"],
 }
 
 ALL_TABLES = [
