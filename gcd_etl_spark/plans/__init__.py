@@ -75,6 +75,7 @@ _DRIVER_WINDOW = [
     "corpus_shuffle_shards_write",
     "stat_heaps_fit",
     "quality_bigram_nll_delta",
+    "stream_quality_gate",
     "dedup_crossdoc_delta",
     "dedup_index_compaction",
     "dedup_gram_index_update_cycle",

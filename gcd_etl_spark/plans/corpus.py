@@ -1607,6 +1607,17 @@ def quality_bigram_nll_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_spread(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
     costs, ctx_all = ensure_bigram_lm_index(spark, sf_dir, docs.where(~is_delta))
+    return score_docs_frozen_bigram_lm(docs.where(is_delta), costs, ctx_all)
+
+
+def score_docs_frozen_bigram_lm(
+    docs: DataFrame, costs: DataFrame, ctx_all: DataFrame
+) -> DataFrame:
+    """Score a document frame against the FROZEN bigram-LM artifact:
+    tokenize only ``docs``, broadcast-probe the staged cost/context
+    tables with the Laplace unseen-fallback ladder, aggregate per
+    doc. Shared by the nightly delta query and the streaming ingest
+    gate so the two can never score differently."""
     g = ctx_all.where(F.col("p") == "").select(
         F.col("unseen_nll_micro").alias("lnv")
     )
@@ -1619,7 +1630,7 @@ def quality_bigram_nll_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
         ),
     )
-    delta_bg = docs.where(is_delta).select("doc_id", F.explode(bigrams).alias("bg"))
+    delta_bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     scored = (
         delta_bg.join(F.broadcast(costs), "bg", "left")
         .join(

@@ -647,3 +647,85 @@ def stream_semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_root).select(
         "delta_id", "corpus_id", "dot", "cos_ppm"
     )
+
+
+# ------------------- streaming QUALITY gate (frozen LM at ingest)
+def quality_gate_batch_fn(idx_costs: DataFrame, idx_ctx: DataFrame, out_root: str):
+    """foreachBatch worker for the quality ingest gate, shared with
+    tests: score the batch's documents against the FROZEN bigram-LM
+    artifact (corpus.score_docs_frozen_bigram_lm — the exact code the
+    nightly delta query runs) and OVERWRITE the batch's own
+    batch_id-keyed partition dir (idempotent under at-least-once
+    redelivery — the gate family's sink pattern)."""
+    from gcd_etl_spark.plans.corpus import score_docs_frozen_bigram_lm
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        score_docs_frozen_bigram_lm(batch, idx_costs, idx_ctx).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/batch_id={batch_id}")
+
+    return gate_batch
+
+
+def _quality_gate_oracle() -> str:
+    from gcd_etl_spark.plans.corpus import _bigram_delta_oracle
+
+    return _bigram_delta_oracle()
+
+
+@query("stream_quality_gate", oracle=_quality_gate_oracle())
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of quality_bigram_nll_delta — the frozen-LM
+    perplexity filter as an ingest gate, completing the gate symmetry
+    across the three lifecycle families (MinHash bands, SRP buckets,
+    and now the LM cost tables each have a nightly delta query AND a
+    foreachBatch ingest gate probing the SAME persisted artifact).
+    New documents arrive as file-source micro-batches; each batch is
+    tokenized and scored against the staged cost tables inside
+    foreachBatch — the corpus is never re-counted, per-arrival cost
+    is O(batch) + broadcast probes. Per-document scores are
+    independent, so the union over ANY batching equals the one-shot
+    nightly result — the oracle IS the nightly query's oracle,
+    value-hash exact including the integer NLL ladder. State lives in
+    storage (LM tables + batch_id-keyed verdict partitions): restart
+    is free and replayed batches overwrite their own partition."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.plans.corpus import ensure_bigram_lm_index
+    from gcd_etl_spark.plans.dedup import DELTA_MOD
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    costs, ctx_all = ensure_bigram_lm_index(spark, sf_dir, docs.where(~is_delta))
+
+    tag = "{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"), uuid.uuid4().hex[:8]
+    )
+    staged = f"/tmp/gcd_etl_stream_qgate_{tag}"
+    out_root = f"/tmp/gcd_etl_stream_qgate_out_{tag}"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(out_root, ignore_errors=True)
+    delta = docs.where(is_delta)
+    delta.repartition(4).write.parquet(staged)
+    spark.createDataFrame(
+        [],
+        "doc_id long, n_bigrams long, n_unseen long, "
+        "nll_total_micro long, nll_mean_micro long",
+    ).write.parquet(f"{out_root}/batch_id=-1")
+
+    gate = quality_gate_batch_fn(costs, ctx_all, out_root)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_root).select(
+        "doc_id", "n_bigrams", "n_unseen", "nll_total_micro", "nll_mean_micro"
+    )

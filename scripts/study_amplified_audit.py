@@ -94,6 +94,7 @@ TARGETS = {
     "stat_heaps_fit": ["documents"],
     "corpus_shuffle_shards_write": ["documents"],
     "quality_bigram_nll_delta": ["documents"],
+    "stream_quality_gate": ["documents"],
 }
 
 ALL_TABLES = [

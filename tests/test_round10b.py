@@ -24,6 +24,7 @@ _NEW = [
     "corpus_shuffle_shards_write",
     "stat_heaps_fit",
     "quality_bigram_nll_delta",
+    "stream_quality_gate",
 ]
 
 
@@ -230,3 +231,42 @@ def test_bigram_delta_unseen_mass_nonvacuous(spark, sf_smoke):
     for r in rows:
         assert r["nll_total_micro"] is not None and r["nll_total_micro"] > 0
         assert r["n_unseen"] <= r["n_bigrams"]
+
+
+def test_quality_gate_stream_matches_nightly(spark, sf_smoke):
+    """Batch/stream unification for the quality gate: per-document
+    scores under the frozen LM are independent, so the union of the
+    micro-batch verdicts must equal the one-shot nightly query
+    exactly — and non-vacuously."""
+    s = sorted(
+        map(tuple, QUERIES["stream_quality_gate"].build(spark, sf_smoke).collect())
+    )
+    b = sorted(
+        map(tuple, QUERIES["quality_bigram_nll_delta"].build(spark, sf_smoke).collect())
+    )
+    assert s == b
+    assert s, "fixture produced no delta scores — parity is vacuous"
+
+
+def test_quality_gate_batch_replay_idempotent(spark, sf_smoke, tmp_path):
+    """The gate family's sink contract: re-firing a batch (at-least-
+    once redelivery) OVERWRITES its own batch_id partition, so the
+    converged union is unchanged."""
+    import pyspark.sql.functions as F
+
+    from gcd_etl_spark.plans.corpus import ensure_bigram_lm_index
+    from gcd_etl_spark.plans.dedup import DELTA_MOD
+    from gcd_etl_spark.plans.streaming_plans import quality_gate_batch_fn
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    docs = read_table_spread(spark, sf_smoke, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    costs, ctx = ensure_bigram_lm_index(spark, sf_smoke, docs.where(~is_delta))
+    out_root = str(tmp_path / "qgate_out")
+    gate = quality_gate_batch_fn(costs, ctx, out_root)
+    delta = docs.where(is_delta)
+    gate(delta, 0)
+    first = sorted(map(tuple, spark.read.parquet(out_root).collect()))
+    gate(delta, 0)  # replay the same batch
+    second = sorted(map(tuple, spark.read.parquet(out_root).collect()))
+    assert first == second and first
