@@ -33,6 +33,11 @@ QUADRATIC_ANCHORS = {
     # (sim_bruteforce_topk with labels); ANN paths are the scale
     # variants, ml_nearest_centroid the |labels|-cost variant
     "ml_knn_confusion",
+    # guarded exact-scoring bitext anchor (refuses >10M pairs), and
+    # the shortlist form which embeds the anchor as its in-plan
+    # recall-gate denominator (the sim_ann_* recall precedent)
+    "sim_bitext_margin",
+    "sim_bitext_margin_shortlist",
 }
 
 #: Single-ROW broadcast attachments (corpus stats, global bounds):
@@ -62,6 +67,15 @@ SCALAR_BROADCASTS = {
     # distinct + bottom-k signature build
     "audience_overlap_minhash",
     "quality_unigram_nll",  # one (total_tokens, vocab) row broadcast into the vocab costs
+    "quality_bigram_nll",  # same 1-row vocab total, bigram-conditional costs
+    # 1-row unknown-context cost (ln V) broadcast into the frozen-LM
+    # fallback ladder; the cost/context probes are key-equi joins
+    "quality_bigram_nll_delta",
+    "sample_temperature_mix",  # 1-row (wsum, n_total) quota denominator
+    # 1-row max(doc_id) + the 10-row decile cutoff frame (bounded by
+    # HEAPS_POINTS, never by data volume) range-joined into the
+    # doc-sized/vocab-sized summaries — the audience_overlap pattern
+    "stat_heaps_fit",
 }
 
 #: Streaming queries execute eagerly on build (memory-sink round
