@@ -1423,7 +1423,10 @@ def corpus_shuffle_shards_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("shard")
         .parquet(staged)
     )
-    back = spark.read.parquet(staged)
+    # Explicit schema (incl. the partition column): read-back then
+    # works on an empty corpus too, where the dir has no data files
+    # to infer from (r7 empty-input convention).
+    back = spark.read.schema("doc_id long, pos long, shard long").parquet(staged)
     return back.select(
         "doc_id", F.col("shard").cast("long").alias("shard"), F.col("pos").cast("long").alias("pos")
     )

@@ -270,3 +270,25 @@ def test_quality_gate_batch_replay_idempotent(spark, sf_smoke, tmp_path):
     gate(delta, 0)  # replay the same batch
     second = sorted(map(tuple, spark.read.parquet(out_root).collect()))
     assert first == second and first
+
+
+# ------------------------------- empty-input robustness (r7 pin)
+@pytest.fixture(scope="module")
+def empty_sf_dir_r10b(spark):
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gcd_empty_r10b_")
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
+            0
+        ).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", sorted(_NEW))
+def test_empty_input_does_not_raise_r10b(spark, empty_sf_dir_r10b, name):
+    rows = QUERIES[name].build(spark, empty_sf_dir_r10b).limit(5).collect()
+    assert isinstance(rows, list)
