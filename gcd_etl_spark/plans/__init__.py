@@ -72,6 +72,8 @@ _DRIVER_WINDOW = [
     "stat_zipf_fit",
     "sim_bitext_margin",
     "sim_bitext_margin_shortlist",
+    "sim_bitext_margin_persisted",
+    "sample_negatives_hash",
     "corpus_shuffle_shards_write",
     "stat_heaps_fit",
     "quality_bigram_nll_delta",

@@ -1126,3 +1126,124 @@ def sim_bitext_margin_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_id",
         (overall >= BITEXT_RECALL_FLOOR).cast("int").alias("recall_floor_ok"),
     )
+
+
+def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
+    """The persisted bitext TARGET-side index — the FAISS train-once
+    posture applied to the miner: Lloyd-trained centroids (16 rows)
+    plus the quantized, cell-assigned target table staged once per
+    (sf dir, data fingerprint), bucketed on the cell key the
+    candidate join shuffles on. Mining runs (nightly source batches,
+    re-mines with new thresholds) probe the staged index and never
+    re-train, re-quantize, or re-assign the target side.
+
+    ``b`` is the _bitext_sides target frame (tgt_id, tgt_vec, qb,
+    nb). Returns (index_df, centroids_ndarray)."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    import numpy as np
+
+    from gcd_etl_spark.operators.similarity import (
+        ivf_cells_udf,
+        train_coarse_centroids,
+    )
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
+    idx_name = f"bitext_tgt_idx_{tag}"
+    cent_name = f"bitext_tgt_cent_{tag}"
+    if not spark.catalog.tableExists(idx_name):
+        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for n in (idx_name, cent_name):
+            _shutil.rmtree(_os.path.join(warehouse, n.lower()), ignore_errors=True)
+        trained = train_coarse_centroids(
+            b.select(F.col("tgt_id").alias("vec_id"), F.col("tgt_vec").alias("embedding")),
+            n_cells=BITEXT_CELLS,
+            dim=EMB_DIM,
+        )
+        if trained.size == 0:
+            spark.createDataFrame(
+                [], "cell_id int, centroid array<double>"
+            ).write.mode("overwrite").saveAsTable(cent_name)
+            spark.createDataFrame(
+                [], "tgt_id long, qb array<bigint>, nb bigint, cell int"
+            ).write.mode("overwrite").saveAsTable(idx_name)
+        else:
+            spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(trained)],
+                "cell_id int, centroid array<double>",
+            ).write.mode("overwrite").saveAsTable(cent_name)
+            assigned = b.select(
+                "tgt_id",
+                "qb",
+                "nb",
+                F.element_at(ivf_cells_udf(trained, 1)(F.col("tgt_vec")), 1).alias(
+                    "cell"
+                ),
+            )
+            write_bucketed_table(
+                assigned, idx_name, ["cell"], n_buckets=8, sort_cols=["cell"]
+            )
+    cent_rows = spark.table(cent_name).orderBy("cell_id").collect()
+    centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    return spark.table(idx_name), centroids
+
+
+@query("sim_bitext_margin_persisted", oracle=_bitext_recall_oracle())
+def sim_bitext_margin_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_bitext_margin_shortlist with the index lifecycle closed:
+    the target side (Lloyd centroids + quantized cell-assigned
+    vectors) is PERSISTED once (ensure_bitext_target_index,
+    fingerprint-keyed, cell-bucketed) and every mining run probes the
+    staged artifact — the target corpus is never re-trained,
+    re-quantized, or re-assigned (the sim_ann_ivfpq_persisted
+    discipline applied to the miner; at 100 TB the index IS storage
+    and per-run cost is O(sources) + the probed cell mass). Same
+    shared margin arithmetic, same in-plan exact-anchor recall gate;
+    staged-file reuse and the candidate branch's index scan are
+    pinned in pytest."""
+    from pyspark.sql import Window as W
+
+    from gcd_etl_spark.operators.similarity import ivf_cells_udf
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    a, b = _bitext_sides(emb)
+    tgt, centroids = ensure_bitext_target_index(spark, sf_dir, b)
+    if centroids.size == 0:
+        return spark.createDataFrame([], "src_id long, recall_floor_ok int")
+    src = a.select(
+        "src_id",
+        "qa",
+        "na",
+        F.explode(ivf_cells_udf(centroids, BITEXT_NPROBE)(F.col("src_vec"))).alias(
+            "cell"
+        ),
+    )
+    cand = tgt.join(F.broadcast(src), "cell").select(
+        "src_id", "tgt_id", "qa", "na", "qb", "nb"
+    )
+    mined_short = _bitext_mine(_bitext_cos_ppm(cand)).select(
+        "src_id", F.col("tgt_id").alias("short_tgt")
+    )
+    anchor = _bitext_mine(
+        _bitext_cos_ppm(a.drop("src_vec").crossJoin(F.broadcast(b.drop("tgt_vec"))))
+    ).select("src_id", "tgt_id")
+    hit = (
+        anchor.join(mined_short, "src_id", "left")
+        .select(
+            "src_id",
+            (F.col("short_tgt") == F.col("tgt_id")).cast("int").alias("hit"),
+        )
+        .fillna({"hit": 0})
+    )
+    w = W.partitionBy()  # anchor-mined set is small: global agg is tiny
+    overall = F.sum("hit").over(w) / F.count(F.lit(1)).over(w)
+    return hit.select(
+        "src_id",
+        (overall >= BITEXT_RECALL_FLOOR).cast("int").alias("recall_floor_ok"),
+    )

@@ -557,3 +557,90 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quota").cast("long").alias("quota"),
         )
     )
+
+
+# --------------------------------------- contrastive negative draws
+#: Negatives per anchor document, and the draw-family seed.
+NEG_K = 4
+NEG_SEED = "neg0"
+
+_NEG_ORACLE = f"""
+WITH n AS (SELECT MAX(doc_id) + 1 AS n_ids FROM documents),
+draws AS (
+  SELECT d.doc_id, g.j,
+         CAST(('0x' || substr(md5('{NEG_SEED}:' || CAST(d.doc_id AS VARCHAR)
+              || ':' || CAST(g.j AS VARCHAR)), 1, 15)) AS BIGINT)
+           % n.n_ids AS neg_id
+  FROM documents d
+  CROSS JOIN n
+  CROSS JOIN generate_series(1, {NEG_K}) AS g(j)
+),
+kept AS (SELECT * FROM draws WHERE neg_id <> doc_id)
+SELECT k.doc_id, CAST(k.j AS BIGINT) AS j, k.neg_id,
+       nb.source AS neg_source,
+       CAST(a.source = nb.source AS INT) AS same_source
+FROM kept k
+JOIN documents a ON a.doc_id = k.doc_id
+JOIN documents nb ON nb.doc_id = k.neg_id
+"""
+
+
+@query("sample_negatives_hash", oracle=_NEG_ORACLE)
+def sample_negatives_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (DPR-style retrieval, embedding training): each anchor document
+    draws NEG_K pseudo-random negatives from the id space via the
+    seeded portable hash — reproducible on any engine, any run, any
+    partitioning (a retry or backfill pairs every anchor with the
+    SAME negatives, which is what makes training runs comparable).
+    Self-collisions are dropped; each negative carries its source
+    and a same_source flag so the loader can separate in-domain
+    (hard-ish) from cross-domain (easy) negatives. Epoch reshuffle =
+    bump the seed, as in corpus_shuffle_shards.
+
+    Scale shape: one 1-row id-space bound broadcast, a NEG_K-way
+    sequence explode in the scan's projection (no shuffle), then ONE
+    equi-join keyed on neg_id to attach negative metadata — at 100 TB
+    that join is the only exchange, and it keys on the uniform hash
+    draw (no skew by construction)."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    n = docs.agg((F.max("doc_id") + 1).alias("n_ids"))
+    draws = (
+        docs.select("doc_id", F.col("source").alias("anchor_source"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "anchor_source",
+            "n_ids",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("j"),
+        )
+        .select(
+            "doc_id",
+            "anchor_source",
+            F.col("j").cast("long").alias("j"),
+            (
+                portable_hash64(
+                    F.concat(
+                        F.lit(f"{NEG_SEED}:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % F.col("n_ids")
+            ).alias("neg_id"),
+        )
+        .where(F.col("neg_id") != F.col("doc_id"))
+    )
+    neg = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return draws.join(neg, "neg_id").select(
+        "doc_id",
+        "j",
+        "neg_id",
+        "neg_source",
+        (F.col("anchor_source") == F.col("neg_source")).cast("int").alias("same_source"),
+    )

@@ -86,7 +86,13 @@ TARGETS = {
     # sim_bitext_margin deliberately absent: like dedup_clusters it is
     # the guarded exact-scoring anchor (quadratic by construction,
     # refuses >10M pairs — 8x embeddings exceeds the guard by design);
-    # its scale path is the IVF shortlist.
+    # its scale path is the IVF shortlist. The shortlist/persisted
+    # forms are also absent: unlike the sim_ann_* recall queries
+    # (whose exact denominator runs over a FIXED query set), their
+    # in-plan recall gate re-runs the anchor over ALL sources, so an
+    # amplified audit would measure the gate's quadratic denominator,
+    # not the production candidate path (which shuffles only on the
+    # cell key).
     "corpus_shuffle_shards": ["documents"],
     "quality_bigram_nll": ["documents"],
     "sample_temperature_mix": ["documents"],

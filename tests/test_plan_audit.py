@@ -38,6 +38,7 @@ QUADRATIC_ANCHORS = {
     # recall-gate denominator (the sim_ann_* recall precedent)
     "sim_bitext_margin",
     "sim_bitext_margin_shortlist",
+    "sim_bitext_margin_persisted",
 }
 
 #: Single-ROW broadcast attachments (corpus stats, global bounds):
@@ -76,6 +77,7 @@ SCALAR_BROADCASTS = {
     # HEAPS_POINTS, never by data volume) range-joined into the
     # doc-sized/vocab-sized summaries — the audience_overlap pattern
     "stat_heaps_fit",
+    "sample_negatives_hash",  # 1-row id-space bound into the draw modulus
 }
 
 #: Streaming queries execute eagerly on build (memory-sink round

@@ -25,6 +25,8 @@ _NEW = [
     "stat_heaps_fit",
     "quality_bigram_nll_delta",
     "stream_quality_gate",
+    "sim_bitext_margin_persisted",
+    "sample_negatives_hash",
 ]
 
 
@@ -292,3 +294,51 @@ def empty_sf_dir_r10b(spark):
 def test_empty_input_does_not_raise_r10b(spark, empty_sf_dir_r10b, name):
     rows = QUERIES[name].build(spark, empty_sf_dir_r10b).limit(5).collect()
     assert isinstance(rows, list)
+
+
+def test_bitext_persisted_index_reuse_and_scan(spark, sf_smoke):
+    """The miner's index lifecycle, pinned: the candidate branch
+    scans the staged cell-bucketed target table (its name appears in
+    the plan), and a second build reuses the staged files
+    byte-for-byte — the target side is never re-trained or
+    re-assigned."""
+    import contextlib
+    import io
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+
+    df = QUERIES["sim_bitext_margin_persisted"].build(spark, sf_smoke)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "bitext_tgt_idx_" in plan, plan[:2000]
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
+    fp = table_fingerprint(sf_smoke, "embeddings")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    idx_dir = os.path.join(warehouse, f"bitext_tgt_idx_{tag}_{fp}")
+    files_before = sorted(os.listdir(idx_dir))
+    QUERIES["sim_bitext_margin_persisted"].build(spark, sf_smoke)
+    files_after = sorted(os.listdir(idx_dir))
+    assert files_before == files_after
+
+
+def test_negative_sampling_invariants(spark, sf_smoke):
+    """Per anchor: at most NEG_K negatives, never itself, and the
+    same_source flag actually separates the two negative classes
+    (both classes non-empty on the 20-source fixture — a draw family
+    that never crossed domains would be a broken hash)."""
+    from gcd_etl_spark.plans.text import NEG_K
+
+    rows = QUERIES["sample_negatives_hash"].build(spark, sf_smoke).collect()
+    assert rows
+    per_anchor: dict[int, int] = {}
+    for r in rows:
+        assert r["neg_id"] != r["doc_id"]
+        per_anchor[r["doc_id"]] = per_anchor.get(r["doc_id"], 0) + 1
+    assert max(per_anchor.values()) <= NEG_K
+    flags = {r["same_source"] for r in rows}
+    assert flags == {0, 1}, flags
