@@ -101,6 +101,7 @@ TARGETS = {
     "corpus_shuffle_shards_write": ["documents"],
     "quality_bigram_nll_delta": ["documents"],
     "stream_quality_gate": ["documents"],
+    "sample_negatives_hash": ["documents"],
 }
 
 ALL_TABLES = [
