@@ -74,6 +74,8 @@ _DRIVER_WINDOW = [
     "sim_bitext_margin_shortlist",
     "sim_bitext_margin_persisted",
     "sample_negatives_hash",
+    "ts_seasonal_decompose",
+    "dq_k_anonymity",
     "corpus_shuffle_shards_write",
     "stat_heaps_fit",
     "quality_bigram_nll_delta",

@@ -731,3 +731,58 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("next_day") - 1).cast("long").alias("gap_end_day"),
         (F.col("next_day") - F.col("day") - 1).cast("long").alias("n_missing_days"),
     )
+
+
+# --------------------------------------------------- k-anonymity audit
+#: Minimum group size a quasi-identifier combination must reach, and
+#: the account-balance bucket width (cents) of the third QI.
+K_ANON = 10
+ACCTBAL_BUCKET_CENTS = 200_000
+
+_KANON_ORACLE = f"""
+SELECT c_nationkey,
+       c_mktsegment,
+       CAST(CAST(round(c_acctbal * 100) AS BIGINT) // {ACCTBAL_BUCKET_CENTS}
+            AS BIGINT) AS bal_bucket,
+       COUNT(*) AS n,
+       CAST(COUNT(*) < {K_ANON} AS INT) AS at_risk
+FROM customer
+GROUP BY 1, 2, 3
+"""
+
+
+@query("dq_k_anonymity", oracle=_KANON_ORACLE)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit — the privacy-governance companion to
+    text_pii_scrub: every combination of quasi-identifiers (nation,
+    market segment, coarse balance bucket) is checked against a
+    minimum group size; groups below k are re-identification risks
+    that a release pipeline must generalize or suppress. Flagging
+    (not filtering) is deliberate: the report is the actionable
+    artifact, and the at_risk flag keeps the full distribution in
+    one result. Bucket arithmetic is exact integer cents; the
+    truncating integer division agrees across engines because
+    Spark's ``div`` and DuckDB's ``//`` both truncate toward zero.
+
+    Scale shape: ONE hash aggregate keyed on the QI tuple (map-side
+    partials absorb the heavy groups); output is bounded by the QI
+    cardinality product, not the table size."""
+    from gcd_etl_spark.sources.catalog import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    bucket = F.expr(
+        f"CAST(round(c_acctbal * 100) AS BIGINT) div {ACCTBAL_BUCKET_CENTS}"
+    ).cast("bigint")
+    return (
+        cust.groupBy(
+            "c_nationkey", "c_mktsegment", bucket.alias("bal_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_bucket",
+            "n",
+            (F.col("n") < K_ANON).cast("int").alias("at_risk"),
+        )
+    )

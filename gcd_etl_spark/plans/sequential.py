@@ -462,3 +462,116 @@ def window_pattern_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("longest_up_run"),
         )
     )
+
+
+# ------------------------------------- seasonal decomposition (STL-ish)
+#: Season length (weekday cycle over the orders timeline) and the
+#: centered moving-average window (one full season).
+SEASON_LEN = 7
+
+_SEASONAL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ma AS (
+  SELECT day, cents,
+         CAST(SUM(cents) OVER w AS BIGINT) AS wsum,
+         CAST(COUNT(*) OVER w AS BIGINT) AS wcnt
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+tr AS (
+  SELECT day, cents,
+         CAST(floor(CAST(wsum AS DOUBLE) * 1000 / {SEASON_LEN} + 0.5) AS BIGINT)
+           AS trend_milli
+  FROM ma WHERE wcnt = {SEASON_LEN}
+),
+de AS (
+  SELECT day, cents, trend_milli,
+         cents * 1000 - trend_milli AS detrended_milli,
+         day % {SEASON_LEN} AS dow
+  FROM tr
+),
+seas AS (
+  SELECT dow,
+         CAST(floor(CAST(SUM(detrended_milli) AS DOUBLE) / COUNT(*) + 0.5)
+              AS BIGINT) AS seasonal_milli
+  FROM de GROUP BY dow
+)
+SELECT d.day, d.cents, d.trend_milli, s.seasonal_milli,
+       CAST(d.detrended_milli - s.seasonal_milli AS BIGINT) AS resid_milli
+FROM de d JOIN seas s USING (dow)
+"""
+
+
+@query("ts_seasonal_decompose", oracle=_SEASONAL_ORACLE)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    STL ancestor): daily order revenue splits into trend (centered
+    7-observation moving average, full windows only), a weekday
+    seasonal component (per-weekday mean of the detrended series),
+    and the residual — the anomaly-detection prep step that separates
+    'it is Sunday' from 'something broke'. Integer cents in, every
+    component an exact integer milli-unit out; the two divisions run
+    as the repo's fixed scalar IEEE sequence on exact integer
+    moments, so the decomposition is deterministic cross-engine (and
+    trivially invertible: cents*1000 = trend + seasonal + resid).
+
+    Scale shape: one date-keyed aggregate over the fact table (the
+    only data-sized shuffle), then windows/joins over the DAYS-sized
+    daily series — years of days is thousands of rows; the window
+    ordering cost lives on the tiny side, as in stat_zipf_fit."""
+    from pyspark.sql import Window as W
+
+    from gcd_etl_spark.sources.catalog import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .cast("bigint")
+            .alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("wsum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("wcnt"),
+    )
+    tr = ma.where(F.col("wcnt") == SEASON_LEN).select(
+        "day",
+        "cents",
+        F.floor(F.col("wsum").cast("double") * 1000 / SEASON_LEN + 0.5)
+        .cast("bigint")
+        .alias("trend_milli"),
+    )
+    de = tr.select(
+        "day",
+        "cents",
+        "trend_milli",
+        (F.col("cents") * 1000 - F.col("trend_milli")).alias("detrended_milli"),
+        (F.col("day") % SEASON_LEN).alias("dow"),
+    )
+    seas = de.groupBy("dow").agg(
+        F.floor(
+            F.sum("detrended_milli").cast("double") / F.count(F.lit(1)) + 0.5
+        )
+        .cast("bigint")
+        .alias("seasonal_milli")
+    )
+    return de.join(F.broadcast(seas), "dow").select(
+        "day",
+        "cents",
+        "trend_milli",
+        "seasonal_milli",
+        (F.col("detrended_milli") - F.col("seasonal_milli"))
+        .cast("bigint")
+        .alias("resid_milli"),
+    )

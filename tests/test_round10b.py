@@ -27,6 +27,8 @@ _NEW = [
     "stream_quality_gate",
     "sim_bitext_margin_persisted",
     "sample_negatives_hash",
+    "ts_seasonal_decompose",
+    "dq_k_anonymity",
 ]
 
 
@@ -342,3 +344,36 @@ def test_negative_sampling_invariants(spark, sf_smoke):
     assert max(per_anchor.values()) <= NEG_K
     flags = {r["same_source"] for r in rows}
     assert flags == {0, 1}, flags
+
+
+def test_seasonal_decomposition_is_invertible(spark, sf_smoke):
+    """The additive identity the per-row oracle implies, stated
+    directly: cents*1000 = trend + seasonal + resid on every emitted
+    day, and the seasonal component is constant within a weekday
+    class."""
+    rows = QUERIES["ts_seasonal_decompose"].build(spark, sf_smoke).collect()
+    assert rows
+    from gcd_etl_spark.plans.sequential import SEASON_LEN
+
+    per_dow = {}
+    for r in rows:
+        assert r["cents"] * 1000 == (
+            r["trend_milli"] + r["seasonal_milli"] + r["resid_milli"]
+        ), r
+        dow = r["day"] % SEASON_LEN
+        per_dow.setdefault(dow, set()).add(r["seasonal_milli"])
+    for dow, vals in per_dow.items():
+        assert len(vals) == 1, (dow, vals)
+
+
+def test_k_anonymity_flags_fire(spark, sf_smoke):
+    """The audit must actually flag something on the fixture (an
+    all-clear report would be vacuous), and the flag must agree with
+    the emitted group size."""
+    from gcd_etl_spark.plans.quality import K_ANON
+
+    rows = QUERIES["dq_k_anonymity"].build(spark, sf_smoke).collect()
+    assert rows
+    assert any(r["at_risk"] == 1 for r in rows)
+    for r in rows:
+        assert r["at_risk"] == int(r["n"] < K_ANON)
