@@ -301,9 +301,20 @@ FROM lineitem
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: running sum + lag with a total deterministic
-    ordering inside each partition."""
+    ordering inside each partition. The tiebreak runs through the
+    payload columns too: the synthetic lineitem REUSES
+    (l_orderkey, l_linenumber) across rows at larger scales (118k
+    duplicate pairs at sf0.1), so the short key is not a total order
+    — a tie that also collides on shipdate let the two engines
+    assign different-but-both-valid running sums (caught by the
+    sf0.1 registry sweep, round 10). With the payload in the key,
+    any remaining tie is a fully identical row, and then either
+    assignment yields the same output multiset."""
     li = read_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+        "l_quantity", "l_extendedprice",
+    )
     return li.select(
         "l_suppkey",
         "l_orderkey",
