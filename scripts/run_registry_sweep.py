@@ -16,6 +16,14 @@ math, not the comparator).
 Usage: python scripts/run_registry_sweep.py [sf_dir] [name_prefix...]
   sf_dir defaults to /root/testdata/sf0.01 (the driver's gate scale).
   Optional name prefixes restrict the sweep (e.g. ``dedup_ gcd_``).
+
+Running it at sf0.1 (10x the gate) is a worthwhile periodic exercise
+— the round-10 sf0.1 sweep caught a sort-key totality bug invisible
+at sf0.01 (window_running_sum; see BASELINE.md). Caveats at sf0.1:
+the CHECKERS for dedup_clusters (~15 min, all-pairs Jaccard) and
+entity_clusters* (recursive-CTE components over the fuzzy pair set;
+can exceed 35 min) are super-linear on the DuckDB side — budget for
+them or sweep them separately; the Spark plans themselves are fine.
 Prints one line per query (MATCH / MISMATCH / rows-only / ERROR) and a
 final ``DONE bad=N`` summary; exit code 1 if any bad.
 """
