@@ -5,7 +5,17 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 ONE JSON line::
 
     {"metric": "headline_total_wall", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1,
+     "lifecycle": {"total": N, "queries": {...}, ...}}
+
+Two tiers (round 11): the r1-comparable HEADLINE set stays the
+top-level metric; the LIFECYCLE tier — the ~19 heaviest production
+operators (index lifecycles, ANN persisted/append, streaming gates,
+canonical dedup) — rides as a nested block under the same min-of-2 +
+fallback/spill discipline, so regressions there are caught
+mechanically instead of anecdotally. ``--tier=headline`` /
+``--tier=lifecycle`` runs a single tier for local iteration (a
+standalone lifecycle run reports ``metric: lifecycle_total_wall``).
 
 Each query is materialized by executing its OWN QueryExecution
 (``queryExecution().toRdd().count()`` — full execution, rows counted
@@ -51,6 +61,38 @@ HEADLINE = [
     "sim_bruteforce_topk",
     "text_token_stats",
     "win_session",
+]
+
+#: Lifecycle tier (round 11): the heaviest PRODUCTION operators — the
+#: index lifecycles (gram-DF, MinHash band, SRP, IVF-PQ), the
+#: streaming ingest gates, the canonical-dedup driver loop, and the
+#: materialized training-loader shuffle. Through round 10 these were
+#: timed only in BASELINE.md prose, so a regression there would have
+#: surfaced anecdotally or never (round-10 verdict item 1). Same
+#: min-of-2 + fallback/spill discipline as the headline tier; for the
+#: persisted-index queries the first run may include one-time staging
+#: and min-of-2 then reports the steady-state probe — which is the
+#: number whose regression matters at 100 TB.
+LIFECYCLE = [
+    "dedup_keep_canonical",
+    "dedup_delta_vs_corpus",
+    "dedup_crossdoc_delta",
+    "dedup_gram_index_update_cycle",
+    "dedup_gram_index_merge",
+    "dedup_index_compaction",
+    "dedup_index_append_cycle",
+    "dedup_semantic_delta_vs_corpus",
+    "quality_bigram_nll_delta",
+    "stream_quality_gate",
+    "stream_semantic_dedup_gate",
+    "stream_dedup_against_corpus",
+    "stream_sessions_timeout",
+    "sim_ann_ivfpq_recall",
+    "sim_ann_ivfpq_persisted",
+    "sim_ann_ivfpq_index_append",
+    "sim_bitext_margin_shortlist",
+    "sim_bitext_margin_persisted",
+    "corpus_shuffle_shards_write",
 ]
 
 
@@ -191,6 +233,55 @@ def _flush_barrier(spark, log_path: str, tag: str, timeout_s: float = 5.0) -> No
         time.sleep(0.05)
 
 
+def _run_tier(
+    spark,
+    sf_dir: str,
+    names: list[str],
+    builders: dict,
+    log_path: str,
+    log_off: int,
+) -> tuple[dict, dict, dict, int]:
+    """Time one tier (min-of-2 per query, per-query fault isolation,
+    codegen-fallback attribution, spill readout). Returns
+    (timings, fallbacks, spills, new_log_offset)."""
+    timings: dict[str, float | None] = {}
+    fallbacks: dict[str, int] = {}
+    spills: dict[str, int] = {}
+    for name in names:
+        build = builders[name]
+        best = float("inf")
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = build(spark, sf_dir)
+                _materialize(df)
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            sp = _spill_bytes(df)
+            if sp:  # nonzero or -1 (unknown) both worth surfacing
+                spills[name] = sp
+                print(
+                    f"SPILL: {name} spilled {sp} bytes at bench scale — "
+                    "execution memory outgrown; investigate before "
+                    "trusting its scaling",
+                    file=sys.stderr,
+                )
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+            timings[name] = None
+        _flush_barrier(spark, log_path, name)
+        n_fb, log_off = _fallbacks_since(log_path, log_off)
+        if n_fb:
+            fallbacks[name] = n_fb
+            print(
+                f"CODEGEN FALLBACK: {name} logged {n_fb} fallback marker(s) "
+                f"(see {log_path}) — value-correct but interpreted; "
+                "investigate before trusting its timing",
+                file=sys.stderr,
+            )
+    return timings, fallbacks, spills, log_off
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -238,63 +329,77 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"warmup {warm} failed: {exc}", file=sys.stderr)
 
+    # Tier selection: default runs BOTH tiers in one JSON line (the
+    # driver contract stays "ONE JSON line"; the lifecycle tier rides
+    # as a nested block so BENCH_r{N}.json carries both baselines).
+    # --tier=headline / --tier=lifecycle runs just one for local
+    # iteration.
+    tier = "all"
+    for a in sys.argv[1:]:
+        if a.startswith("--tier="):
+            tier = a.split("=", 1)[1]
+    if tier not in ("all", "headline", "lifecycle"):
+        print(f"unknown --tier={tier}; use headline|lifecycle", file=sys.stderr)
+        sys.exit(2)
+
     # Per-query fault isolation: one broken plan must not take the
     # other timings (or the JSON line) down with it — a bench harness
     # degrades, it doesn't crash. Failures time as null.
+    builders = _bench_builders()
+    for name in LIFECYCLE:
+        builders.setdefault(name, QUERIES[name].build)
+    _flush_barrier(spark, log_path, "warmup")
+    _, log_off = _fallbacks_since(log_path, 0)  # discard warmup WARNs
+
     timings: dict[str, float | None] = {}
     fallbacks: dict[str, int] = {}
     spills: dict[str, int] = {}
-    builders = _bench_builders()
-    _flush_barrier(spark, log_path, "warmup")
-    _, log_off = _fallbacks_since(log_path, 0)  # discard warmup WARNs
-    for name in HEADLINE:
-        build = builders[name]
-        best = float("inf")
-        try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df = build(spark, sf_dir)
-                _materialize(df)
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-            sp = _spill_bytes(df)
-            if sp:  # nonzero or -1 (unknown) both worth surfacing
-                spills[name] = sp
-                print(
-                    f"SPILL: {name} spilled {sp} bytes at bench scale — "
-                    "execution memory outgrown; investigate before "
-                    "trusting its scaling",
-                    file=sys.stderr,
-                )
-        except Exception as exc:  # noqa: BLE001
-            print(f"bench query {name} failed: {exc}", file=sys.stderr)
-            timings[name] = None
-        _flush_barrier(spark, log_path, name)
-        n_fb, log_off = _fallbacks_since(log_path, log_off)
-        if n_fb:
-            fallbacks[name] = n_fb
-            print(
-                f"CODEGEN FALLBACK: {name} logged {n_fb} fallback marker(s) "
-                f"(see {log_path}) — value-correct but interpreted; "
-                "investigate before trusting its timing",
-                file=sys.stderr,
-            )
-
-    total = round(sum(t for t in timings.values() if t is not None), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "codegen_fallbacks": fallbacks,
-                "codegen_fallback_detector": "ok" if detector_ok else "dead",
-                "spill_bytes": spills,
-            }
+    if tier in ("all", "headline"):
+        timings, fallbacks, spills, log_off = _run_tier(
+            spark, sf_dir, HEADLINE, builders, log_path, log_off
         )
-    )
+    lc_timings: dict[str, float | None] = {}
+    lc_fallbacks: dict[str, int] = {}
+    lc_spills: dict[str, int] = {}
+    if tier in ("all", "lifecycle"):
+        lc_timings, lc_fallbacks, lc_spills, log_off = _run_tier(
+            spark, sf_dir, LIFECYCLE, builders, log_path, log_off
+        )
+
+    if tier == "lifecycle":
+        # Standalone lifecycle run: the tier IS the top-level metric.
+        out = {
+            "metric": "lifecycle_total_wall",
+            "value": round(sum(t for t in lc_timings.values() if t is not None), 3),
+            "unit": "sec",
+            "queries": lc_timings,
+            "sf": sf,
+            "codegen_fallbacks": lc_fallbacks,
+            "codegen_fallback_detector": "ok" if detector_ok else "dead",
+            "spill_bytes": lc_spills,
+        }
+    else:
+        total = round(sum(t for t in timings.values() if t is not None), 3)
+        out = {
+            "metric": "headline_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "codegen_fallbacks": fallbacks,
+            "codegen_fallback_detector": "ok" if detector_ok else "dead",
+            "spill_bytes": spills,
+        }
+        if tier == "all":
+            out["lifecycle"] = {
+                "total": round(
+                    sum(t for t in lc_timings.values() if t is not None), 3
+                ),
+                "queries": lc_timings,
+                "codegen_fallbacks": lc_fallbacks,
+                "spill_bytes": lc_spills,
+            }
+    print(json.dumps(out))
     spark.stop()
 
 

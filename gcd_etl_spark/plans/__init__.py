@@ -64,6 +64,16 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: r3-vintage stragglers the r9 window listed past position 50, then
 #: the oldest (r4-vintage) rows, flagship trio always re-verified.
 _DRIVER_WINDOW = [
+    # --- (a0) round-11 registrant (real container parsing) + the
+    #     queries whose oracles/plans round 11 changed (pointer-
+    #     doubling entity oracle, split Zipf moments, total-order
+    #     running-sum oracle, run-unique shard staging, scale-derived
+    #     bucket counts in every index lifecycle) — first driver rows
+    #     under the new semantics ---
+    "mm_decode_real_headers",
+    "entity_clusters",
+    "entity_clusters_star",
+    "window_running_sum",
     # --- (a) round-10 registrants + conversions: first driver rows
     #     under the new oracled semantics ---
     "corpus_shuffle_shards",

@@ -1392,6 +1392,22 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: file-size target expressed in records.
 SHUFFLE_WRITE_MAX_RECORDS = 32
 
+#: Per-process run id baked into the shard staging path so two
+#: concurrent runs on the same sf (parallel sweeps, or different
+#: parent dirs sharing a basename) never overwrite each other's files
+#: between the write and the read-back. Stable within a process so
+#: the layout test can locate the directory after build().
+_SHUFFLE_WRITE_RUN_ID = __import__("uuid").uuid4().hex[:8]
+
+
+def shuffle_shards_staging_path(sf_dir: str) -> str:
+    """The run-unique staging directory for the materialized epoch
+    shuffle: /tmp/gcd_etl_shards_<sf-basename>_<per-process-uuid>."""
+    import os as _os
+
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return f"/tmp/gcd_etl_shards_{tag}_{_SHUFFLE_WRITE_RUN_ID}"
+
 
 @query("corpus_shuffle_shards_write", oracle=_SHUFFLE_ORACLE)
 def corpus_shuffle_shards_write(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,10 +1426,7 @@ def corpus_shuffle_shards_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader-streamable in order, `maxRecordsPerFile` rotation for
     bounded file sizes; readers of one epoch-shard touch exactly one
     directory (partition pruning on shard)."""
-    import os as _os
-
-    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    staged = f"/tmp/gcd_etl_shards_{tag}"
+    staged = shuffle_shards_staging_path(sf_dir)
     perm = corpus_shuffle_shards(spark, sf_dir)
     (
         perm.repartition("shard")
@@ -1514,9 +1527,12 @@ def ensure_bigram_lm_index(
             .cast("bigint")
             .alias("unseen_nll_micro"),
         )
-        write_bucketed_table(costs, costs_name, ["bg"], n_buckets=16, sort_cols=["bg"])
+        from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
+        nb = suggest_bucket_count_for(sf_dir, "documents")
+        write_bucketed_table(costs, costs_name, ["bg"], n_buckets=nb, sort_cols=["bg"])
         write_bucketed_table(
-            ctx.unionByName(sentinel), ctx_name, ["p"], n_buckets=16, sort_cols=["p"]
+            ctx.unionByName(sentinel), ctx_name, ["p"], n_buckets=nb, sort_cols=["p"]
         )
     return spark.table(costs_name), spark.table(ctx_name)
 

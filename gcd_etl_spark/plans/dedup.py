@@ -297,7 +297,10 @@ def ensure_corpus_band_index(
     import shutil as _shutil
     from urllib.parse import urlparse as _urlparse
 
-    from gcd_etl_spark.sources.sinks import write_bucketed_table
+    from gcd_etl_spark.sources.sinks import (
+        suggest_bucket_count_for,
+        write_bucketed_table,
+    )
 
     from gcd_etl_spark.sources.catalog import table_fingerprint
 
@@ -314,7 +317,13 @@ def ensure_corpus_band_index(
             F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
         )
         write_bucketed_table(
-            corpus_bands, name, ["band_hash"], n_buckets=16, sort_cols=["band_hash"]
+            corpus_bands,
+            name,
+            ["band_hash"],
+            # bucket count scales with the corpus (round-7 lesson: a
+            # fixed 16 caps parallelism at ~4x data)
+            n_buckets=suggest_bucket_count_for(sf_dir, "documents"),
+            sort_cols=["band_hash"],
         )
     return spark.table(name)
 
@@ -568,7 +577,10 @@ def ensure_gram_df_index(
     from urllib.parse import urlparse as _urlparse
 
     from gcd_etl_spark.sources.catalog import table_fingerprint
-    from gcd_etl_spark.sources.sinks import write_bucketed_table
+    from gcd_etl_spark.sources.sinks import (
+        suggest_bucket_count_for,
+        write_bucketed_table,
+    )
 
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
     name = f"gram_df_idx_{tag}_{table_fingerprint(sf_dir, 'documents')}"
@@ -580,7 +592,13 @@ def ensure_gram_df_index(
             .groupBy("gram")
             .agg(F.count_distinct("doc_id").alias("df"))
         )
-        write_bucketed_table(gdf, name, ["gram"], n_buckets=16, sort_cols=["gram"])
+        write_bucketed_table(
+            gdf,
+            name,
+            ["gram"],
+            n_buckets=suggest_bucket_count_for(sf_dir, "documents"),
+            sort_cols=["gram"],
+        )
     return spark.table(name)
 
 
@@ -715,7 +733,12 @@ def dedup_gram_index_update_cycle(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
     )
-    write_bucketed_table(corpus_gdf, name, ["gram"], n_buckets=16, sort_cols=["gram"])
+    from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
+    # scale-derived bucket count; the append below MUST reuse it (a
+    # bucketed append with a different count would corrupt co-location)
+    nb = suggest_bucket_count_for(sf_dir, "documents")
+    write_bucketed_table(corpus_gdf, name, ["gram"], n_buckets=nb, sort_cols=["gram"])
 
     c1 = _delta_gram_counts(docs.where(is_n1))
     v1 = _score_delta_grams(c1, spark.table(name)).localCheckpoint(eager=True)
@@ -725,7 +748,7 @@ def dedup_gram_index_update_cycle(spark: SparkSession, sf_dir: str) -> DataFrame
         c1.groupBy("gram").agg(F.count(F.lit(1)).alias("df")),
         name,
         ["gram"],
-        n_buckets=16,
+        n_buckets=nb,
         sort_cols=["gram"],
         mode="append",
     )
@@ -930,8 +953,11 @@ def dedup_index_append_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_bands = D.minhash_band_table(docs.where(~is_delta), portable=True).select(
         F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
     )
+    from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
+    nb = suggest_bucket_count_for(sf_dir, "documents")
     write_bucketed_table(
-        corpus_bands, name, ["band_hash"], n_buckets=16, sort_cols=["band_hash"]
+        corpus_bands, name, ["band_hash"], n_buckets=nb, sort_cols=["band_hash"]
     )
 
     def night(delta_docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -952,7 +978,7 @@ def dedup_index_append_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands1.select(F.col("delta_id").alias("corpus_id"), "band_idx", "band_hash"),
         name,
         ["band_hash"],
-        n_buckets=16,
+        n_buckets=nb,
         sort_cols=["band_hash"],
         mode="append",
     )
@@ -1026,8 +1052,11 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_bands = D.minhash_band_table(docs.where(~is_delta), portable=True).select(
         F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
     )
+    from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
+    nb = suggest_bucket_count_for(sf_dir, "documents")
     write_bucketed_table(
-        corpus_bands, name, ["band_hash"], n_buckets=16, sort_cols=["band_hash"]
+        corpus_bands, name, ["band_hash"], n_buckets=nb, sort_cols=["band_hash"]
     )
     n1_bands = D.minhash_band_table(docs.where(is_n1), portable=True).select(
         F.col("_id").alias("corpus_id"), "band_idx", "band_hash"
@@ -1036,13 +1065,13 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1_bands,
         name,
         ["band_hash"],
-        n_buckets=16,
+        n_buckets=nb,
         sort_cols=["band_hash"],
         mode="append",
     )
 
     files_before = count_table_data_files(spark, name)
-    dest = compact_bucketed_table(spark, name, ["band_hash"], 16, ["band_hash"])
+    dest = compact_bucketed_table(spark, name, ["band_hash"], nb, ["band_hash"])
     files_after = count_table_data_files(spark, dest)
 
     orig, comp = spark.table(name), spark.table(dest)
@@ -1138,14 +1167,17 @@ def dedup_gram_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count_distinct("doc_id").alias("df"))
         )
 
+    from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
+    nb = suggest_bucket_count_for(sf_dir, "documents")
     write_bucketed_table(
-        gdf(docs.where(~is_delta)), name, ["gram"], n_buckets=16, sort_cols=["gram"]
+        gdf(docs.where(~is_delta)), name, ["gram"], n_buckets=nb, sort_cols=["gram"]
     )
     write_bucketed_table(
         gdf(docs.where(is_n1)),
         name,
         ["gram"],
-        n_buckets=16,
+        n_buckets=nb,
         sort_cols=["gram"],
         mode="append",
     )
@@ -1153,7 +1185,7 @@ def dedup_gram_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name).groupBy("gram").agg(F.sum("df").cast("long").alias("df"))
     )
     write_bucketed_table(
-        merged, merged_name, ["gram"], n_buckets=16, sort_cols=["gram"]
+        merged, merged_name, ["gram"], n_buckets=nb, sort_cols=["gram"]
     )
     return spark.table(merged_name)
 
@@ -1439,7 +1471,15 @@ def ensure_srp_bucket_index(
         tb = _srp_bucket_frame(corpus_emb, SRP_BITS, SRP_TABLES).select(
             F.col("vec_id").alias("corpus_id"), F.posexplode("bks").alias("t", "bk")
         )
-        write_bucketed_table(tb, name, ["bk"], n_buckets=16, sort_cols=["bk"])
+        from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
+        write_bucketed_table(
+            tb,
+            name,
+            ["bk"],
+            n_buckets=suggest_bucket_count_for(sf_dir, "embeddings"),
+            sort_cols=["bk"],
+        )
     return spark.table(name)
 
 

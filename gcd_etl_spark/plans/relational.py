@@ -291,11 +291,13 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_suppkey, l_orderkey, l_linenumber,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                  l_partkey, l_quantity, l_extendedprice
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
        LAG(l_orderkey) OVER (
          PARTITION BY l_suppkey
-         ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_orderkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                  l_partkey, l_quantity, l_extendedprice) AS prev_orderkey
 FROM lineitem
 """,
 )

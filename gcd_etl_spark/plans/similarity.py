@@ -440,8 +440,14 @@ def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
                 .withColumn("q_codes", codes)
                 .drop("embedding")
             )
+            from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
             write_bucketed_table(
-                index, idx_name, ["cell"], n_buckets=16, sort_cols=["cell"]
+                index,
+                idx_name,
+                ["cell"],
+                n_buckets=suggest_bucket_count_for(sf_dir, "embeddings"),
+                sort_cols=["cell"],
             )
     cent = spark.table(cent_name).orderBy("cell_id").collect()
     centroids = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
@@ -589,11 +595,13 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
                 ],
                 "m int, code int, subvec array<double>",
             ).write.mode("overwrite").saveAsTable(book_name)
+            from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
             write_bucketed_table(
                 S.pq_encode(emb, centroids, codebooks),
                 codes_name,
                 ["cell"],
-                n_buckets=16,
+                n_buckets=suggest_bucket_count_for(sf_dir, "embeddings"),
                 sort_cols=["cell"],
             )
     cent = spark.table(cent_name).orderBy("cell_id").collect()
@@ -689,11 +697,14 @@ def sim_ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+    from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
+    nb = suggest_bucket_count_for(sf_dir, "embeddings")
     write_bucketed_table(
         S.pq_encode(corpus, centroids, codebooks),
         name,
         ["cell"],
-        n_buckets=16,
+        n_buckets=nb,
         sort_cols=["cell"],
     )
     # the append: tonight's vectors, frozen quantizers, same bucket spec
@@ -701,7 +712,7 @@ def sim_ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.pq_encode(delta, centroids, codebooks),
         name,
         ["cell"],
-        n_buckets=16,
+        n_buckets=nb,
         sort_cols=["cell"],
         mode="append",
     )
@@ -1186,8 +1197,16 @@ def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
                     "cell"
                 ),
             )
+            from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
+            # floor=8 keeps the historical fixture layout (16 cells
+            # split 8 ways); scale still grows the count past 4x data
             write_bucketed_table(
-                assigned, idx_name, ["cell"], n_buckets=8, sort_cols=["cell"]
+                assigned,
+                idx_name,
+                ["cell"],
+                n_buckets=suggest_bucket_count_for(sf_dir, "embeddings", floor=8),
+                sort_cols=["cell"],
             )
     cent_rows = spark.table(cent_name).orderBy("cell_id").collect()
     centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)

@@ -1292,19 +1292,29 @@ q AS (
 s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+         CAST(SUM((x * y) // 1048576) AS BIGINT) AS sxy_hi,
+         CAST(SUM((x * y) % 1048576) AS BIGINT) AS sxy_lo,
+         CAST(SUM((x * x) // 1048576) AS BIGINT) AS sxx_hi,
+         CAST(SUM((x * x) % 1048576) AS BIGINT) AS sxx_lo
   FROM q
+),
+d AS (
+  SELECT n, sx, sy,
+         CAST(sxy_hi AS DOUBLE) * 1048576 + CAST(sxy_lo AS DOUBLE) AS sxy_d,
+         CAST(sxx_hi AS DOUBLE) * 1048576 + CAST(sxx_lo AS DOUBLE) AS sxx_d
+  FROM s
 )
 SELECT n AS n_vocab,
-       CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+       CAST(floor((CAST(n AS DOUBLE) * sxy_d - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * sxx_d - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000 + 0.5)
             AS BIGINT) AS slope_ppm,
        CAST(floor(CAST(sy AS DOUBLE) / n
-                  - CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * sxx - sx * sx AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * sxy_d - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * sxx_d - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                     * (CAST(sx AS DOUBLE) / n) + 0.5)
             AS BIGINT) AS intercept_micro
-FROM s
+FROM d
 """
 
 
@@ -1324,7 +1334,15 @@ def stat_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one count shuffle on the token, one vocab-sized
     rank window (Zipf-small; at web scale the vocab is millions of
     rows while the corpus is trillions — the window runs on the
-    small side), one 1-row moment aggregate."""
+    small side), one 1-row moment aggregate. The second moments are
+    carried as EXACT hi/lo int64 pairs (per-row product split at
+    2^20; each row's x*y <= ~7.6e14, so both halves' sums stay
+    inside int64 up to ~1e9 vocabulary — web scale) because a single
+    SUM(x*y) passes 2^63 near 1e6 vocabulary, where Spark (non-ANSI)
+    wraps silently while DuckDB promotes to HUGEINT and the BIGINT
+    cast raises (round-11 advice fix); the halves recombine inside
+    the same fixed scalar IEEE expression both engines evaluate
+    identically, so determinism is preserved."""
     from gcd_etl_spark.sources.catalog import read_table_spread
 
     docs = read_table_spread(spark, sf_dir, "documents")
@@ -1345,11 +1363,21 @@ def stat_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("(x * y) div 1048576")).cast("bigint").alias("sxy_hi"),
+        F.sum(F.expr("(x * y) % 1048576")).cast("bigint").alias("sxy_lo"),
+        F.sum(F.expr("(x * x) div 1048576")).cast("bigint").alias("sxx_hi"),
+        F.sum(F.expr("(x * x) % 1048576")).cast("bigint").alias("sxx_lo"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # Recombine the exact split moments in DOUBLE with the same
+    # operation tree the oracle uses — x, y >= 0 so div/% agree with
+    # DuckDB's floor semantics.
+    sxy_d = F.col("sxy_hi").cast("double") * 1048576 + F.col("sxy_lo").cast("double")
+    sxx_d = F.col("sxx_hi").cast("double") * 1048576 + F.col("sxx_lo").cast("double")
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * sxy_d - sxd * syd
+    den = nd * sxx_d - sxd * sxd
     slope = num / den
     return s.select(
         F.col("n").alias("n_vocab"),
@@ -1430,7 +1458,14 @@ def stat_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, one min(doc_id) shuffle per distinct token, then both
     doc-sized/vocab-sized summaries range-join the 10-row broadcast
     cutoff frame. Cost is one pass over the token stream regardless
-    of how many curve points are sampled."""
+    of how many curve points are sampled.
+
+    Int64 exactness bound: unlike stat_zipf_fit (whose moment count
+    is the vocabulary and needed the hi/lo split), the sums here run
+    over n = HEAPS_POINTS = 10 rows, so even at ln(1e12) tokens the
+    moments top out near 10 * (2.8e7)^2 ~ 7.6e15 and the cross terms
+    n*sxy / sx*sy near 8e16 — two orders of magnitude inside int64.
+    Raising HEAPS_POINTS past ~1000 would need the same split."""
     from gcd_etl_spark.sources.catalog import read_table_spread
 
     docs = read_table_spread(spark, sf_dir, "documents")

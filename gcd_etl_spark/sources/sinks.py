@@ -94,6 +94,55 @@ def compact_snapshot_partition(
     return n
 
 
+#: Bucket-count scaling rule (round-11 verdict item 6, codifying the
+#: round-7 measurement): a FIXED 16-bucket index layout caps join/agg
+#: parallelism at ~4x the fixture data — 64 buckets won the amplified
+#: audit there. One bucket per this many SOURCE bytes keeps per-bucket
+#: work roughly constant as the corpus grows; calibrated so the sf0.1
+#: fixture lands exactly on the historical 16 (594 KB documents /
+#: 64 KiB ~= 9 -> next pow2 = 16) and 4x the data lands on 64.
+BUCKET_TARGET_SOURCE_BYTES = 64 * 1024
+BUCKET_COUNT_MIN = 16
+#: Upper clamp: past this, a single flat bucketed table is the wrong
+#: layout anyway (partition first, bucket within partitions).
+BUCKET_COUNT_MAX = 65536
+
+
+def suggest_bucket_count(source_bytes: int, floor: int = BUCKET_COUNT_MIN) -> int:
+    """Bucket count for a staged index derived from ``source_bytes``
+    of source data: next power of two of (bytes / target-per-bucket),
+    clamped to [floor, BUCKET_COUNT_MAX]. Power of two so a 2x-grown
+    corpus re-staged at 2x buckets still co-locates predictably and
+    bucket-pruning math stays simple."""
+    n = max(1, -(-source_bytes // BUCKET_TARGET_SOURCE_BYTES))  # ceil
+    p = 1
+    while p < n:
+        p *= 2
+    return max(floor, min(p, BUCKET_COUNT_MAX))
+
+
+def source_table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of one source table (file or directory) — the
+    observable-before-write scale proxy the ensure_* index builders
+    feed to suggest_bucket_count."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                total += os.path.getsize(os.path.join(root, fn))
+        return total
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def suggest_bucket_count_for(sf_dir: str, table: str, floor: int = BUCKET_COUNT_MIN) -> int:
+    """suggest_bucket_count over the table's on-disk source bytes."""
+    return suggest_bucket_count(source_table_bytes(sf_dir, table), floor=floor)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

@@ -102,6 +102,10 @@ TARGETS = {
     "quality_bigram_nll_delta": ["documents"],
     "stream_quality_gate": ["documents"],
     "sample_negatives_hash": ["documents"],
+    # round 11: the real container parse (two Arrow hops; expect
+    # ~linear in docs with flat per-row cost — any superlinearity
+    # would mean batch-boundary pathology in mapInPandas)
+    "mm_decode_real_headers": ["documents"],
 }
 
 ALL_TABLES = [

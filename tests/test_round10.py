@@ -344,10 +344,13 @@ def test_index_compaction_one_file_per_bucket(spark, sf_smoke):
     assert row["colocated_zero_exchange"] == 1
     assert row["n_band_rows"] > 0
 
+    from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
+
+    nb = suggest_bucket_count_for(sf_smoke, "documents")
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
     name = f"corpus_band_idx_cmpct_{tag}"
-    assert count_table_data_files(spark, name) > 16  # fragmented
-    assert count_table_data_files(spark, f"{name}_compact") == 16
+    assert count_table_data_files(spark, name) > nb  # fragmented
+    assert count_table_data_files(spark, f"{name}_compact") == nb
 
 
 # ------------------- gram-DF index update cycle (span-dedup lifecycle)

@@ -160,9 +160,10 @@ def test_shuffle_shards_write_layout(spark, sf_smoke):
 
     import pyarrow.parquet as pq
 
+    from gcd_etl_spark.plans.corpus import shuffle_shards_staging_path
+
     QUERIES["corpus_shuffle_shards_write"].build(spark, sf_smoke).collect()
-    tag = os.path.basename(sf_smoke.rstrip("/")).replace(".", "_")
-    staged = f"/tmp/gcd_etl_shards_{tag}"
+    staged = shuffle_shards_staging_path(sf_smoke)
     shard_dirs = sorted(glob.glob(f"{staged}/shard=*"))
     assert len(shard_dirs) == 8, shard_dirs
     from gcd_etl_spark.plans.corpus import SHUFFLE_WRITE_MAX_RECORDS

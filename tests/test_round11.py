@@ -1,0 +1,167 @@
+"""Round-11 registrants and hardening: the bucket-count scaling rule,
+the run-unique shard staging path, and the exact hi/lo-split Zipf
+moments (ADVICE round 10)."""
+
+from __future__ import annotations
+
+from gcd_etl_spark.plans import QUERIES
+
+
+# ------------------------- bucket-count scaling rule (verdict item 6)
+def test_suggest_bucket_count_scaling_rule():
+    """The round-7 measurement, codified: fixture-scale sources stay
+    on the historical 16-bucket layout (every existing file-level pin
+    survives), 4x the sf0.1 corpus crosses to 64, growth is monotone,
+    power-of-two, and clamped at both ends."""
+    from gcd_etl_spark.sources.sinks import (
+        BUCKET_COUNT_MAX,
+        BUCKET_TARGET_SOURCE_BYTES,
+        suggest_bucket_count,
+    )
+
+    sf01_docs = 594_568  # on-disk bytes of sf0.1 documents.parquet
+    assert suggest_bucket_count(0) == 16
+    assert suggest_bucket_count(65_049) == 16  # sf0.01 documents
+    assert suggest_bucket_count(sf01_docs) == 16  # historical layout
+    assert suggest_bucket_count(4 * sf01_docs) == 64  # the r7 lesson
+    assert suggest_bucket_count(100 * sf01_docs) == 1024
+    assert suggest_bucket_count(10**15) == BUCKET_COUNT_MAX  # clamp
+    # monotone + power-of-two across the whole curve
+    prev = 0
+    for scale in range(1, 40):
+        n = suggest_bucket_count(scale * BUCKET_TARGET_SOURCE_BYTES)
+        assert n >= prev
+        assert n & (n - 1) == 0
+        prev = n
+    # floor override (bitext keeps its historical 8-way fixture split)
+    assert suggest_bucket_count(0, floor=8) == 8
+
+
+def test_suggest_bucket_count_for_reads_source(sf_smoke):
+    from gcd_etl_spark.sources.sinks import (
+        source_table_bytes,
+        suggest_bucket_count_for,
+    )
+
+    assert source_table_bytes(sf_smoke, "documents") > 0
+    assert suggest_bucket_count_for(sf_smoke, "documents") == 16
+    # missing table degrades to the floor, never raises
+    assert suggest_bucket_count_for(sf_smoke, "no_such_table") == 16
+
+
+# ---------------------- run-unique shard staging (ADVICE round 10 #2)
+def test_shuffle_shards_staging_path_is_run_unique():
+    """Two concurrent runs on the same sf basename must not share a
+    staging directory (the write/read-back race ADVICE flagged); the
+    path is stable WITHIN a process so the layout test can find it."""
+    from gcd_etl_spark.plans.corpus import (
+        _SHUFFLE_WRITE_RUN_ID,
+        shuffle_shards_staging_path,
+    )
+
+    p1 = shuffle_shards_staging_path("/root/testdata/sf0.001")
+    assert p1 == shuffle_shards_staging_path("/root/testdata/sf0.001")
+    assert _SHUFFLE_WRITE_RUN_ID in p1
+    assert len(_SHUFFLE_WRITE_RUN_ID) == 8
+    # different sf dirs still get distinct paths
+    assert p1 != shuffle_shards_staging_path("/root/testdata/sf0.01")
+
+
+# --------------------- exact split Zipf moments (ADVICE round 10 #3)
+def test_zipf_fit_split_moments_match_oracle(spark, sf_correct):
+    """End-to-end: the hi/lo-split integer moments recombined in
+    DOUBLE must still value-match DuckDB exactly at the correctness
+    scale (the driver's own comparator shape: collect both, compare
+    sorted rows)."""
+    import duckdb
+
+    from tests.conftest import oracle_con
+
+    got = QUERIES["stat_zipf_fit"].build(spark, sf_correct).collect()
+    con = oracle_con(sf_correct)
+    want = con.execute(QUERIES["stat_zipf_fit"].oracle).fetchall()
+    con.close()
+    assert len(got) == len(want) == 1
+    g = got[0]
+    assert (g["n_vocab"], g["slope_ppm"], g["intercept_micro"]) == want[0]
+    assert g["slope_ppm"] < 0  # Zipf: frequency falls with rank
+
+
+# ------------------ real container parsing (verdict item 5)
+def test_media_parser_roundtrip_and_edge_cases():
+    """The parser must read back exactly what the synthesizer wrote
+    for every format rotation, AND survive the container features the
+    fixture never hits: an extra RIFF chunk before fmt/data (chunk
+    walking, not fixed offsets), odd-sized chunks (RIFF even-padding
+    rule), a top-down BMP (negative height), PPM comment lines, and
+    truncated/alien bytes (quarantine, not throw)."""
+    import struct
+
+    from gcd_etl_spark.operators.multimodal import (
+        parse_media_header,
+        synthesize_media_file,
+    )
+
+    for mid in range(0, 30):
+        p = synthesize_media_file(mid)
+        r = parse_media_header(p)
+        if mid % 3 == 0:
+            assert r["format"] == "wav"
+            assert r["channels"] == 1 + mid % 2
+            assert r["sample_rate"] == 8000 * (1 + mid % 5)
+            assert r["n_samples"] == 100 + mid % 900
+        elif mid % 3 == 1:
+            assert r["format"] == "bmp"
+            assert (r["width"], r["height"]) == (1 + mid % 64, 1 + mid % 48)
+        else:
+            assert r["format"] == "ppm"
+            assert (r["width"], r["height"]) == (1 + mid % 32, 1 + mid % 24)
+
+    # WAV with a 3-byte (odd) junk chunk BEFORE fmt: even-padding rule
+    # must keep the walk aligned or fmt/data are never found
+    fmt_body = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    data = bytes(40)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 3 + 1 + 8 + 16 + 8 + len(data))
+        + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"  # pad to even
+        + b"fmt " + struct.pack("<I", 16) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    r = parse_media_header(wav)
+    assert (r["format"], r["channels"], r["sample_rate"], r["n_samples"]) == (
+        "wav", 2, 44100, 10,
+    )
+
+    # top-down BMP: negative height stored, magnitude reported
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 7, -5, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    r = parse_media_header(bmp)
+    assert (r["format"], r["width"], r["height"]) == ("bmp", 7, 5)
+
+    # PPM with comment lines between header fields
+    ppm = b"P6\n# a comment\n12 # inline\n34\n255\n" + bytes(12 * 34 * 3)
+    r = parse_media_header(ppm)
+    assert (r["format"], r["width"], r["height"]) == ("ppm", 12, 34)
+
+    # quarantine paths: alien magic, empty, None
+    assert parse_media_header(b"\x89PNG\r\n")["format"] == "unknown"
+    assert parse_media_header(b"")["format"] == "unknown"
+    assert parse_media_header(None)["format"] == "unknown"
+
+
+def test_zipf_split_moments_are_int64_safe_at_web_scale():
+    """The bound the docstring claims: at 1e9 vocabulary with
+    ln-micro-units, each hi/lo partial sum stays inside int64 while
+    the naive SUM(x*y) would overflow."""
+    import math
+
+    n = 10**9
+    x_max = math.log(n) * 1e6  # ln(rank) micro-units
+    y_max = math.log(1e12) * 1e6  # ln(count) micro-units, absurd corpus
+    p_max = x_max * y_max
+    assert n * p_max > 2**63  # the naive moment overflows...
+    assert n * (p_max // 2**20) < 2**63  # ...but the hi sum fits
+    assert n * (2**20) < 2**63  # and the lo sum fits
