@@ -71,6 +71,9 @@ _DRIVER_WINDOW = [
     #     bucket counts in every index lifecycle) — first driver rows
     #     under the new semantics ---
     "mm_decode_real_headers",
+    "corpus_decontaminate",
+    "sample_stratified_split",
+    "corpus_curriculum_order",
     "entity_clusters",
     "entity_clusters_star",
     "window_running_sum",

@@ -106,6 +106,14 @@ TARGETS = {
     # ~linear in docs with flat per-row cost — any superlinearity
     # would mean batch-boundary pathology in mapInPandas)
     "mm_decode_real_headers": ["documents"],
+    # round 11: decontamination (bench side DISTINCT+broadcast, train
+    # side doc-keyed aggs — suffix-token amplification grows the
+    # benchmark gram set linearly too, so read plan shape, not just
+    # exponent), the zero-shuffle split, and the curriculum staging
+    # (score-keyed agg + tiny window + broadcast back)
+    "corpus_decontaminate": ["documents"],
+    "sample_stratified_split": ["documents"],
+    "corpus_curriculum_order": ["documents"],
 }
 
 ALL_TABLES = [
