@@ -292,3 +292,75 @@ def mm_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_samples").cast("long"),
         ).alias("end_sample"),
     )
+
+
+# ------------------------ letterbox resize geometry (round 11)
+#: Vision-model input side (CLIP/ViT-style square canvas).
+RESIZE_TARGET = 224
+
+_LETTERBOX_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 64
+                         ELSE 1 + doc_id % 32 END AS w,
+         CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 48
+                         ELSE 1 + doc_id % 24 END AS h
+  FROM documents WHERE doc_id % 3 IN (1, 2)
+),
+s AS (
+  SELECT media_id, w, h,
+         LEAST({RESIZE_TARGET} * 1000000 // w,
+               {RESIZE_TARGET} * 1000000 // h) AS scale_ppm
+  FROM meta
+)
+SELECT media_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(scale_ppm AS BIGINT) AS scale_ppm,
+       CAST(w * scale_ppm // 1000000 AS INT) AS out_w,
+       CAST(h * scale_ppm // 1000000 AS INT) AS out_h,
+       CAST(({RESIZE_TARGET} - w * scale_ppm // 1000000) // 2 AS INT) AS pad_x,
+       CAST(({RESIZE_TARGET} - h * scale_ppm // 1000000) // 2 AS INT) AS pad_y
+FROM s
+"""
+
+
+@query("mm_resize_letterbox", oracle=_LETTERBOX_ORACLE)
+def mm_resize_letterbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving letterbox geometry to a RESIZE_TARGET-square
+    canvas — the CLIP/ViT input-preparation math, computed over the
+    REAL parsed headers (mm_decode_real_headers' bmp/ppm rows, so the
+    geometry consumed here was read out of genuine container bytes):
+    integer-ppm scale = min(T/w, T/h), scaled dims floored, symmetric
+    padding halved — all exact integer arithmetic, identical on both
+    engines (operands nonnegative, so div == //). The actual pixel
+    resample is the decoder swap-in's job; the geometry contract a
+    preprocessing fleet must agree on is decoder-independent and
+    fully value-oracled.
+
+    Scale shape: two Arrow stages (synthesize + parse, the real-parse
+    pipeline) then pure JVM arithmetic; no shuffle anywhere."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    meta = M.parse_media_headers(M.synthesize_media_files(docs)).where(
+        F.col("format").isin("bmp", "ppm")
+    )
+    T = RESIZE_TARGET
+    scale = F.least(
+        F.expr(f"{T} * 1000000 div width"), F.expr(f"{T} * 1000000 div height")
+    )
+    s = meta.select(
+        "media_id", "width", "height", scale.cast("bigint").alias("scale_ppm")
+    )
+    out_w = F.expr("width * scale_ppm div 1000000")
+    out_h = F.expr("height * scale_ppm div 1000000")
+    return s.select(
+        "media_id",
+        "width",
+        "height",
+        "scale_ppm",
+        out_w.cast("int").alias("out_w"),
+        out_h.cast("int").alias("out_h"),
+        ((F.lit(T) - out_w) / 2).cast("int").alias("pad_x"),
+        ((F.lit(T) - out_h) / 2).cast("int").alias("pad_y"),
+    )

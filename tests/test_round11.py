@@ -230,6 +230,57 @@ def test_curriculum_stages_are_monotone_in_score(spark, sf_smoke):
         assert c > n // 8  # no collapsed stage
 
 
+def test_chunk_windows_cover_every_token(spark, sf_smoke):
+    """Coverage + geometry: the union of [start, start+len) intervals
+    is exactly [0, n_tok) for every doc (no token dropped, no phantom
+    chunk), consecutive chunks advance by the stride, and only the
+    final chunk may be short."""
+    from gcd_etl_spark.plans.corpus import CHUNK_STRIDE, CHUNK_TOKENS
+
+    rows = QUERIES["corpus_chunk_windows"].build(spark, sf_smoke).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    multi = 0
+    for _doc, ch in by_doc.items():
+        ch.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in ch] == list(range(len(ch)))
+        for c in ch[:-1]:
+            assert c["chunk_len"] == CHUNK_TOKENS  # only the tail clips
+        for c in ch:
+            assert c["start_tok"] == c["chunk_idx"] * CHUNK_STRIDE
+        covered = max(c["start_tok"] + c["chunk_len"] for c in ch)
+        # the last chunk ends exactly at the doc's token count, and
+        # every position below it is inside some chunk (stride < window)
+        assert ch[-1]["start_tok"] + ch[-1]["chunk_len"] == covered
+        if len(ch) > 1:
+            multi += 1
+            assert CHUNK_STRIDE < CHUNK_TOKENS  # overlap exists
+    assert multi > 0, "fixture never produced a multi-chunk doc — vacuous"
+
+
+def test_letterbox_geometry_invariants(spark, sf_smoke):
+    """Letterbox contract: output fits the canvas, at least one axis
+    reaches it (within the 1-px floor-quantization), padding is
+    symmetric and fills the remainder, and aspect ratio is preserved
+    to within the ppm quantization."""
+    from gcd_etl_spark.plans.multimodal import RESIZE_TARGET as T
+
+    rows = QUERIES["mm_resize_letterbox"].build(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["out_w"] <= T and 0 < r["out_h"] <= T
+        assert max(r["out_w"], r["out_h"]) >= T - 1  # floor quantization
+        assert 0 <= r["pad_x"] <= (T - r["out_w"] + 1) // 2 + 1
+        assert 0 <= r["pad_y"] <= (T - r["out_h"] + 1) // 2 + 1
+        # aspect preserved: out_w/out_h ~ width/height
+        lhs = r["out_w"] * r["height"]
+        rhs = r["out_h"] * r["width"]
+        tol = r["height"] * r["width"]  # 1-px slack on either axis
+        assert abs(lhs - rhs) <= tol
+
+
 def test_zipf_split_moments_are_int64_safe_at_web_scale():
     """The bound the docstring claims: at 1e9 vocabulary with
     ln-micro-units, each hi/lo partial sum stays inside int64 while
