@@ -1905,86 +1905,3 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "stage"
     )
 
-
-# ------------------------------- RAG chunking (round 11)
-#: Chunk geometry: window of CHUNK_TOKENS tokens advancing by
-#: CHUNK_STRIDE (overlap = CHUNK_TOKENS - CHUNK_STRIDE) — the
-#: standard retrieval-corpus preprocessing shape.
-CHUNK_TOKENS = 64
-CHUNK_STRIDE = 48
-
-_CHUNK_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS toks
-  FROM documents
-),
-n AS (
-  SELECT doc_id, toks, len(toks) AS n_tok,
-         CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
-              ELSE (len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
-                   // {CHUNK_STRIDE} + 1 END AS n_chunks
-  FROM t WHERE len(toks) > 0
-),
-ch AS (
-  SELECT doc_id, n_tok, unnest(range(0, n_chunks)) AS chunk_idx, toks
-  FROM n
-)
-SELECT doc_id,
-       CAST(chunk_idx AS BIGINT) AS chunk_idx,
-       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
-       CAST(LEAST({CHUNK_TOKENS}, n_tok - chunk_idx * {CHUNK_STRIDE})
-            AS BIGINT) AS chunk_len,
-       md5(array_to_string(
-           toks[chunk_idx * {CHUNK_STRIDE} + 1 :
-                chunk_idx * {CHUNK_STRIDE}
-                + LEAST({CHUNK_TOKENS}, n_tok - chunk_idx * {CHUNK_STRIDE})],
-           ' ')) AS chunk_md5
-FROM ch
-"""
-
-
-@query("corpus_chunk_windows", oracle=_CHUNK_ORACLE)
-def corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG corpus chunking — overlapping CHUNK_TOKENS-token windows
-    every CHUNK_STRIDE tokens (the retrieval-index preprocessing
-    every RAG pipeline runs before embedding): one row per chunk
-    with its token offset, clipped length, and an md5 of the chunk
-    text (the downstream embed/dedup key). Chunk count =
-    ceil((n - W) / S) + 1 so the tail tokens always land in a final
-    (possibly short) chunk — no token is ever dropped; single-window
-    docs emit exactly one chunk.
-
-    Scale shape: the 1:N fan-out is a JVM-side sequence explode over
-    the ceil-divided chunk count (the mm_image_tiles split — no
-    Python anywhere); embarrassingly parallel, zero shuffles. The
-    md5 rides the existing portable-hash convention so the oracle is
-    value-exact."""
-    from gcd_etl_spark.sources.catalog import read_table
-
-    docs = read_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
-    W, S = CHUNK_TOKENS, CHUNK_STRIDE
-    d = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
-    n_chunks = F.when(F.size("toks") <= W, F.lit(1)).otherwise(
-        F.expr(f"(size(toks) - {W} + {S} - 1) div {S} + 1")
-    )
-    ch = d.select(
-        "doc_id",
-        F.size("toks").alias("n_tok"),
-        "toks",
-        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
-    )
-    chunk_len = F.least(F.lit(W), F.col("n_tok") - F.col("chunk_idx") * S)
-    return ch.select(
-        "doc_id",
-        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
-        (F.col("chunk_idx").cast("bigint") * S).alias("start_tok"),
-        chunk_len.cast("bigint").alias("chunk_len"),
-        F.md5(
-            F.concat_ws(
-                " ", F.slice("toks", F.col("chunk_idx") * S + 1, chunk_len)
-            ).cast("binary")
-        ).alias("chunk_md5"),
-    )

@@ -19,11 +19,12 @@ Usage: python scripts/run_registry_sweep.py [sf_dir] [name_prefix...]
 
 Running it at sf0.1 (10x the gate) is a worthwhile periodic exercise
 — the round-10 sf0.1 sweep caught a sort-key totality bug invisible
-at sf0.01 (window_running_sum; see BASELINE.md). Caveats at sf0.1:
-the CHECKERS for dedup_clusters (~15 min, all-pairs Jaccard) and
-entity_clusters* (recursive-CTE components over the fuzzy pair set;
-can exceed 35 min) are super-linear on the DuckDB side — budget for
-them or sweep them separately; the Spark plans themselves are fine.
+at sf0.01 (window_running_sum; see BASELINE.md). Caveat at sf0.1:
+the CHECKER for dedup_clusters (~15 min, all-pairs Jaccard) is
+super-linear on the DuckDB side — budget for it or sweep it
+separately; the Spark plans themselves are fine. (entity_clusters*
+stopped being a caveat in round 11: the pointer-doubling oracle runs
+in ~5 s at sf0.1 where the old recursive closure blew 35 minutes.)
 Prints one line per query (MATCH / MISMATCH / rows-only / ERROR) and a
 final ``DONE bad=N`` summary; exit code 1 if any bad.
 """

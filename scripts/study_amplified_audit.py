@@ -114,7 +114,6 @@ TARGETS = {
     "corpus_decontaminate": ["documents"],
     "sample_stratified_split": ["documents"],
     "corpus_curriculum_order": ["documents"],
-    "corpus_chunk_windows": ["documents"],
     "mm_resize_letterbox": ["documents"],
 }
 

@@ -87,6 +87,25 @@ def test_zipf_fit_split_moments_match_oracle(spark, sf_correct):
     assert g["slope_ppm"] < 0  # Zipf: frequency falls with rank
 
 
+# ----------------------- lifecycle bench tier (verdict item 1)
+def test_bench_tiers_name_registered_queries():
+    """Every name in both bench tiers must be a registered query (a
+    rename must not silently drop a heavy operator out of the tracked
+    tier), the tiers must not overlap (double-counting), and the
+    lifecycle tier covers all three streaming gates and all three
+    index-lifecycle families."""
+    import bench
+
+    for name in bench.HEADLINE + bench.LIFECYCLE:
+        assert name in QUERIES, name
+    assert not set(bench.HEADLINE) & set(bench.LIFECYCLE)
+    lc = set(bench.LIFECYCLE)
+    assert {"stream_quality_gate", "stream_semantic_dedup_gate",
+            "stream_dedup_against_corpus"} <= lc
+    assert {"dedup_gram_index_update_cycle", "dedup_index_append_cycle",
+            "sim_ann_ivfpq_index_append"} <= lc
+
+
 # ------------------ real container parsing (verdict item 5)
 def test_media_parser_roundtrip_and_edge_cases():
     """The parser must read back exactly what the synthesizer wrote
@@ -230,34 +249,24 @@ def test_curriculum_stages_are_monotone_in_score(spark, sf_smoke):
         assert c > n // 8  # no collapsed stage
 
 
-def test_chunk_windows_cover_every_token(spark, sf_smoke):
-    """Coverage + geometry: the union of [start, start+len) intervals
-    is exactly [0, n_tok) for every doc (no token dropped, no phantom
-    chunk), consecutive chunks advance by the stride, and only the
-    final chunk may be short."""
-    from gcd_etl_spark.plans.corpus import CHUNK_STRIDE, CHUNK_TOKENS
+def test_chunking_module_constants_not_shadowed():
+    """Regression pin for the round-11 near-miss: a second chunking
+    operator appended to plans/corpus.py rebound the module-level
+    CHUNK_STRIDE that the EXISTING chunk_sliding_tokens builder reads
+    at build time (its oracle had frozen the old value at import), so
+    the two sides silently diverged — caught only by the full parity
+    suite. The duplicate operator was removed (chunk_sliding_tokens
+    already IS the RAG chunking operator); this test pins the builder
+    constant and the oracle constant to each other so a future rebind
+    fails loudly here instead."""
+    import re
 
-    rows = QUERIES["corpus_chunk_windows"].build(spark, sf_smoke).collect()
-    by_doc: dict[int, list] = {}
-    for r in rows:
-        by_doc.setdefault(r["doc_id"], []).append(r)
-    assert by_doc
-    multi = 0
-    for _doc, ch in by_doc.items():
-        ch.sort(key=lambda r: r["chunk_idx"])
-        assert [c["chunk_idx"] for c in ch] == list(range(len(ch)))
-        for c in ch[:-1]:
-            assert c["chunk_len"] == CHUNK_TOKENS  # only the tail clips
-        for c in ch:
-            assert c["start_tok"] == c["chunk_idx"] * CHUNK_STRIDE
-        covered = max(c["start_tok"] + c["chunk_len"] for c in ch)
-        # the last chunk ends exactly at the doc's token count, and
-        # every position below it is inside some chunk (stride < window)
-        assert ch[-1]["start_tok"] + ch[-1]["chunk_len"] == covered
-        if len(ch) > 1:
-            multi += 1
-            assert CHUNK_STRIDE < CHUNK_TOKENS  # overlap exists
-    assert multi > 0, "fixture never produced a multi-chunk doc — vacuous"
+    from gcd_etl_spark.plans import corpus as C
+
+    assert C.CHUNK_SIZE == 128 and C.CHUNK_STRIDE == 96
+    oracle = QUERIES["chunk_sliding_tokens"].oracle
+    strides = {int(m) for m in re.findall(r"generate_series\(0, GREATEST\(len\(toks\) - 1, 0\), (\d+)\)", oracle)}
+    assert strides == {C.CHUNK_STRIDE}
 
 
 def test_letterbox_geometry_invariants(spark, sf_smoke):
