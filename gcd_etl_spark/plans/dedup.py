@@ -1337,6 +1337,36 @@ SRP_BITS = 6
 SRP_COS2 = 0.16  # 0.40^2
 _SRP_DIM = 64
 
+#: Target expected bucket occupancy for SRP at scale. The round-11
+#: 32x amplified audit measured WHY this must scale: with bits fixed
+#: at 6 (64 buckets/table), candidate pairs grow ~ n^2 * tables /
+#: (DELTA_MOD * 2^bits) — at 160k vectors that is ~4.6e8 exact-cosine
+#: verifications and dedup_semantic_delta_vs_corpus's wall went
+#: 3.2 -> 348.8 s (exp 1.35) while every smaller scale looked flat.
+#: Keeping occupancy ~constant keeps the verify stage linear:
+#: bits = ceil(log2(n / SRP_TARGET_OCCUPANCY)).
+SRP_TARGET_OCCUPANCY = 96
+
+
+def suggest_srp_bits(n_vectors: int, floor: int = SRP_BITS, cap: int = 24) -> int:
+    """Production SRP bit-width for an ``n_vectors`` corpus: enough
+    bits that expected bucket occupancy stays ~SRP_TARGET_OCCUPANCY,
+    clamped to [floor, cap]. The REGISTERED fixture queries keep the
+    static SRP_BITS (their DuckDB oracles are import-time strings
+    restating the same fixed hyperplane family — a data-dependent bit
+    count cannot be restated statically); a production deployment
+    passes this to the ensure_srp_bucket_index / _srp_bucket_frame
+    bits parameter when (re)staging the index. More bits lower
+    per-table recall for a fixed cosine bar — production compensates
+    with more tables (the standard LSH trade; see the ann-benchmarks
+    literature), which multiplies index size linearly while the
+    verify stage stays occupancy-bounded."""
+    import math
+
+    if n_vectors <= SRP_TARGET_OCCUPANCY:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(n_vectors / SRP_TARGET_OCCUPANCY))))
+
 
 def _srp_signs(table: int, bit: int) -> list[int]:
     import hashlib
