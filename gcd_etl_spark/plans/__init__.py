@@ -65,8 +65,7 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: the oldest (r4-vintage) rows, flagship trio always re-verified.
 _DRIVER_WINDOW = [
     # --- (a0) round-11 registrants (real container parsing +
-    #     letterbox geometry, decontamination, split, curriculum)
-    #     + the
+    #     letterbox geometry, curriculum staging) + the
     #     queries whose oracles/plans round 11 changed (pointer-
     #     doubling entity oracle, split Zipf moments, total-order
     #     running-sum oracle, run-unique shard staging, scale-derived
@@ -74,8 +73,6 @@ _DRIVER_WINDOW = [
     #     under the new semantics ---
     "mm_decode_real_headers",
     "mm_resize_letterbox",
-    "corpus_decontaminate",
-    "sample_stratified_split",
     "corpus_curriculum_order",
     "entity_clusters",
     "entity_clusters_star",

@@ -1672,157 +1672,6 @@ def score_docs_frozen_bigram_lm(
     )
 
 
-# ----------------------- benchmark decontamination (round 11)
-#: Benchmark residue: doc_id % DECON_MOD == DECON_RESIDUE plays the
-#: held-out eval set; everything else is training data. Distinct from
-#: DELTA_MOD's residue so the decontamination population and the
-#: nightly-delta population don't coincide.
-DECON_MOD = 11
-DECON_RESIDUE = 3
-
-
-def _decontaminate_oracle() -> str:
-    from gcd_etl_spark.plans.dedup import _CROSSDOC_K
-
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS toks
-  FROM documents
-), g AS (
-  SELECT DISTINCT doc_id,
-         concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])
-           AS gram
-  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {_CROSSDOC_K - 2}))
-          AS i
-        FROM t WHERE len(toks) >= {_CROSSDOC_K})
-), bench AS (
-  SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_MOD} = {DECON_RESIDUE}
-), train AS (
-  SELECT doc_id, gram FROM g WHERE doc_id % {DECON_MOD} <> {DECON_RESIDUE}
-), hits AS (
-  SELECT t.doc_id,
-         COUNT(*) AS n_grams,
-         COUNT(b.gram) AS n_bench_grams
-  FROM train t LEFT JOIN bench b ON t.gram = b.gram
-  GROUP BY t.doc_id
-)
-SELECT doc_id,
-       CAST(n_grams AS BIGINT) AS n_grams,
-       CAST(n_bench_grams AS BIGINT) AS n_bench_grams,
-       CAST(n_bench_grams * 1000000 // n_grams AS BIGINT) AS contam_ppm
-FROM hits WHERE n_bench_grams > 0
-"""
-
-
-@query("corpus_decontaminate", oracle=_decontaminate_oracle())
-def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark DECONTAMINATION — the eval-overlap scan every LLM
-    data pipeline runs before training (the GPT-3/PaLM n-gram
-    collision rule): a training document is contaminated if any of
-    its K-token windows (K = plans/dedup._CROSSDOC_K) occurs in the held-out
-    benchmark set (here the doc_id % DECON_MOD == DECON_RESIDUE
-    slice). Reports each contaminated doc with its distinct-gram
-    total, the number of benchmark-colliding grams, and the collision
-    share in ppm — a report, not a filter, so the removal policy
-    (drop doc vs excise span) stays a downstream choice; span-level
-    excision already exists as dedup_span_excision.
-
-    Reuses the crossdoc gram derivation (plans/dedup.py
-    _crossdoc_gram_table) so decontamination and span-dedup can never
-    tokenize differently.
-
-    Scale shape: the benchmark side is DISTINCT-aggregated then
-    broadcast (benchmarks are ~constant-sized while training corpora
-    grow — the asymmetry IS the operator); the training side takes
-    one per-doc distinct + one per-doc count aggregate, both keyed on
-    doc_id, plus the broadcast hash join. No training-side gram ever
-    shuffles on the gram key."""
-    from gcd_etl_spark.plans.dedup import _crossdoc_gram_table
-
-    docs = read_table_spread(spark, sf_dir, "documents")
-    is_bench = F.col("doc_id") % DECON_MOD == DECON_RESIDUE
-    grams = _crossdoc_gram_table(docs).distinct()
-    bench = (
-        grams.where(is_bench).select("gram").distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    train = grams.where(~is_bench)
-    hits = (
-        train.join(F.broadcast(bench), "gram", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_bench_grams"),
-        )
-    )
-    return hits.where(F.col("n_bench_grams") > 0).select(
-        "doc_id",
-        "n_grams",
-        "n_bench_grams",
-        F.expr("n_bench_grams * 1000000 div n_grams").cast("bigint").alias("contam_ppm"),
-    )
-
-
-# ----------------------- stratified train/val/test split (round 11)
-#: Split fractions in percent: [0,80) train, [80,90) val, [90,100) test.
-SPLIT_SEED = "split-v1"
-
-
-@query(
-    "sample_stratified_split",
-    oracle=f"""
-SELECT doc_id, source,
-       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-            ELSE 'test' END AS split
-FROM (
-  SELECT doc_id, source,
-         CAST(('0x' || substr(md5('{SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)),
-                              1, 15)) AS BIGINT) % 100 AS b
-  FROM documents
-)
-""",
-)
-def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/val/test assignment — the split every
-    dataset release needs, done the reproducible way: bucket =
-    seeded portable md5 of the doc id, % 100, thresholded 80/10/10.
-    No rand(), no state: re-running on a grown corpus leaves every
-    existing doc's split UNCHANGED (new docs slot in by their own
-    hash) — the property that keeps eval sets stable across corpus
-    versions, which a rand()-based split destroys. Source rides
-    along so per-source split shares are auditable downstream
-    (the hash is uniform within every stratum by construction).
-
-    Scale shape: embarrassingly parallel — one projection straight
-    over the scan (plain read_table, not the fixture-spread helper:
-    a projection needs no repartition — at scale its parallelism is
-    the file split count), zero shuffles, zero windows."""
-    from gcd_etl_spark.sources.catalog import read_table
-
-    docs = read_table(spark, sf_dir, "documents")
-    b = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(SPLIT_SEED), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
-    return docs.select(
-        "doc_id",
-        "source",
-        F.when(b < 80, F.lit("train"))
-        .when(b < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-    )
-
 
 # ----------------------------- curriculum staging (round 11)
 #: Number of curriculum stages (quartiles of the difficulty proxy).

@@ -111,8 +111,6 @@ TARGETS = {
     # benchmark gram set linearly too, so read plan shape, not just
     # exponent), the zero-shuffle split, and the curriculum staging
     # (score-keyed agg + tiny window + broadcast back)
-    "corpus_decontaminate": ["documents"],
-    "sample_stratified_split": ["documents"],
     "corpus_curriculum_order": ["documents"],
     "mm_resize_letterbox": ["documents"],
 }

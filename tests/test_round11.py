@@ -171,62 +171,7 @@ def test_media_parser_roundtrip_and_edge_cases():
     assert parse_media_header(None)["format"] == "unknown"
 
 
-# -------------- decontamination / split / curriculum (round 11)
-def test_decontaminate_fires_and_is_sound(spark, sf_smoke):
-    """Non-vacuity + soundness: the fixture corpus genuinely collides
-    with the benchmark residue slice (so the report finds something),
-    every reported doc is a TRAINING doc (never benchmark), and the
-    collision counts are internally consistent."""
-    from gcd_etl_spark.plans.corpus import DECON_MOD, DECON_RESIDUE
-
-    rows = QUERIES["corpus_decontaminate"].build(spark, sf_smoke).collect()
-    assert rows, "no contaminated docs in the fixture — the check is vacuous"
-    for r in rows:
-        assert r["doc_id"] % DECON_MOD != DECON_RESIDUE
-        assert 0 < r["n_bench_grams"] <= r["n_grams"]
-        assert r["contam_ppm"] == r["n_bench_grams"] * 1_000_000 // r["n_grams"]
-
-
-def test_stratified_split_is_stable_under_corpus_growth(spark, sf_smoke):
-    """The property a rand() split destroys: every doc's assignment
-    is a pure function of its id, so scoring a SUBSET of the corpus
-    (here: even doc_ids only) yields exactly the same split for
-    those docs — corpus growth can never reshuffle the eval set.
-    Shares must also be near 80/10/10."""
-    from gcd_etl_spark.sources.catalog import read_table
-
-    full = {
-        r["doc_id"]: r["split"]
-        for r in QUERIES["sample_stratified_split"].build(spark, sf_smoke).collect()
-    }
-    n = len(full)
-    train = sum(1 for s in full.values() if s == "train")
-    assert 0.7 < train / n < 0.9
-    # re-run on a filtered "earlier corpus version"
-    import gcd_etl_spark.plans.corpus as C
-
-    docs = read_table(spark, sf_smoke, "documents").where("doc_id % 2 = 0")
-    from pyspark.sql import functions as F
-
-    b = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit(C.SPLIT_SEED), F.col("doc_id").cast("string"))),
-                1, 15,
-            ), 16, 10,
-        ).cast("bigint") % 100
-    )
-    sub = {
-        r["doc_id"]: r["split"]
-        for r in docs.select(
-            "doc_id",
-            F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val"))
-            .otherwise(F.lit("test")).alias("split"),
-        ).collect()
-    }
-    assert sub == {k: v for k, v in full.items() if k % 2 == 0}
-
-
+# ---------------------- curriculum staging (round 11)
 def test_curriculum_stages_are_monotone_in_score(spark, sf_smoke):
     """Stage must be non-decreasing in the difficulty proxy (longer
     docs never land in an earlier stage than shorter ones), stages
