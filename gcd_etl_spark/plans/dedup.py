@@ -1337,35 +1337,24 @@ SRP_BITS = 6
 SRP_COS2 = 0.16  # 0.40^2
 _SRP_DIM = 64
 
-#: Target expected bucket occupancy for SRP at scale. The round-11
-#: 32x amplified audit measured WHY this must scale: with bits fixed
-#: at 6 (64 buckets/table), candidate pairs grow ~ n^2 * tables /
-#: (DELTA_MOD * 2^bits) — at 160k vectors that is ~4.6e8 exact-cosine
-#: verifications and dedup_semantic_delta_vs_corpus's wall went
-#: 3.2 -> 348.8 s (exp 1.35) while every smaller scale looked flat.
-#: Keeping occupancy ~constant keeps the verify stage linear:
-#: bits = ceil(log2(n / SRP_TARGET_OCCUPANCY)).
-SRP_TARGET_OCCUPANCY = 96
 
-
-def suggest_srp_bits(n_vectors: int, floor: int = SRP_BITS, cap: int = 24) -> int:
-    """Production SRP bit-width for an ``n_vectors`` corpus: enough
-    bits that expected bucket occupancy stays ~SRP_TARGET_OCCUPANCY,
-    clamped to [floor, cap]. The REGISTERED fixture queries keep the
-    static SRP_BITS (their DuckDB oracles are import-time strings
-    restating the same fixed hyperplane family — a data-dependent bit
-    count cannot be restated statically); a production deployment
-    passes this to the ensure_srp_bucket_index / _srp_bucket_frame
-    bits parameter when (re)staging the index. More bits lower
-    per-table recall for a fixed cosine bar — production compensates
-    with more tables (the standard LSH trade; see the ann-benchmarks
-    literature), which multiplies index size linearly while the
-    verify stage stays occupancy-bounded."""
-    import math
-
-    if n_vectors <= SRP_TARGET_OCCUPANCY:
-        return floor
-    return max(floor, min(cap, math.ceil(math.log2(n_vectors / SRP_TARGET_OCCUPANCY))))
+#: 32x NOTE (round 11): with these FIXED 6 bits the delta-vs-corpus
+#: lifecycle path goes quadratic past ~8x the fixture — the 32x
+#: amplified audit measured dedup_semantic_delta_vs_corpus at
+#: 3.2 -> 348.8 s (exp 1.35; ~7.7e7 candidate pairs at 64k vectors,
+#: the verify stage dominating). The size-derived config ALREADY
+#: exists and is differential-checked: dedup_semantic_srp_scaled's
+#: _srp_scaled_bits(n) + SRP_SCALED_TABLES (below) hold per-bucket
+#: occupancy ~constant with a recall-floor gate. The production fix
+#: is to stage ensure_srp_bucket_index at _srp_scaled_bits(n) when
+#: (re)building the persisted index; the REGISTERED fixture queries
+#: keep the fixed width because their import-time oracle strings
+#: restate this exact hyperplane family bit-for-bit. Measured on the
+#: 32x staging: bits 6 -> 10 cuts candidate pairs 76.6M -> 18.1M
+#: (4.2x; uniform occupancy would give 16x — the synthetic vectors
+#: cluster in sign space, so heavy buckets dominate and the standard
+#: LSH companion, per-bucket occupancy caps with re-hash splitting,
+#: is the recorded next step).
 
 
 def _srp_signs(table: int, bit: int) -> list[int]:

@@ -235,32 +235,6 @@ def test_letterbox_geometry_invariants(spark, sf_smoke):
         assert abs(lhs - rhs) <= tol
 
 
-# ------------------------- SRP bit-width scaling (32x finding)
-def test_suggest_srp_bits_keeps_occupancy_bounded():
-    """The 32x audit lesson codified: expected bucket occupancy
-    (n / 2^bits) stays within ~2x of the target across six orders of
-    magnitude, the fixture scales keep the historical 6 bits (oracle
-    parity), growth is monotone, and the cap holds."""
-    from gcd_etl_spark.plans.dedup import (
-        SRP_BITS,
-        SRP_TARGET_OCCUPANCY,
-        suggest_srp_bits,
-    )
-
-    assert suggest_srp_bits(0) == SRP_BITS
-    assert suggest_srp_bits(5_000) == SRP_BITS  # sf0.1 fixture
-    prev = 0
-    for n in (10**4, 10**5, 10**6, 10**7, 10**8, 10**9):
-        b = suggest_srp_bits(n)
-        assert b >= prev
-        prev = b
-        if b < 24:  # below the cap the occupancy bound must hold
-            assert n / 2**b <= 2 * SRP_TARGET_OCCUPANCY
-    # the 32x blowup case specifically: 160k vectors need > 6 bits
-    assert suggest_srp_bits(160_000) > SRP_BITS
-    assert suggest_srp_bits(10**12) == 24  # cap
-
-
 def test_zipf_split_moments_are_int64_safe_at_web_scale():
     """The bound the docstring claims: at 1e9 vocabulary with
     ln-micro-units, each hi/lo partial sum stays inside int64 while
