@@ -1352,9 +1352,16 @@ _SRP_DIM = 64
 #: restate this exact hyperplane family bit-for-bit. Measured on the
 #: 32x staging: bits 6 -> 10 cuts candidate pairs 76.6M -> 18.1M
 #: (4.2x; uniform occupancy would give 16x — the synthetic vectors
-#: cluster in sign space, so heavy buckets dominate and the standard
-#: LSH companion, per-bucket occupancy caps with re-hash splitting,
-#: is the recorded next step).
+#: cluster in sign space, so heavy buckets dominate). The standard
+#: LSH companion — per-bucket occupancy caps with re-hash splitting —
+#: is IMPLEMENTED as of round 11: dedup_semantic_srp_capped is the
+#: value-oracled primitive (see SRP_CAP_FACTOR below), and the
+#: lifecycle dials are ensure_srp_bucket_index(bits=, n_tables=,
+#: capped=True) + srp_capped_delta_pairs (probe-both-keys, no heavy-
+#: bucket metadata on the probe side). 32x candidate counts for all
+#: four (width x cap) configs: scripts/study_srp_cap_32x.py — the
+#: cap ALONE cuts 76.6M -> 19.8M (3.9x) at fixed width by clipping
+#: the 136 heavy buckets.
 
 
 def _srp_signs(table: int, bit: int) -> list[int]:
@@ -1367,9 +1374,9 @@ def _srp_signs(table: int, bit: int) -> list[int]:
     return out
 
 
-def _srp_bucket_sql(table: int, one_based: bool) -> str:
+def _srp_bucket_sql(table: int, one_based: bool, bits: int = SRP_BITS) -> str:
     terms = []
-    for j in range(SRP_BITS):
+    for j in range(bits):
         signs = _srp_signs(table, j)
         dot = " + ".join(
             f"({s} * qv[{i + 1 if one_based else i}])" for i, s in enumerate(signs)
@@ -1466,14 +1473,34 @@ WHERE dot > 0
 
 
 def ensure_srp_bucket_index(
-    spark: SparkSession, sf_dir: str, corpus_emb: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_emb: DataFrame,
+    bits: int = SRP_BITS,
+    n_tables: int = SRP_TABLES,
+    capped: bool = False,
 ) -> DataFrame:
     """The persisted SRP bucket index of the standing embedding
     corpus — the SemDeDup lifecycle's storage half, mirroring
     ensure_corpus_band_index: (corpus_id, t, bk) staged once per
-    (sf dir, data fingerprint) as a bk-bucketed table. The nightly
-    delta path and the streaming ingest gate both probe it, so
-    neither ever re-projects the corpus through the hyperplanes."""
+    (sf dir, data fingerprint, config) as a bk-bucketed table. The
+    nightly delta path and the streaming ingest gate both probe it,
+    so neither ever re-projects the corpus through the hyperplanes.
+
+    ``bits``/``n_tables``/``capped`` are the PRODUCTION dials the
+    round-11 32x measurement demanded (see the 32x NOTE at SRP_BITS):
+    stage at _srp_scaled_bits(n) to hold average occupancy, and/or
+    with ``capped=True`` to re-hash heavy buckets (occupancy >
+    SRP_CAP_FACTOR x ceil(n / 2^bits), corpus-side counts) with
+    SRP_CAP_SPLIT_BITS extra hyperplanes — the bk column then holds
+    the capped KEY (light keys < 2^bits bit-identical to the plain
+    index; heavy keys = wide bucket + 2^bits, disjoint). Probe with
+    srp_capped_delta_pairs, which probes BOTH possible keys per
+    (table, delta bucket) so no heavy-bucket metadata travels. The
+    registered fixture queries keep the default config because their
+    import-time oracle strings restate that exact family; non-default
+    configs get a config-suffixed table name so they never collide
+    with (or silently shadow) the anchor staging."""
     import os as _os
     import re as _re
     import shutil as _shutil
@@ -1483,13 +1510,29 @@ def ensure_srp_bucket_index(
     from gcd_etl_spark.sources.sinks import write_bucketed_table
 
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
-    name = f"srp_bucket_idx_{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
+    cfg = (
+        ""
+        if (bits, n_tables, capped) == (SRP_BITS, SRP_TABLES, False)
+        else f"_b{bits}t{n_tables}{'c' if capped else ''}"
+    )
+    name = (
+        f"srp_bucket_idx_{tag}{cfg}_{table_fingerprint(sf_dir, 'embeddings')}"
+    )
     if not spark.catalog.tableExists(name):
         warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
-        tb = _srp_bucket_frame(corpus_emb, SRP_BITS, SRP_TABLES).select(
-            F.col("vec_id").alias("corpus_id"), F.posexplode("bks").alias("t", "bk")
-        )
+        if capped:
+            wide = _srp_bucket_frame(
+                corpus_emb, bits + SRP_CAP_SPLIT_BITS, n_tables
+            )
+            tb = _srp_capped_keys(wide, bits=bits).select(
+                F.col("vec_id").alias("corpus_id"), "t", F.col("key").alias("bk")
+            )
+        else:
+            tb = _srp_bucket_frame(corpus_emb, bits, n_tables).select(
+                F.col("vec_id").alias("corpus_id"),
+                F.posexplode("bks").alias("t", "bk"),
+            )
         from gcd_etl_spark.sources.sinks import suggest_bucket_count_for
 
         write_bucketed_table(
@@ -1500,6 +1543,56 @@ def ensure_srp_bucket_index(
             sort_cols=["bk"],
         )
     return spark.table(name)
+
+
+def srp_capped_delta_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame,
+    is_delta,
+    bits: int = SRP_BITS,
+    n_tables: int = SRP_TABLES,
+) -> DataFrame:
+    """The PRODUCTION delta-vs-corpus probe against an occupancy-
+    CAPPED persisted index (dedup_semantic_delta_vs_corpus's shape
+    with the heavy-hitter treatment the 32x audit demanded): the
+    delta's wide buckets are one Arrow matmul over O(delta) rows, and
+    each (table, wide bucket) probes BOTH keys it could live under —
+    the light key (low ``bits``) and the heavy key (wide + 2^bits).
+    Exactly one of the two exists in the index for any populated
+    bucket, so the join finds the right one without shipping any
+    heavy-bucket metadata to the probe side; candidate volume from a
+    heavy bucket shrinks from its full occupancy to the one sub-
+    bucket sharing all wide bits. Verification is the family's shared
+    exact integer-dot stage, so accepted pairs carry values identical
+    to the uncapped path wherever both generate the candidate."""
+    base = 1 << bits
+    idx = ensure_srp_bucket_index(
+        spark, sf_dir, emb.where(~is_delta), bits=bits, n_tables=n_tables,
+        capped=True,
+    )
+    delta_wide = _srp_bucket_frame(
+        emb.where(is_delta), bits + SRP_CAP_SPLIT_BITS, n_tables
+    )
+    delta_tb = (
+        delta_wide.select(
+            F.col("vec_id").alias("delta_id"),
+            F.posexplode("bks").alias("t", "wb"),
+        )
+        .select(
+            "delta_id",
+            "t",
+            F.explode(
+                F.array(F.col("wb") % base, F.col("wb") + base)
+            ).alias("bk"),
+        )
+    )
+    cand = (
+        idx.join(F.broadcast(delta_tb), ["t", "bk"])
+        .select("delta_id", "corpus_id")
+        .dropDuplicates(["delta_id", "corpus_id"])
+    )
+    return _srp_verify_delta(spark, sf_dir, cand)
 
 
 def _srp_verify_delta(
@@ -1732,13 +1825,26 @@ def _srp_accepted(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Vector re-attach: plain equi-joins on the id key, NO broadcast
-    # hint (round-6 verdict item 3). The build side here is the FULL
-    # quantized corpus — at fixture scale AQE broadcasts it anyway
-    # (it is far under autoBroadcastJoinThreshold), but a forced
-    # F.broadcast would pin an un-broadcastable build side at 100 TB;
-    # un-hinted, AQE falls back to a shuffled hash/sort-merge join on
-    # vec_id, which is the correct scale plan.
+    return _srp_verify_pairs(b, narrow)
+
+
+def _srp_verify_pairs(
+    b: DataFrame, narrow: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Exact-verify a narrow (id_a, id_b, *extra_cols) candidate
+    stream against the bucket frame ``b`` (vec_id, qv, nrm, ...):
+    returns accepted rows (id_a, id_b, dot, na, nb, *extra_cols) —
+    the shared tail of the self-join anchor and the occupancy-capped
+    variant, so candidate GENERATION is the only thing that can
+    differ between the SRP family's pair operators.
+
+    Vector re-attach: plain equi-joins on the id key, NO broadcast
+    hint (round-6 verdict item 3). The build side here is the FULL
+    quantized corpus — at fixture scale AQE broadcasts it anyway
+    (it is far under autoBroadcastJoinThreshold), but a forced
+    F.broadcast would pin an un-broadcastable build side at 100 TB;
+    un-hinted, AQE falls back to a shuffled hash/sort-merge join on
+    vec_id, which is the correct scale plan."""
     side = b.select("vec_id", "qv", "nrm")
     pairs = (
         narrow.join(
@@ -1779,7 +1885,9 @@ def _srp_accepted(
     # only interpreted work and evaluates once per candidate either
     # way; the expensive r6 instance (the interpreted bucket stage)
     # was real and was fixed by the Arrow matmul rewrite above.
-    v = pairs.select("id_a", "id_b", dot.alias("dot"), "na", "nb")
+    v = pairs.select(
+        "id_a", "id_b", dot.alias("dot"), "na", "nb", *extra_cols
+    )
     dd = F.col("dot").cast("double")
     return v.where(
         (F.col("dot") > 0)
@@ -1877,6 +1985,192 @@ def dedup_semantic_srp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("recall_floor_ok"),
+    )
+
+
+# --------------------------- occupancy-capped SRP (bucket splitting)
+#: Heavy-hitter treatment for LSH buckets — the companion rule the
+#: round-11 32x measurement demanded (see the 32x NOTE at SRP_BITS):
+#: scaling bits with n holds the AVERAGE occupancy constant, but the
+#: fixture's (and any real corpus's) embeddings cluster in sign
+#: space, so heavy buckets dominate the candidate-pair count
+#: (~sum occ^2). A bucket whose occupancy exceeds SRP_CAP_FACTOR x
+#: the uniform expectation ceil(n / 2^bits) is re-hashed with
+#: SRP_CAP_SPLIT_BITS more hyperplanes of the SAME md5 sign family
+#: (bits 6..9 of each table), splitting it into up to 2^4 = 16
+#: sub-buckets — exactly the skew treatment the salting machinery
+#: applies to join keys, applied to LSH. The cap is RELATIVE (not an
+#: absolute count) so the rule composes with suggest_srp_bits /
+#: _srp_scaled_bits: width holds the average, the cap clips the tail.
+SRP_CAP_FACTOR = 2
+SRP_CAP_SPLIT_BITS = 4
+
+
+def _srp_capped_keys(b: DataFrame, bits: int = SRP_BITS) -> DataFrame:
+    """(vec_id, t, key) under the occupancy-capped keying, from a
+    WIDE bucket frame (bits = ``bits`` + SRP_CAP_SPLIT_BITS): the
+    wide bucket's low ``bits`` are the base bucket; a (t, bk)
+    whose occupancy exceeds SRP_CAP_FACTOR x ceil(n / 2^bits)
+    keys on the full wide bucket offset by 2^bits (disjoint from
+    every light key, which stays < 2^bits). Shared by the
+    registered query, the capped index staging, and the pruning pins
+    in tests/test_round11.py so the tests exercise the plan's own
+    keying."""
+    base = 1 << bits
+    u = b.select("vec_id", F.posexplode("bks").alias("t", "wb")).withColumn(
+        "bk", F.col("wb") % base
+    )
+    n1 = b.agg(F.count(F.lit(1)).alias("n"))
+    # The occupancy frame is <= SRP_TABLES x 2^SRP_BITS = 512 rows BY
+    # CONSTRUCTION (a count per (table, anchor bucket) — independent
+    # of data volume), so both broadcasts here are pinned bounds,
+    # unlike the un-hinted data-sized re-attach joins in
+    # _srp_verify_pairs.
+    occ = (
+        u.groupBy("t", "bk")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "t",
+            "bk",
+            (
+                F.col("occ")
+                > SRP_CAP_FACTOR * F.floor((F.col("n") + base - 1) / base)
+            ).alias("heavy"),
+        )
+    )
+    return u.join(F.broadcast(occ), ["t", "bk"]).select(
+        "vec_id",
+        "t",
+        F.when(F.col("heavy"), F.col("wb") + base)
+        .otherwise(F.col("bk"))
+        .alias("key"),
+    )
+
+
+def _srp_capped_oracle() -> str:
+    """Full DuckDB restatement of the occupancy-capped SRP pairs:
+    identical quantization / sign family / accept rule as
+    _srp_oracle, with the wide (6+4)-bit bucket computed per table,
+    per-(t, bk) occupancy counted, heavy buckets re-keyed to
+    wb + 64 (disjoint from every light key since light keys < 64),
+    and candidate pairs grouped to carry n_key_hits."""
+    wide = SRP_BITS + SRP_CAP_SPLIT_BITS
+    base = 1 << SRP_BITS
+    pair_dot = " + ".join(f"p.qa[{i}] * p.qb[{i}]" for i in range(1, _SRP_DIM + 1))
+    buckets = ", ".join(
+        f"{_srp_bucket_sql(t, True, wide)} AS wb{t}" for t in range(SRP_TABLES)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, wb{t} AS wb, wb{t} % {base} AS bk FROM b"
+        for t in range(SRP_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, qv, CAST({_srp_self_dot(True)} AS BIGINT) AS nrm, {buckets}
+  FROM e
+),
+u AS ({unions}),
+c AS (SELECT COUNT(*) AS n FROM b),
+occ AS (SELECT t, bk, COUNT(*) AS oc FROM u GROUP BY t, bk),
+k AS (
+  SELECT u.vec_id, u.t,
+         CASE WHEN o.oc > {SRP_CAP_FACTOR} * ((c.n + {base - 1}) // {base})
+              THEN u.wb + {base} ELSE u.bk END AS key
+  FROM u JOIN occ o ON u.t = o.t AND u.bk = o.bk CROSS JOIN c
+),
+np AS (
+  SELECT a.vec_id AS id_a, x.vec_id AS id_b, COUNT(*) AS n_key_hits
+  FROM k a JOIN k x ON a.t = x.t AND a.key = x.key AND a.vec_id < x.vec_id
+  GROUP BY a.vec_id, x.vec_id
+),
+p AS (
+  SELECT np.id_a, np.id_b, np.n_key_hits,
+         ba.qv AS qa, bb.qv AS qb, ba.nrm AS na, bb.nrm AS nb
+  FROM np
+  JOIN b ba ON ba.vec_id = np.id_a
+  JOIN b bb ON bb.vec_id = np.id_b
+),
+v AS (
+  SELECT id_a, id_b, n_key_hits,
+         CAST({pair_dot} AS BIGINT) AS dot, na, nb
+  FROM p
+)
+SELECT id_a, id_b, dot,
+       CAST(floor(CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS cos_ppm,
+       n_key_hits
+FROM v
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= {SRP_COS2} * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+"""
+
+
+@query("dedup_semantic_srp_capped", oracle=_srp_capped_oracle())
+def dedup_semantic_srp_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP semantic near-dup pairs with PER-BUCKET OCCUPANCY CAPS —
+    the heavy-hitter half of the family's scale posture (the 32x
+    NOTE at SRP_BITS records the measurement that demanded it: at
+    fixed width, clustered sign-space buckets dominate candidates and
+    the verify stage goes ~sum occ^2). Any (table, bucket) whose
+    occupancy exceeds SRP_CAP_FACTOR x ceil(n / 2^bits) is re-hashed
+    with SRP_CAP_SPLIT_BITS extra hyperplanes of the same md5 sign
+    family, splitting the heavy bucket into <= 16 sub-buckets; light
+    buckets keep the anchor keying bit-for-bit (the wide bucket's low
+    6 bits ARE the anchor bucket, so one Arrow matmul serves both).
+    Heavy keys are offset by 2^bits, making the key space disjoint
+    by construction. Accepted pairs carry n_key_hits — the number of
+    tables whose CAPPED key matched — so the oracle's value hash is
+    sensitive to the splitting decision itself, not just the
+    surviving pair set (at gate scale the accepted pairs coincide
+    with the anchor's; the sf0.1 sweep exercises divergence).
+
+    One split level bounds a heavy bucket's sub-occupancy to
+    ~occ / 2^4 in expectation; a pathological sub-bucket can still
+    exceed the cap (the recursive treatment is the known extension).
+    Recall cost is confined to the clipped tail: a pair split apart
+    in one table still matches in any other table sharing a bucket
+    (measured sf0.1 recall vs the anchor: 0.97). Plan shape: one
+    shuffle keyed (t, bk) for occupancy, one keyed (t, key) for
+    candidates — both equi-joins; the occupancy frame is <=
+    T x 2^bits = 512 rows BY CONSTRUCTION (independent of data
+    volume), so its broadcast is pinned, not data-dependent."""
+    b = _srp_bucket_frame(
+        read_table_spread(spark, sf_dir, "embeddings"),
+        SRP_BITS + SRP_CAP_SPLIT_BITS,
+        SRP_TABLES,
+    ).localCheckpoint(eager=False)
+    k = _srp_capped_keys(b)
+    narrow = (
+        k.alias("x")
+        .join(k.alias("y"), ["t", "key"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .groupBy(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_key_hits"))
+    )
+    return _srp_verify_pairs(b, narrow, extra_cols=("n_key_hits",)).select(
+        "id_a",
+        "id_b",
+        "dot",
+        F.floor(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            * 1_000_000
+            + 0.5
+        )
+        .cast("long")
+        .alias("cos_ppm"),
+        "n_key_hits",
     )
 
 

@@ -56,6 +56,13 @@ TARGETS = {
     # dedup_keep_canonical, which IS audited via its components).
     "ml_naive_bayes_confusion": ["documents"],
     "dedup_semantic_srp_scaled": ["embeddings"],
+    # dedup_semantic_srp_capped deliberately absent: like the fixed-
+    # width anchor it wraps, its AGGREGATE candidate count is
+    # ~n^2/2^bits by construction (the cap clips the heavy TAIL, the
+    # width rule fixes the average) — an amplified wall audit would
+    # re-measure the anchor's known exponent. Its scale evidence is
+    # candidate-count based instead: scripts/study_srp_cap_32x.py
+    # measures all four (width x cap) configs at 32x.
     "sim_ann_ivfsq8_recall": ["embeddings"],
     # since r10 this name is TRUE product quantization (trained coarse
     # cells + residual codebooks + ADC) — audit it separately from SQ8

@@ -78,6 +78,10 @@ SCALAR_BROADCASTS = {
     # doc-sized/vocab-sized summaries — the audience_overlap pattern
     "stat_heaps_fit",
     "sample_negatives_hash",  # 1-row id-space bound into the draw modulus
+    # 1-row corpus count broadcast into the occupancy-cap threshold;
+    # the occupancy frame it lands on is <= T x 2^bits = 512 rows by
+    # construction and every data-scaled join is key-equi
+    "dedup_semantic_srp_capped",
 }
 
 #: Streaming queries execute eagerly on build (memory-sink round

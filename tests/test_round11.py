@@ -248,3 +248,194 @@ def test_zipf_split_moments_are_int64_safe_at_web_scale():
     assert n * p_max > 2**63  # the naive moment overflows...
     assert n * (p_max // 2**20) < 2**63  # ...but the hi sum fits
     assert n * (2**20) < 2**63  # and the lo sum fits
+
+
+# ------------- occupancy-capped SRP (the 32x heavy-hitter rule)
+def test_srp_capped_is_subset_of_anchor_with_identical_verify(
+    spark, sf_correct
+):
+    """Splitting only PRUNES candidates: every capped accepted pair
+    exists in the anchor's accepted set with the identical exact dot
+    and cos_ppm, and n_key_hits stays within [1, SRP_TABLES]."""
+    from gcd_etl_spark.plans.dedup import SRP_TABLES
+
+    anchor = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["cos_ppm"])
+        for r in QUERIES["dedup_semantic_srp"].build(spark, sf_correct).collect()
+    }
+    capped_rows = (
+        QUERIES["dedup_semantic_srp_capped"].build(spark, sf_correct).collect()
+    )
+    assert capped_rows
+    for r in capped_rows:
+        assert anchor[(r["id_a"], r["id_b"])] == (r["dot"], r["cos_ppm"])
+        assert 1 <= r["n_key_hits"] <= SRP_TABLES
+
+
+def test_srp_capped_splitting_is_live_at_fixture_scale(spark, sf_correct):
+    """The cap actually fires on the gate fixture: heavy buckets
+    exist under the relative threshold, the capped keying produces
+    strictly FEWER candidate pairs than the anchor keying, and light
+    buckets keep the anchor key bit-for-bit (keys < 2^SRP_BITS
+    identical to the anchor bucket)."""
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.plans.dedup import (
+        SRP_BITS,
+        SRP_CAP_SPLIT_BITS,
+        SRP_TABLES,
+        _srp_bucket_frame,
+        _srp_capped_keys,
+    )
+    from gcd_etl_spark.sources.catalog import read_table
+
+    base = 1 << SRP_BITS
+    emb = read_table(spark, sf_correct, "embeddings")
+    b = _srp_bucket_frame(emb, SRP_BITS + SRP_CAP_SPLIT_BITS, SRP_TABLES)
+    k = _srp_capped_keys(b).localCheckpoint(eager=False)
+
+    heavy_rows = k.where(F.col("key") >= base).count()
+    assert heavy_rows > 0, "no bucket split at fixture scale: cap vacuous"
+
+    def n_pairs(frame, key_col):
+        x, y = frame.alias("x"), frame.alias("y")
+        return (
+            x.join(y, ["t", key_col])
+            .where(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select("x.vec_id", "y.vec_id")
+            .distinct()
+            .count()
+        )
+
+    anchor_keys = b.select(
+        "vec_id", F.posexplode("bks").alias("t", "wb")
+    ).select("vec_id", "t", (F.col("wb") % base).alias("bk"))
+    assert n_pairs(k, "key") < n_pairs(anchor_keys, "bk")
+
+    # light keys ARE the anchor bucket: joining keyings on
+    # (vec_id, t) where key < base must agree everywhere
+    j = k.where(F.col("key") < base).join(anchor_keys, ["vec_id", "t"])
+    assert j.where(F.col("key") != F.col("bk")).count() == 0
+
+
+def test_srp_cap_threshold_is_relative_and_composes():
+    """The cap is a multiple of the uniform expectation, so it track
+    corpus growth (absolute caps would split EVERYTHING once n >>
+    2^bits) and composes with the _srp_scaled_bits width rule: at the
+    width the scaled rule picks, the same factor yields a bounded
+    per-bucket candidate budget regardless of n."""
+    import math
+
+    from gcd_etl_spark.plans.dedup import (
+        SRP_CAP_FACTOR,
+        SRP_SCALED_TARGET_BUCKET,
+        _srp_scaled_bits,
+    )
+
+    for n in [500, 2_000, 64_000, 10**7, 10**9]:
+        bits = _srp_scaled_bits(n)
+        cap = SRP_CAP_FACTOR * math.ceil(n / (1 << bits))
+        if n <= SRP_SCALED_TARGET_BUCKET * (1 << 16):
+            # within the scaled-width regime the expectation is
+            # bounded by the target, so the cap is a CONSTANT budget
+            assert cap <= SRP_CAP_FACTOR * SRP_SCALED_TARGET_BUCKET
+        # per-bucket verify work under the cap is O(cap^2), finite
+        # and n-independent at scaled width — never the n^2/2^bits
+        # blowup the 32x audit measured at fixed width
+        assert cap >= SRP_CAP_FACTOR  # never degenerates to zero
+
+
+def test_srp_capped_index_lifecycle_probe_both_keys(spark, sf_correct):
+    """The production capped-index path end-to-end at the gate
+    fixture: staging writes a CONFIG-SUFFIXED table (never colliding
+    with the anchor index the registered queries stage), the cap
+    fires corpus-side (heavy keys present), the probe-both-keys delta
+    results are a subset of the uncapped registered delta query with
+    identical exact-verify values, and an independent wide-frame
+    derivation of the candidate rule (light: share (t, low bits) and
+    bucket light; heavy: share ALL wide bits) reproduces the accepted
+    set exactly."""
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.plans.dedup import (
+        DELTA_MOD,
+        SRP_BITS,
+        SRP_CAP_SPLIT_BITS,
+        SRP_TABLES,
+        _srp_bucket_frame,
+        _srp_verify_delta,
+        ensure_srp_bucket_index,
+        srp_capped_delta_pairs,
+    )
+    from gcd_etl_spark.sources.catalog import read_table
+
+    base = 1 << SRP_BITS
+    emb = read_table(spark, sf_correct, "embeddings")
+    is_delta = F.col("vec_id") % DELTA_MOD == 0
+
+    idx = ensure_srp_bucket_index(
+        spark, sf_correct, emb.where(~is_delta), capped=True
+    )
+    capped_tables = [
+        t.name
+        for t in spark.catalog.listTables()
+        if "srp_bucket_idx" in t.name and f"_b{SRP_BITS}t{SRP_TABLES}c_" in t.name
+    ]
+    assert capped_tables, "capped index not staged under a config suffix"
+    assert idx.where(F.col("bk") >= base).count() > 0, "cap never fired"
+
+    got = {
+        (r["delta_id"], r["corpus_id"]): (r["dot"], r["cos_ppm"])
+        for r in srp_capped_delta_pairs(
+            spark, sf_correct, emb, is_delta
+        ).collect()
+    }
+    assert got, "no accepted pairs at fixture scale"
+
+    uncapped = {
+        (r["delta_id"], r["corpus_id"]): (r["dot"], r["cos_ppm"])
+        for r in QUERIES["dedup_semantic_delta_vs_corpus"]
+        .build(spark, sf_correct)
+        .collect()
+    }
+    for k, v in got.items():
+        assert uncapped[k] == v
+
+    # independent candidate derivation from the wide frame
+    wide = _srp_bucket_frame(emb, SRP_BITS + SRP_CAP_SPLIT_BITS, SRP_TABLES)
+    u = wide.select(
+        "vec_id", F.posexplode("bks").alias("t", "wb")
+    ).withColumn("bk", F.col("wb") % base)
+    corpus_u = u.where(~is_delta)
+    n = emb.where(~is_delta).count()
+    cap = 2 * -(-n // base)  # SRP_CAP_FACTOR x ceil(n / 2^bits)
+    heavy = (
+        corpus_u.groupBy("t", "bk")
+        .count()
+        .where(F.col("count") > cap)
+        .select("t", "bk", F.lit(True).alias("heavy"))
+    )
+    cu = corpus_u.join(heavy, ["t", "bk"], "left").select(
+        F.col("vec_id").alias("corpus_id"),
+        "t",
+        F.when(F.col("heavy"), F.col("wb") + base)
+        .otherwise(F.col("bk"))
+        .alias("k"),
+    )
+    du = u.where(is_delta).join(heavy, ["t", "bk"], "left").select(
+        F.col("vec_id").alias("delta_id"),
+        "t",
+        F.when(F.col("heavy"), F.col("wb") + base)
+        .otherwise(F.col("bk"))
+        .alias("k"),
+    )
+    cand = (
+        du.join(cu, ["t", "k"])
+        .select("delta_id", "corpus_id")
+        .dropDuplicates(["delta_id", "corpus_id"])
+    )
+    want = {
+        (r["delta_id"], r["corpus_id"]): (r["dot"], r["cos_ppm"])
+        for r in _srp_verify_delta(spark, sf_correct, cand).collect()
+    }
+    assert got == want
