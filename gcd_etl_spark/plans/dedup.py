@@ -2000,8 +2000,20 @@ def dedup_semantic_srp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (bits 6..9 of each table), splitting it into up to 2^4 = 16
 #: sub-buckets — exactly the skew treatment the salting machinery
 #: applies to join keys, applied to LSH. The cap is RELATIVE (not an
-#: absolute count) so the rule composes with suggest_srp_bits /
-#: _srp_scaled_bits: width holds the average, the cap clips the tail.
+#: absolute count) so the rule composes with the _srp_scaled_bits
+#: width rule: width holds the average, the cap clips the tail.
+#: LIMIT of splitting, worth stating because it bounds what recursion
+#: could ever buy: hyperplane re-hashing separates CLUSTERED vectors,
+#: never IDENTICAL ones — equal vectors take equal signs under every
+#: hyperplane, so an identical-vector mass (empty documents, mirrored
+#: content) rides into the same sub-bucket at any split depth
+#: (pinned: tests/test_round11.py::test_srp_cap_identical_vectors).
+#: The production composition is therefore dedup_exact_embeddings
+#: FIRST (hash-group exact pass, already registered) and the cap
+#: second, clipping only the genuinely-near mass exact dedup can't
+#: see. One split level then suffices for everything the fixture and
+#: the 32x staging exhibit; recursive splitting would only chase
+#: near-identical residue at added oracle width.
 SRP_CAP_FACTOR = 2
 SRP_CAP_SPLIT_BITS = 4
 

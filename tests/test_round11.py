@@ -439,3 +439,64 @@ def test_srp_capped_index_lifecycle_probe_both_keys(spark, sf_correct):
         for r in _srp_verify_delta(spark, sf_correct, cand).collect()
     }
     assert got == want
+
+
+def test_srp_cap_identical_vectors_defeat_splitting(spark):
+    """The documented limit of bucket splitting: identical vectors
+    take identical signs under EVERY hyperplane, so a heavy bucket
+    made of one repeated vector re-hashes into a single sub-bucket
+    with undiminished occupancy — splitting (at any depth) cannot
+    help, and the production composition is dedup_exact_embeddings
+    first. A genuinely-clustered (perturbed) mass, by contrast, does
+    spread across sub-buckets."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.plans.dedup import (
+        SRP_BITS,
+        SRP_CAP_SPLIT_BITS,
+        _srp_bucket_frame,
+        _srp_capped_keys,
+    )
+
+    base = 1 << SRP_BITS
+    rng = np.random.default_rng(7)
+    anchor_vec = rng.normal(size=64)
+    rows = [(i, [float(x) for x in anchor_vec]) for i in range(60)]
+    rows += [
+        (100 + i, [float(x) for x in rng.normal(size=64)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k = _srp_capped_keys(
+        _srp_bucket_frame(emb, SRP_BITS + SRP_CAP_SPLIT_BITS, 8)
+    ).localCheckpoint(eager=False)
+
+    # the repeated mass lands heavy (cap = 2*ceil(80/64) = 4 < 60)
+    # and every copy gets the SAME key in every table
+    dup_keys = k.where(F.col("vec_id") < 100)
+    assert dup_keys.where(F.col("key") >= base).count() > 0
+    per_table = dup_keys.groupBy("t").agg(
+        F.countDistinct("key").alias("nk"), F.count(F.lit(1)).alias("n")
+    )
+    for r in per_table.collect():
+        assert r["nk"] == 1 and r["n"] == 60  # undiminished sub-bucket
+
+    # perturbed near-cluster: copies of the anchor + noise DO spread
+    pert = [
+        (200 + i, [float(x) for x in anchor_vec + rng.normal(scale=2.0, size=64)])
+        for i in range(60)
+    ]
+    emb2 = spark.createDataFrame(
+        pert + rows[60:], "vec_id long, embedding array<float>"
+    )
+    k2 = _srp_capped_keys(
+        _srp_bucket_frame(emb2, SRP_BITS + SRP_CAP_SPLIT_BITS, 8)
+    )
+    spread = (
+        k2.where((F.col("vec_id") >= 200) & (F.col("key") >= base))
+        .groupBy("t")
+        .agg(F.countDistinct("key").alias("nk"))
+        .agg(F.max("nk"))
+        .collect()[0][0]
+    )
+    assert spread and spread > 1  # splitting separates clustered mass
