@@ -64,6 +64,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing only ever merges partitions DOWN from the
+        # initial number — it cannot split an oversized non-skewed
+        # partition — so a core-count shuffle.partitions silently
+        # becomes a per-partition MEMORY ceiling once data outgrows
+        # the fixture (measured at 128x sf0.1: the flagship ran 309 s
+        # with GC allocation stalls at 32 initial partitions, 275 s
+        # clean at 256 — BASELINE.md round 11). Start wide and let
+        # AQE coalesce to its 64 MB advisory target: at fixture scale
+        # it collapses back to core-count partitions (bench-neutral),
+        # at amplified scale partitions stay memory-sized. 8x cores
+        # keeps the pre-AQE task count trivial for the scheduler.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(8 * n)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
