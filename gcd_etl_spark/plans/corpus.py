@@ -1754,3 +1754,401 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "stage"
     )
 
+
+
+# ---------------------------------------------- DSIR importance resampling
+#: Hashed n-gram feature space for the DSIR importance weights — the
+#: paper's 10k-bucket space scaled to the fixture; at production
+#: scale this is a config constant (the two feature distributions
+#: stay 2 x DSIR_BUCKETS integers no matter the corpus size).
+DSIR_BUCKETS = 512
+
+#: Target-domain membership rule on the fixture: sources whose number
+#: is divisible by 5 play the "high-quality target" corpus (src0,
+#: src5, src10, src15 — 20% of documents); everything else is the
+#: raw pool being scored.
+DSIR_TARGET_MOD = 5
+
+_DSIR_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(substr(source, 4) AS INT) % {DSIR_TARGET_MOD} = 0 AS is_target,
+         {_DUCK_TOKS} AS toks
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_target,
+         unnest(list_concat(
+           toks,
+           list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || chr(31) || toks[i + 1])
+         )) AS g
+  FROM d
+),
+fb AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5('dsir:' || g), 1, 15)) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM feats
+),
+cb AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM fb GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM cb
+),
+llr AS (
+  SELECT bucket,
+         CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (nt + {DSIR_BUCKETS}))
+                   - ln(CAST(cr + 1 AS DOUBLE) / (nr + {DSIR_BUCKETS})))
+                    * 1000000 + 0.5) AS BIGINT) AS llr_micro
+  FROM cb CROSS JOIN tot
+)
+SELECT f.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(l.llr_micro) AS BIGINT) AS llr_total_micro,
+       CAST(floor(CAST(SUM(l.llr_micro) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         AS llr_mean_micro,
+       SUM(l.llr_micro) > 0 AS selected
+FROM fb f JOIN llr l USING (bucket)
+GROUP BY f.doc_id
+"""
+
+
+@query("corpus_dsir_weights", oracle=_DSIR_ORACLE)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): score every raw
+    document by the log-likelihood ratio of a TARGET-domain hashed
+    n-gram model over the RAW-pool model, then select the docs whose
+    features look more target-like than raw-like. Features are
+    unigrams + adjacent bigrams hashed into ``DSIR_BUCKETS`` buckets
+    (the hashing-trick stance of text_hashing_vectorizer — no
+    vocabulary state); both bag-of-buckets multinomials get add-1
+    smoothing, and per-bucket log ratios are quantized to integer
+    micro-units so each document's weight is an exact integer sum
+    over its feature occurrences (the quality_bigram_nll float
+    discipline — never an order-dependent double reduction).
+
+    What distinguishes this from the neighboring samplers:
+    corpus_mix_sampling / sample_temperature_mix reweight whole
+    SOURCES by volume; DSIR scores each DOCUMENT by content, which is
+    how a web-scale crawl is steered toward a wiki/books target
+    distribution without a trained classifier.
+
+    Scale shape: two data-scaled shuffles (bucket counts; per-doc
+    weight agg) + one 1-row totals broadcast into the <= 512-row
+    bucket frame + one broadcast probe of that frame back onto the
+    feature stream. The two model artifacts are 512 integers each
+    regardless of corpus size — trainable once, persistable, and
+    probe-able by a nightly delta exactly like the gram-DF family.
+    """
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    sep = "\x1f"
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
+        ),
+    )
+    is_target = (
+        F.substring("source", 4, 10).cast("int") % DSIR_TARGET_MOD == 0
+    )
+    fb = docs.select(
+        "doc_id",
+        is_target.alias("is_target"),
+        F.explode(F.concat(toks, bigrams)).alias("g"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            portable_hash64(F.concat(F.lit("dsir:"), F.col("g"))) % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    cb = fb.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("bigint").alias("cr"),
+    )
+    tot = cb.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cr").cast("bigint").alias("nr"),
+    )
+    llr = cb.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("nt") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("nr") + DSIR_BUCKETS)
+                )
+            )
+            * 1_000_000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("llr_micro"),
+    )
+    return (
+        fb.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("llr_micro").cast("bigint").alias("llr_total_micro"),
+            F.floor(
+                F.sum("llr_micro").cast("double") / F.count(F.lit(1)) + 0.5
+            )
+            .cast("bigint")
+            .alias("llr_mean_micro"),
+            (F.sum("llr_micro") > 0).alias("selected"),
+        )
+    )
+
+
+def ensure_dsir_model(spark: SparkSession, sf_dir: str, corpus_docs: DataFrame):
+    """The persisted DSIR model — the importance-resampling family's
+    storage half, mirroring ensure_bigram_lm / ensure_corpus_band_index:
+    one bucket-keyed table of per-bucket micro-quantized log-likelihood
+    ratios (target model over raw model, add-1 smoothing) staged once
+    per (sf dir, documents fingerprint), plus a single DEFAULT row
+    (bucket = -1) carrying the unpopulated-bucket ratio
+    ln((nr+B)/(nt+B)) so a delta document hashing into a bucket the
+    corpus never populated still scores exactly like the full-train
+    restatement. <= DSIR_BUCKETS + 1 rows regardless of corpus size —
+    the artifact a nightly delta probes without re-reading the corpus."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+    from urllib.parse import urlparse as _urlparse
+
+    from gcd_etl_spark.operators.dedup import portable_hash64
+    from gcd_etl_spark.sources.catalog import table_fingerprint
+    from gcd_etl_spark.sources.sinks import write_bucketed_table
+
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
+    fp = table_fingerprint(sf_dir, "documents")
+    name = f"dsir_model_{tag}_{fp}"
+    if not spark.catalog.tableExists(name):
+        warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
+        toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+        sep = "\x1f"
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
+            ),
+        )
+        is_target = (
+            F.substring("source", 4, 10).cast("int") % DSIR_TARGET_MOD == 0
+        )
+        fb = corpus_docs.select(
+            is_target.alias("is_target"),
+            F.explode(F.concat(toks, bigrams)).alias("g"),
+        ).select(
+            "is_target",
+            (
+                portable_hash64(F.concat(F.lit("dsir:"), F.col("g")))
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+        cb = fb.groupBy("bucket").agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ct"),
+            F.sum(F.when(F.col("is_target"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("cr"),
+        )
+        tot = cb.agg(
+            F.sum("ct").cast("bigint").alias("nt"),
+            F.sum("cr").cast("bigint").alias("nr"),
+        )
+
+        def _llr(ct_col, cr_col):
+            return (
+                F.floor(
+                    (
+                        F.log(
+                            ct_col.cast("double") / (F.col("nt") + DSIR_BUCKETS)
+                        )
+                        - F.log(
+                            cr_col.cast("double") / (F.col("nr") + DSIR_BUCKETS)
+                        )
+                    )
+                    * 1_000_000
+                    + 0.5
+                )
+                .cast("bigint")
+                .alias("llr_micro")
+            )
+
+        llr = cb.crossJoin(F.broadcast(tot)).select(
+            "bucket", _llr(F.col("ct") + 1, F.col("cr") + 1)
+        )
+        default = tot.select(
+            F.lit(-1).cast("bigint").alias("bucket"), _llr(F.lit(1), F.lit(1))
+        )
+        write_bucketed_table(
+            llr.unionByName(default),
+            name,
+            ["bucket"],
+            n_buckets=16,
+            sort_cols=["bucket"],
+        )
+    return spark.table(name)
+
+
+def _dsir_delta_oracle() -> str:
+    from gcd_etl_spark.plans.dedup import DELTA_MOD
+
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(substr(source, 4) AS INT) % {DSIR_TARGET_MOD} = 0 AS is_target,
+         {_DUCK_TOKS} AS toks
+  FROM documents
+),
+corp_fb AS (
+  SELECT is_target,
+         CAST(('0x' || substr(md5('dsir:' || g), 1, 15)) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT is_target,
+           unnest(list_concat(
+             toks,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || chr(31) || toks[i + 1])
+           )) AS g
+    FROM d WHERE doc_id % {DELTA_MOD} <> 0
+  )
+),
+cb AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM corp_fb GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM cb
+),
+llr AS (
+  SELECT bucket,
+         CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (nt + {DSIR_BUCKETS}))
+                   - ln(CAST(cr + 1 AS DOUBLE) / (nr + {DSIR_BUCKETS})))
+                    * 1000000 + 0.5) AS BIGINT) AS llr_micro
+  FROM cb CROSS JOIN tot
+),
+dflt AS (
+  SELECT CAST(floor((ln(CAST(1 AS DOUBLE) / (nt + {DSIR_BUCKETS}))
+                   - ln(CAST(1 AS DOUBLE) / (nr + {DSIR_BUCKETS})))
+                    * 1000000 + 0.5) AS BIGINT) AS llr_micro
+  FROM tot
+),
+delta_fb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('dsir:' || g), 1, 15)) AS BIGINT)
+           % {DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id,
+           unnest(list_concat(
+             toks,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || chr(31) || toks[i + 1])
+           )) AS g
+    FROM d WHERE doc_id % {DELTA_MOD} = 0
+  )
+),
+scored AS (
+  SELECT f.doc_id,
+         COALESCE(l.llr_micro, dflt.llr_micro) AS llr,
+         CAST(l.bucket IS NULL AS INT) AS unseen
+  FROM delta_fb f
+  LEFT JOIN llr l USING (bucket)
+  CROSS JOIN dflt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+       CAST(SUM(llr) AS BIGINT) AS llr_total_micro,
+       CAST(floor(CAST(SUM(llr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         AS llr_mean_micro,
+       SUM(llr) > 0 AS selected
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("corpus_dsir_delta", oracle=_dsir_delta_oracle())
+def corpus_dsir_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR — importance scoring at the nightly boundary,
+    completing the family's lifecycle the way quality_bigram_nll_delta
+    does for the quality LM: the target/raw hashed-n-gram model is
+    trained ONCE on the standing corpus (``doc_id % DELTA_MOD != 0``)
+    and persisted fingerprint-keyed (ensure_dsir_model, <= 513 rows);
+    the nightly delta re-reads only ITS OWN documents, hashes their
+    features, and probes the frozen per-bucket log-ratio table —
+    zero corpus re-tokenization in steady state. Buckets the corpus
+    never populated fall back to the model's single default row
+    (both sides smoothed to 1 occurrence), and ``n_unseen`` surfaces
+    the fallback volume as the drift signal: a rising unseen rate
+    means the frozen model is stale relative to what's arriving —
+    the retrain trigger, exactly as in the quality-LM family.
+
+    Scale shape: per-night cost is O(delta) — one feature-hash agg
+    over delta docs + one broadcast probe of the <= 513-row artifact;
+    the corpus-sized training aggregation happens once per staging,
+    amortized across every night and every downstream consumer
+    (the streaming gate shares the same artifact)."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+    from gcd_etl_spark.plans.dedup import DELTA_MOD
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    model = ensure_dsir_model(spark, sf_dir, docs.where(~is_delta))
+    llr = model.where(F.col("bucket") >= 0)
+    dflt = model.where(F.col("bucket") < 0).select(
+        F.col("llr_micro").alias("default_llr")
+    )
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    sep = "\x1f"
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
+        ),
+    )
+    fb = docs.where(is_delta).select(
+        "doc_id",
+        F.explode(F.concat(toks, bigrams)).alias("g"),
+    ).select(
+        "doc_id",
+        (
+            portable_hash64(F.concat(F.lit("dsir:"), F.col("g"))) % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    scored = (
+        fb.join(F.broadcast(llr), "bucket", "left")
+        .crossJoin(F.broadcast(dflt))
+        .select(
+            "doc_id",
+            F.coalesce("llr_micro", "default_llr").alias("llr"),
+            F.col("llr_micro").isNull().cast("int").alias("unseen"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.sum("unseen").cast("bigint").alias("n_unseen"),
+        F.sum("llr").cast("bigint").alias("llr_total_micro"),
+        F.floor(F.sum("llr").cast("double") / F.count(F.lit(1)) + 0.5)
+        .cast("bigint")
+        .alias("llr_mean_micro"),
+        (F.sum("llr") > 0).alias("selected"),
+    )

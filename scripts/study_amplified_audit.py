@@ -120,6 +120,12 @@ TARGETS = {
     # (score-keyed agg + tiny window + broadcast back)
     "corpus_curriculum_order": ["documents"],
     "mm_resize_letterbox": ["documents"],
+    # round 11 (third session): DSIR importance resampling — anchor
+    # (trains in-plan: expect ~linear in docs, model artifact fixed
+    # at <= 512 rows) and the delta probe (frozen persisted model:
+    # expect the probe ~flat like the other delta families)
+    "corpus_dsir_weights": ["documents"],
+    "corpus_dsir_delta": ["documents"],
 }
 
 ALL_TABLES = [

@@ -82,6 +82,13 @@ SCALAR_BROADCASTS = {
     # the occupancy frame it lands on is <= T x 2^bits = 512 rows by
     # construction and every data-scaled join is key-equi
     "dedup_semantic_srp_capped",
+    # 1-row (nt, nr) feature totals broadcast into the <= 512-row
+    # hashed-bucket frame (the quality_*_nll vocab-totals pattern);
+    # the data-scaled joins are the key-equi bucket probes
+    "corpus_dsir_weights",
+    # same pattern at the nightly boundary: the frozen model's 1-row
+    # default-llr fallback crossJoined into the delta feature stream
+    "corpus_dsir_delta",
 }
 
 #: Streaming queries execute eagerly on build (memory-sink round

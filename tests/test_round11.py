@@ -500,3 +500,187 @@ def test_srp_cap_identical_vectors_defeat_splitting(spark):
         .collect()[0][0]
     )
     assert spread and spread > 1  # splitting separates clustered mass
+
+
+# ------------------------- DSIR importance resampling (new registrant)
+def test_dsir_weights_separate_target_from_raw(spark, sf_correct):
+    """The scored corpus must actually separate: target-domain docs
+    (whose features trained the numerator model) should carry a
+    higher mean per-feature log-likelihood ratio than raw-pool docs,
+    and the selection flag must be exactly the sign of the exact
+    integer total."""
+    from gcd_etl_spark.plans.corpus import DSIR_TARGET_MOD, corpus_dsir_weights
+
+    rows = corpus_dsir_weights(spark, sf_correct).collect()
+    assert len(rows) == 500
+    docs = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf_correct}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+
+    def is_target(doc_id):
+        return int(docs[doc_id][3:]) % DSIR_TARGET_MOD == 0
+
+    t = [r.llr_mean_micro for r in rows if is_target(r.doc_id)]
+    raw = [r.llr_mean_micro for r in rows if not is_target(r.doc_id)]
+    assert len(t) == 100 and len(raw) == 400
+    assert sum(t) / len(t) > sum(raw) / len(raw)
+    for r in rows:
+        assert r.selected == (r.llr_total_micro > 0)
+        assert r.n_feats >= 1
+
+
+def test_dsir_weight_matches_independent_recompute(spark, sf_correct):
+    """One document's weight, rebuilt from scratch in plain Python
+    (md5 hashing, add-1 multinomials, micro-quantized log ratios) —
+    any drift in the hash family, the smoothing, the feature set or
+    the quantization breaks this exact-integer equality."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    from gcd_etl_spark.plans.corpus import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_MOD,
+        corpus_dsir_weights,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_correct}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+
+    def feats(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return toks + [
+            toks[i] + "\x1f" + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+
+    def bucket(g):
+        return int(hashlib.md5(("dsir:" + g).encode()).hexdigest()[:15], 16) % (
+            DSIR_BUCKETS
+        )
+
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for r in docs:
+        tgt = int(r.source[3:]) % DSIR_TARGET_MOD == 0
+        for g in feats(r.text):
+            (ct if tgt else cr)[bucket(g)] += 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+    llr = {
+        b: math.floor(
+            (
+                math.log((ct[b] + 1) / (nt + DSIR_BUCKETS))
+                - math.log((cr[b] + 1) / (nr + DSIR_BUCKETS))
+            )
+            * 1_000_000
+            + 0.5
+        )
+        for b in range(DSIR_BUCKETS)
+        if ct[b] or cr[b]
+    }
+    probe = docs[7]
+    expected = sum(llr[bucket(g)] for g in feats(probe.text))
+    got = {
+        r.doc_id: r.llr_total_micro
+        for r in corpus_dsir_weights(spark, sf_correct).collect()
+    }
+    assert got[probe.doc_id] == expected
+
+
+def test_dsir_delta_unseen_fallback_and_reuse(spark, tmp_path):
+    """The delta probe's unpopulated-bucket fallback, exercised for
+    real: a 3-doc micro-corpus leaves most of the 512 buckets empty,
+    so a delta doc made of words the corpus never saw must (a) score
+    every feature through the single default-llr row (n_unseen > 0),
+    (b) match an exact Python recompute of the whole artifact
+    including that fallback value, and (c) find the persisted model
+    on a second call instead of retraining."""
+    import hashlib
+    import math
+    import re as _re
+
+    import pandas as pd
+
+    from gcd_etl_spark.plans.corpus import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_MOD,
+        corpus_dsir_delta,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 7],
+            "text": [
+                "alpha beta gamma alpha",
+                "delta epsilon beta",
+                "zeta eta theta",
+                "novel words nowhere beta gamma",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["src0", "src1", "src2", "src3"],
+            "n_chars": [22, 18, 14, 30],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+
+    rows = corpus_dsir_delta(spark, sf).collect()
+    assert len(rows) == 1  # only doc_id 7 is in the delta (7 % 7 == 0)
+    got = rows[0]
+    assert got.n_unseen > 0, "no unseen buckets — fallback untested"
+    assert got.n_unseen < got.n_feats, "shared words should hit the model"
+
+    # exact recompute: corpus = docs 1-3, target = src0 only
+    def feats(text):
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return toks + [
+            toks[i] + "\x1f" + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+
+    def bucket(g):
+        return int(
+            hashlib.md5(("dsir:" + g).encode()).hexdigest()[:15], 16
+        ) % DSIR_BUCKETS
+
+    ct: dict = {}
+    cr: dict = {}
+    for _, r in docs[docs.doc_id != 7].iterrows():
+        tgt = int(r.source[3:]) % DSIR_TARGET_MOD == 0
+        for g in feats(r.text):
+            b = bucket(g)
+            if tgt:
+                ct[b] = ct.get(b, 0) + 1
+            else:
+                cr[b] = cr.get(b, 0) + 1
+    nt, nr = sum(ct.values()), sum(cr.values())
+
+    def llr(b):
+        return math.floor(
+            (
+                math.log((ct.get(b, 0) + 1) / (nt + DSIR_BUCKETS))
+                - math.log((cr.get(b, 0) + 1) / (nr + DSIR_BUCKETS))
+            )
+            * 1_000_000
+            + 0.5
+        )
+
+    fs = feats("novel words nowhere beta gamma")
+    expected_total = sum(llr(bucket(g)) for g in fs)
+    expected_unseen = sum(
+        1 for g in fs if bucket(g) not in ct and bucket(g) not in cr
+    )
+    assert got.llr_total_micro == expected_total
+    assert got.n_unseen == expected_unseen
+    assert got.selected == (expected_total > 0)
+
+    # steady state: the model table is persisted and found again
+    names = [t.name for t in spark.catalog.listTables()]
+    assert any(n.startswith("dsir_model_") for n in names)
+    again = corpus_dsir_delta(spark, sf).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
