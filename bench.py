@@ -93,6 +93,9 @@ LIFECYCLE = [
     "sim_bitext_margin_shortlist",
     "sim_bitext_margin_persisted",
     "corpus_shuffle_shards_write",
+    # round 11 third session: the DSIR family's steady-state probe
+    # (frozen persisted model; baseline recorded in BASELINE.md)
+    "corpus_dsir_delta",
 ]
 
 

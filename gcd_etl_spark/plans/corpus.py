@@ -2107,12 +2107,25 @@ def corpus_dsir_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-sized training aggregation happens once per staging,
     amortized across every night and every downstream consumer
     (the streaming gate shares the same artifact)."""
-    from gcd_etl_spark.operators.dedup import portable_hash64
     from gcd_etl_spark.plans.dedup import DELTA_MOD
 
     docs = read_table_spread(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
     model = ensure_dsir_model(spark, sf_dir, docs.where(~is_delta))
+    return score_docs_frozen_dsir(docs.where(is_delta), model)
+
+
+def score_docs_frozen_dsir(batch_docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score documents against a FROZEN persisted DSIR model — the
+    exact code path shared by the nightly delta query and the
+    streaming ingest gate (the score_docs_frozen_bigram_lm stance):
+    hash the batch's unigram+bigram features, probe the per-bucket
+    LLR table, fall back to the model's single default row for
+    buckets the corpus never populated, and aggregate exact integer
+    weights per document. Per-document scores are independent, so the
+    union over any batching equals the one-shot nightly result."""
+    from gcd_etl_spark.operators.dedup import portable_hash64
+
     llr = model.where(F.col("bucket") >= 0)
     dflt = model.where(F.col("bucket") < 0).select(
         F.col("llr_micro").alias("default_llr")
@@ -2125,7 +2138,7 @@ def corpus_dsir_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
         ),
     )
-    fb = docs.where(is_delta).select(
+    fb = batch_docs.select(
         "doc_id",
         F.explode(F.concat(toks, bigrams)).alias("g"),
     ).select(

@@ -729,3 +729,92 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_root).select(
         "doc_id", "n_bigrams", "n_unseen", "nll_total_micro", "nll_mean_micro"
     )
+
+
+# ------------------- streaming DSIR gate (frozen model at ingest)
+def dsir_gate_batch_fn(model: DataFrame, out_root: str):
+    """foreachBatch worker for the DSIR ingest gate, shared with
+    tests: weigh the batch's documents against the FROZEN persisted
+    target/raw model (corpus.score_docs_frozen_dsir — the exact code
+    the nightly delta query runs) and OVERWRITE the batch's own
+    batch_id-keyed partition dir (idempotent under at-least-once
+    redelivery — the gate family's sink pattern)."""
+    from gcd_etl_spark.plans.corpus import score_docs_frozen_dsir
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        score_docs_frozen_dsir(batch, model).write.mode("overwrite").parquet(
+            f"{out_root}/batch_id={batch_id}"
+        )
+
+    return gate_batch
+
+
+def _dsir_gate_oracle() -> str:
+    from gcd_etl_spark.plans.corpus import _dsir_delta_oracle
+
+    return _dsir_delta_oracle()
+
+
+@query("stream_dsir_gate", oracle=_dsir_gate_oracle())
+def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of corpus_dsir_delta — DSIR importance
+    weighting as an ingest gate, extending the gate symmetry to the
+    family's fourth lifecycle (MinHash bands, SRP buckets, LM cost
+    tables, and now the DSIR bucket-LLR model each have a nightly
+    delta query AND a foreachBatch ingest gate probing the SAME
+    persisted artifact). New documents arrive as file-source
+    micro-batches; each batch is hashed and weighed against the
+    frozen <= 513-row model inside foreachBatch — the corpus is never
+    re-featurized, per-arrival cost is O(batch) + one broadcast
+    probe. Per-document weights are independent, so the union over
+    ANY batching equals the one-shot nightly result — the oracle IS
+    the nightly query's oracle, value-hash exact including the
+    default-row fallback and the integer micro-LLRs. State lives in
+    storage (model table + batch_id-keyed verdict partitions):
+    restart is free and replayed batches overwrite their own
+    partition."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.plans.corpus import ensure_dsir_model
+    from gcd_etl_spark.plans.dedup import DELTA_MOD
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    docs = read_table_spread(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % DELTA_MOD == 0
+    model = ensure_dsir_model(spark, sf_dir, docs.where(~is_delta))
+
+    tag = "{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"), uuid.uuid4().hex[:8]
+    )
+    staged = f"/tmp/gcd_etl_stream_dsirgate_{tag}"
+    out_root = f"/tmp/gcd_etl_stream_dsirgate_out_{tag}"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(out_root, ignore_errors=True)
+    delta = docs.where(is_delta)
+    delta.repartition(4).write.parquet(staged)
+    spark.createDataFrame(
+        [],
+        "doc_id long, n_feats long, n_unseen long, "
+        "llr_total_micro long, llr_mean_micro long, selected boolean",
+    ).write.parquet(f"{out_root}/batch_id=-1")
+
+    gate = dsir_gate_batch_fn(model, out_root)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_root).select(
+        "doc_id",
+        "n_feats",
+        "n_unseen",
+        "llr_total_micro",
+        "llr_mean_micro",
+        "selected",
+    )

@@ -126,6 +126,7 @@ TARGETS = {
     # expect the probe ~flat like the other delta families)
     "corpus_dsir_weights": ["documents"],
     "corpus_dsir_delta": ["documents"],
+    "stream_dsir_gate": ["documents"],
 }
 
 ALL_TABLES = [
