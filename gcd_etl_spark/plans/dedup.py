@@ -375,10 +375,11 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _keep_canonical_oracle(num_hashes: int = 32, bands: int = 8) -> str:
-    """Retention restated in DuckDB: the portable-MinHash CTE chain
-    (shared builder — same bands, same verify) feeds a recursive-CTE
-    transitive closure; canonical = min doc_id per component."""
+def _minhash_closure_ctes(num_hashes: int = 32, bands: int = 8) -> str:
+    """The portable-MinHash candidate -> verify -> transitive-closure
+    CTE chain, shared by every oracle that consumes near-dup
+    COMPONENTS (keep_canonical's retention, the leakage-safe split)
+    so the two restatements cannot drift."""
     ctes = _portable_band_ctes(num_hashes, bands).replace(
         "WITH t AS", "WITH RECURSIVE t AS", 1
     )
@@ -403,7 +404,14 @@ def _keep_canonical_oracle(num_hashes: int = 32, bands: int = 8) -> str:
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
-)
+)"""
+
+
+def _keep_canonical_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """Retention restated in DuckDB: the portable-MinHash CTE chain
+    (shared builder — same bands, same verify) feeds a recursive-CTE
+    transitive closure; canonical = min doc_id per component."""
+    return _minhash_closure_ctes(num_hashes, bands) + """
 SELECT id AS doc_id, min(label) AS cluster_id,
        (id = min(label)) AS is_kept
 FROM reach GROUP BY id
@@ -438,6 +446,59 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+    )
+
+
+def _neardup_split_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """The leakage-safe split restated in DuckDB: the shared closure
+    chain, then data_split_deterministic's Knuth multiplicative hash
+    applied to the COMPONENT label instead of the row id."""
+    return _minhash_closure_ctes(num_hashes, bands) + """
+, comp AS (
+  SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN (cluster_id * 2654435761) % 4294967296 * 100
+                 // 4294967296 < 80 THEN 'train'
+            WHEN (cluster_id * 2654435761) % 4294967296 * 100
+                 // 4294967296 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM comp
+"""
+
+
+@query("data_split_neardup_safe", oracle=_neardup_split_oracle())
+def data_split_neardup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split whose unit is the DISCOVERED near-dup
+    component, not the row: LSH candidates -> exact-Jaccard verify ->
+    connected components (dedup_keep_canonical's derivation), then
+    data_split_deterministic's Knuth-hash 80/10/10 applied to the
+    component label — so a document and ALL its near-duplicates land
+    in the same split by construction. This is the eval-hygiene split
+    a trained-model benchmark needs: the row-hash split
+    (data_split_deterministic) leaks near-duplicate pairs across the
+    boundary, and the entity split (data_split_grouped) only guards
+    keys you already know about; near-dup leakage has no explicit
+    key until the components are computed.
+
+    Scale shape: identical to dedup_keep_canonical (band-bucket
+    shuffles, candidate-fraction verify, log-round component
+    propagation) plus a free projection — the split decision is pure
+    integer arithmetic on the component label, no extra exchange."""
+    docs = read_table_spread(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5, portable=True).select(
+        "id_a", "id_b"
+    )
+    comp = D.connected_components(pairs, docs, id_col="doc_id")
+    h = (F.col("cluster_id") * F.lit(2654435761)) % F.lit(4294967296)
+    bucket = F.floor(h * 100 / F.lit(4294967296)).cast("int")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
     )
 
 

@@ -46,7 +46,24 @@ ALL_TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-AUDITED = ["quality_bigram_nll_delta", "stream_quality_gate"]
+AUDITED = [
+    "quality_bigram_nll_delta",
+    "stream_quality_gate",
+    # round-11 third session: the DSIR family's delta + gate — same
+    # staging convention (fixed delta, k-amplified corpus), same
+    # steady-state claim (probe = O(delta) + a <= 513-row broadcast)
+    "corpus_dsir_delta",
+    "stream_dsir_gate",
+]
+
+#: per-query persisted-artifact table prefixes to drop before phase 1
+#: so the train/probe split stays honest on re-runs.
+ARTIFACT_PREFIXES = {
+    "quality_bigram_nll_delta": ("bigram_lm_costs", "bigram_lm_ctx"),
+    "stream_quality_gate": ("bigram_lm_costs", "bigram_lm_ctx"),
+    "corpus_dsir_delta": ("dsir_model",),
+    "stream_dsir_gate": ("dsir_model",),
+}
 
 
 def stage_corpus_amplified(spark, sf_dir: str, k: int, scratch_root: str) -> str:
@@ -104,6 +121,10 @@ def main() -> None:
     amps = [int(a) for a in sys.argv[2:]] or [1, 4, 8]
     scratch = os.environ.get("GCD_AUDIT_SCRATCH", "/tmp/gcd_delta_steady")
     os.makedirs(scratch, exist_ok=True)
+    only = os.environ.get("GCD_AUDIT_ONLY")
+    if only:  # re-measure a subset without re-running the rest
+        keep = set(only.split(","))
+        AUDITED[:] = [n for n in AUDITED if n in keep]
     spark = get_spark(app_name="delta_steady_state_audit")
 
     dirs = {k: stage_corpus_amplified(spark, sf_dir, k, scratch) for k in amps}
@@ -124,7 +145,7 @@ def main() -> None:
             tag = _re.sub(r"[^A-Za-z0-9_]", "_", tag)
             fp = table_fingerprint(d, "documents")
             warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            for prefix in ("bigram_lm_costs", "bigram_lm_ctx"):
+            for prefix in ARTIFACT_PREFIXES[name]:
                 tbl = f"{prefix}_{tag}_{fp}"
                 spark.sql(f"DROP TABLE IF EXISTS {tbl}")
                 shutil.rmtree(

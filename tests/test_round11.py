@@ -754,3 +754,39 @@ def test_empty_input_does_not_raise_r11(spark, empty_sf_dir_r11, name):
 
     rows = QUERIES[name].build(spark, empty_sf_dir_r11).limit(5).collect()
     assert isinstance(rows, list)
+
+
+def test_neardup_safe_split_never_leaks_pairs(spark, sf_correct):
+    """The split's defining property, checked against the verified
+    near-dup pairs themselves: every pair that survives the exact
+    Jaccard verify has both endpoints in the SAME split — and
+    non-vacuously (the fixture has multi-doc clusters), while the
+    row-hash split demonstrably leaks on the same pairs (the reason
+    this operator exists)."""
+    from gcd_etl_spark.operators import dedup as D
+    from gcd_etl_spark.plans import QUERIES
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    docs = read_table_spread(spark, sf_correct, "documents")
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5, portable=True)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    assert pairs, "fixture has no verified near-dup pairs — test is vacuous"
+    split = {
+        r.doc_id: r.split
+        for r in QUERIES["data_split_neardup_safe"].build(spark, sf_correct).collect()
+    }
+    for a, b in pairs:
+        assert split[a] == split[b], f"near-dup pair ({a},{b}) straddles splits"
+    # the row-hash split leaks on at least one of the same pairs
+    row_split = {
+        r.doc_id: r.split
+        for r in QUERIES["data_split_deterministic"].build(spark, sf_correct).collect()
+    }
+    assert any(row_split[a] != row_split[b] for a, b in pairs), (
+        "row-hash split did not leak on this fixture — the comparison "
+        "baseline is vacuous"
+    )
