@@ -64,6 +64,19 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: r3-vintage stragglers the r9 window listed past position 50, then
 #: the oldest (r4-vintage) rows, flagship trio always re-verified.
 _DRIVER_WINDOW = [
+    # --- (a00) round-11 second/third-session registrants: the DSIR
+    #     importance-resampling family (anchor, frozen-model delta,
+    #     ingest gate), the occupancy-capped SRP primitive, the
+    #     leakage-safe component-keyed split — no driver row yet —
+    #     and dedup_keep_canonical, whose oracle was refactored onto
+    #     the shared closure-CTE builder this session (first driver
+    #     row under the shared restatement) ---
+    "corpus_dsir_weights",
+    "corpus_dsir_delta",
+    "stream_dsir_gate",
+    "dedup_semantic_srp_capped",
+    "data_split_neardup_safe",
+    "dedup_keep_canonical",
     # --- (a0) round-11 registrants (real container parsing +
     #     letterbox geometry, curriculum staging) + the
     #     queries whose oracles/plans round 11 changed (pointer-
