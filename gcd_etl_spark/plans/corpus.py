@@ -26,6 +26,30 @@ from gcd_etl_spark.plans.analytics import _TOKEN_SPLIT
 from gcd_etl_spark.plans.registry import query
 from gcd_etl_spark.sources.catalog import read_table_spread
 
+
+def _safe_bigrams(toks, sep: str):
+    """Adjacent-pair bigram array, SAFE on short documents: Spark's
+    sequence(1, size-1) is DESCENDING when size < 2, so the unguarded
+    transform feeds element_at an index <= 0 and throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — fatal inside the streaming
+    ingest gates, where one short arriving document would fail its
+    whole micro-batch (ADVICE round 11). DuckDB's generate_series
+    already yields an empty list there, so the guard also restores
+    engine parity on <= 1-token documents: zero bigrams, unigrams
+    (when concatenated) untouched. Shared by every adjacent-pair site
+    in this module — the bigram twins can never tokenize-pair
+    differently."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 _DUCK_TOKS = (
     "list_filter(regexp_split_to_array(lower(text), '" + _TOKEN_SPLIT + "'), x -> x <> '')"
 )
@@ -60,12 +84,7 @@ def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram) makes the result deterministic cross-engine."""
     docs = read_table_spread(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(
-            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-        ),
-    )
+    bigrams = _safe_bigrams(toks, " ")
     counted = (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
@@ -915,7 +934,7 @@ def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h"
         ),
         F.when(
-            F.substring("source", 4, 10).cast("int") % 2 == 0, F.lit(MIX_PPM_EVEN)
+            F.expr("substring(source, 4)").cast("int") % 2 == 0, F.lit(MIX_PPM_EVEN)
         )
         .otherwise(F.lit(MIX_PPM_ODD))
         .alias("ppm"),
@@ -1346,12 +1365,7 @@ def quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_spread(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
     sep = "\x1f"
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(
-            F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
-        ),
-    )
+    bigrams = _safe_bigrams(toks, sep)
     bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
     cu = cb.groupBy(F.split("bg", sep).getItem(0).alias("p")).agg(
@@ -1480,12 +1494,7 @@ def ensure_bigram_lm_index(
             _shutil.rmtree(_os.path.join(warehouse, n.lower()), ignore_errors=True)
         toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
         sep = "\x1f"
-        bigrams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
-            ),
-        )
+        bigrams = _safe_bigrams(toks, sep)
         bg = corpus_docs.select("doc_id", F.explode(bigrams).alias("bg"))
         cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
         cu = cb.groupBy(F.split("bg", sep).getItem(0).alias("p")).agg(
@@ -1643,12 +1652,7 @@ def score_docs_frozen_bigram_lm(
     ctx = ctx_all.where(F.col("p") != "")
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
     sep = "\x1f"
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(
-            F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
-        ),
-    )
+    bigrams = _safe_bigrams(toks, sep)
     delta_bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
     scored = (
         delta_bg.join(F.broadcast(costs), "bg", "left")
@@ -1850,14 +1854,9 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table_spread(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
     sep = "\x1f"
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(
-            F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
-        ),
-    )
+    bigrams = _safe_bigrams(toks, sep)
     is_target = (
-        F.substring("source", 4, 10).cast("int") % DSIR_TARGET_MOD == 0
+        F.expr("substring(source, 4)").cast("int") % DSIR_TARGET_MOD == 0
     )
     fb = docs.select(
         "doc_id",
@@ -1913,7 +1912,12 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ensure_dsir_model(spark: SparkSession, sf_dir: str, corpus_docs: DataFrame):
+def ensure_dsir_model(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus_docs: DataFrame,
+    filter_tag: str = "",
+):
     """The persisted DSIR model — the importance-resampling family's
     storage half, mirroring ensure_bigram_lm / ensure_corpus_band_index:
     one bucket-keyed table of per-bucket micro-quantized log-likelihood
@@ -1923,7 +1927,16 @@ def ensure_dsir_model(spark: SparkSession, sf_dir: str, corpus_docs: DataFrame):
     ln((nr+B)/(nt+B)) so a delta document hashing into a bucket the
     corpus never populated still scores exactly like the full-train
     restatement. <= DSIR_BUCKETS + 1 rows regardless of corpus size —
-    the artifact a nightly delta probes without re-reading the corpus."""
+    the artifact a nightly delta probes without re-reading the corpus.
+
+    ARTIFACT-KEY CONTRACT (ADVICE round 11): the table name keys on
+    (sf dir, FULL documents fingerprint, ``filter_tag``) but trains
+    on the CALLER-filtered ``corpus_docs``. The default empty tag is
+    reserved for the family's standing-corpus convention
+    (``doc_id % DELTA_MOD != 0`` — what the nightly delta and the
+    ingest gate both pass, same as ensure_bigram_lm_index); a caller
+    training on any OTHER filtration must pass a distinct
+    ``filter_tag`` or it would silently reuse a mismatched model."""
     import os as _os
     import re as _re
     import shutil as _shutil
@@ -1935,20 +1948,16 @@ def ensure_dsir_model(spark: SparkSession, sf_dir: str, corpus_docs: DataFrame):
 
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
     fp = table_fingerprint(sf_dir, "documents")
-    name = f"dsir_model_{tag}_{fp}"
+    ftag = "" if not filter_tag else f"_{_re.sub(r'[^A-Za-z0-9_]', '_', filter_tag)}"
+    name = f"dsir_model_{tag}{ftag}_{fp}"
     if not spark.catalog.tableExists(name):
         warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
         toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
         sep = "\x1f"
-        bigrams = F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
-            ),
-        )
+        bigrams = _safe_bigrams(toks, sep)
         is_target = (
-            F.substring("source", 4, 10).cast("int") % DSIR_TARGET_MOD == 0
+            F.expr("substring(source, 4)").cast("int") % DSIR_TARGET_MOD == 0
         )
         fb = corpus_docs.select(
             is_target.alias("is_target"),
@@ -2132,12 +2141,7 @@ def score_docs_frozen_dsir(batch_docs: DataFrame, model: DataFrame) -> DataFrame
     )
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
     sep = "\x1f"
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(
-            F.element_at(toks, i), F.lit(sep), F.element_at(toks, i + 1)
-        ),
-    )
+    bigrams = _safe_bigrams(toks, sep)
     fb = batch_docs.select(
         "doc_id",
         F.explode(F.concat(toks, bigrams)).alias("g"),

@@ -1399,6 +1399,37 @@ SRP_COS2 = 0.16  # 0.40^2
 _SRP_DIM = 64
 
 
+# --------------------------- occupancy-capped SRP (bucket splitting)
+#: Heavy-hitter treatment for LSH buckets — the companion rule the
+#: round-11 32x measurement demanded (see the 32x NOTE at SRP_BITS):
+#: scaling bits with n holds the AVERAGE occupancy constant, but the
+#: fixture's (and any real corpus's) embeddings cluster in sign
+#: space, so heavy buckets dominate the candidate-pair count
+#: (~sum occ^2). A bucket whose occupancy exceeds SRP_CAP_FACTOR x
+#: the uniform expectation ceil(n / 2^bits) is re-hashed with
+#: SRP_CAP_SPLIT_BITS more hyperplanes of the SAME md5 sign family
+#: (bits 6..9 of each table), splitting it into up to 2^4 = 16
+#: sub-buckets — exactly the skew treatment the salting machinery
+#: applies to join keys, applied to LSH. The cap is RELATIVE (not an
+#: absolute count) so the rule composes with the _srp_scaled_bits
+#: width rule: width holds the average, the cap clips the tail.
+#: LIMIT of splitting, worth stating because it bounds what recursion
+#: could ever buy: hyperplane re-hashing separates CLUSTERED vectors,
+#: never IDENTICAL ones — equal vectors take equal signs under every
+#: hyperplane, so an identical-vector mass (empty documents, mirrored
+#: content) rides into the same sub-bucket at any split depth
+#: (pinned: tests/test_round11.py::test_srp_cap_identical_vectors).
+#: The production composition is therefore dedup_exact_embeddings
+#: FIRST (hash-group exact pass, already registered) and the cap
+#: second, clipping only the genuinely-near mass exact dedup can't
+#: see. One split level then suffices for everything the fixture and
+#: the 32x staging exhibit; recursive splitting would only chase
+#: near-identical residue at added oracle width.
+SRP_CAP_FACTOR = 2
+SRP_CAP_SPLIT_BITS = 4
+
+
+
 #: 32x NOTE (round 11): with these FIXED 6 bits the delta-vs-corpus
 #: lifecycle path goes quadratic past ~8x the fixture — the 32x
 #: amplified audit measured dedup_semantic_delta_vs_corpus at
@@ -1627,13 +1658,30 @@ def srp_capped_delta_pairs(
     bucket sharing all wide bits. Verification is the family's shared
     exact integer-dot stage, so accepted pairs carry values identical
     to the uncapped path wherever both generate the candidate."""
-    base = 1 << bits
     idx = ensure_srp_bucket_index(
         spark, sf_dir, emb.where(~is_delta), bits=bits, n_tables=n_tables,
         capped=True,
     )
+    cand = _srp_capped_probe_cands(idx, emb.where(is_delta), bits, n_tables)
+    return _srp_verify_delta(spark, sf_dir, cand)
+
+
+def _srp_capped_probe_cands(
+    idx: DataFrame,
+    delta_emb: DataFrame,
+    bits: int = SRP_BITS,
+    n_tables: int = SRP_TABLES,
+) -> DataFrame:
+    """(delta_id, corpus_id) candidates from probing an occupancy-
+    CAPPED index with a delta frame — the probe-both-keys step shared
+    by the nightly delta query and the streaming ingest gate (the two
+    can never probe differently): per (table, wide bucket) the delta
+    row probes its light key (wb % 2^bits) AND its heavy key
+    (wb + 2^bits); exactly one exists in the index for any populated
+    corpus bucket, so no heavy-bucket metadata ships probe-side."""
+    base = 1 << bits
     delta_wide = _srp_bucket_frame(
-        emb.where(is_delta), bits + SRP_CAP_SPLIT_BITS, n_tables
+        delta_emb, bits + SRP_CAP_SPLIT_BITS, n_tables
     )
     delta_tb = (
         delta_wide.select(
@@ -1648,12 +1696,11 @@ def srp_capped_delta_pairs(
             ).alias("bk"),
         )
     )
-    cand = (
+    return (
         idx.join(F.broadcast(delta_tb), ["t", "bk"])
         .select("delta_id", "corpus_id")
         .dropDuplicates(["delta_id", "corpus_id"])
     )
-    return _srp_verify_delta(spark, sf_dir, cand)
 
 
 def _srp_verify_delta(
@@ -1722,7 +1769,14 @@ def dedup_semantic_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFram
     integer-dot verify re-attaches vectors by id. Per-night cost is
     O(delta + probe); the oracle is the full SRP restatement with the
     delta/corpus candidate predicate — exact value parity including
-    the rounded cos_ppm."""
+    the rounded cos_ppm.
+
+    ANCHOR CONFIGURATION (round 12): this fixed-width UNCAPPED form
+    is kept registered as the value-oracled anchor the capped path is
+    recall-audited against, but it is NOT the production lifecycle —
+    the 32x audit measured it at exp 1.35 (see the 32x NOTE at
+    SRP_BITS). Production + lifecycle bench:
+    dedup_semantic_delta_vs_corpus_capped."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
     is_delta = F.col("vec_id") % DELTA_MOD == 0
     idx = ensure_srp_bucket_index(spark, sf_dir, emb.where(~is_delta))
@@ -1735,6 +1789,113 @@ def dedup_semantic_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFram
         .dropDuplicates(["delta_id", "corpus_id"])
     )
     return _srp_verify_delta(spark, sf_dir, cand)
+
+
+def _srp_capped_delta_oracle() -> str:
+    """Delta-vs-corpus SRP dedup against the occupancy-CAPPED corpus
+    index, restated in DuckDB: corpus rows (vec_id % DELTA_MOD <> 0)
+    are keyed exactly as _srp_capped_oracle keys them — wide
+    (bits + split) buckets, per-(t, anchor-bucket) occupancy counted
+    over the CORPUS ONLY (n = corpus count, matching what
+    ensure_srp_bucket_index(capped=True) stages), heavy buckets
+    re-keyed to wb + 2^bits — and each delta row probes BOTH its
+    light and heavy key per table (the probe-both-keys contract of
+    _srp_capped_probe_cands). Verify/accept/emit identical to
+    _srp_delta_oracle."""
+    wide = SRP_BITS + SRP_CAP_SPLIT_BITS
+    base = 1 << SRP_BITS
+    pair_dot = " + ".join(f"p.qa[{i}] * p.qb[{i}]" for i in range(1, _SRP_DIM + 1))
+    buckets = ", ".join(
+        f"{_srp_bucket_sql(t, True, wide)} AS wb{t}" for t in range(SRP_TABLES)
+    )
+    corpus_unions = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, wb{t} AS wb, wb{t} % {base} AS bk FROM b "
+        f"WHERE vec_id % {DELTA_MOD} <> 0"
+        for t in range(SRP_TABLES)
+    )
+    delta_unions = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, wb{t} AS wb, wb{t} % {base} AS bk FROM b "
+        f"WHERE vec_id % {DELTA_MOD} = 0"
+        for t in range(SRP_TABLES)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, qv, CAST({_srp_self_dot(True)} AS BIGINT) AS nrm, {buckets}
+  FROM e
+),
+u AS ({corpus_unions}),
+c AS (SELECT COUNT(*) AS n FROM b WHERE vec_id % {DELTA_MOD} <> 0),
+occ AS (SELECT t, bk, COUNT(*) AS oc FROM u GROUP BY t, bk),
+k AS (
+  SELECT u.vec_id, u.t,
+         CASE WHEN o.oc > {SRP_CAP_FACTOR} * ((c.n + {base - 1}) // {base})
+              THEN u.wb + {base} ELSE u.bk END AS key
+  FROM u JOIN occ o ON u.t = o.t AND u.bk = o.bk CROSS JOIN c
+),
+du AS ({delta_unions}),
+dp AS (
+  SELECT vec_id, t, bk AS key FROM du
+  UNION ALL
+  SELECT vec_id, t, wb + {base} AS key FROM du
+),
+np AS (
+  SELECT DISTINCT dp.vec_id AS delta_id, k.vec_id AS corpus_id
+  FROM dp JOIN k ON dp.t = k.t AND dp.key = k.key
+),
+p AS (
+  SELECT np.delta_id, np.corpus_id,
+         ba.qv AS qa, bb.qv AS qb, ba.nrm AS na, bb.nrm AS nb
+  FROM np
+  JOIN b ba ON ba.vec_id = np.delta_id
+  JOIN b bb ON bb.vec_id = np.corpus_id
+),
+v AS (
+  SELECT delta_id, corpus_id, CAST({pair_dot} AS BIGINT) AS dot, na, nb
+  FROM p
+)
+SELECT delta_id, corpus_id, dot,
+       CAST(floor(CAST(dot AS DOUBLE)
+                  / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+FROM v
+WHERE dot > 0
+  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE)
+      >= {SRP_COS2} * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+"""
+
+
+@query(
+    "dedup_semantic_delta_vs_corpus_capped", oracle=_srp_capped_delta_oracle()
+)
+def dedup_semantic_delta_vs_corpus_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION form of the nightly SemDeDup boundary — the
+    delta-vs-corpus probe of dedup_semantic_delta_vs_corpus run
+    against the occupancy-CAPPED persisted index (round-11 32x
+    measurement: the fixed-width uncapped path goes exp 1.35 —
+    3.2 s -> 348.8 s — because clustered sign-space buckets dominate;
+    the cap re-hashes any (table, bucket) above
+    SRP_CAP_FACTOR x ceil(n / 2^bits) with SRP_CAP_SPLIT_BITS extra
+    hyperplanes, measured 185 s -> 49 s at 32x with pairs conserved
+    to 0.07%). Shape: corpus keys live in the bk-bucketed persisted
+    index (staged once per data fingerprint, capped config-suffixed);
+    the delta's wide buckets are one Arrow matmul over O(delta) rows;
+    each (table, wide bucket) probes BOTH candidate keys so no
+    heavy-bucket metadata ships probe-side; exact integer-dot verify
+    re-attaches vectors by id. Recall cost confined to the clipped
+    tail (a pair split in one table still meets in any other table).
+    The fixed-width form stays registered as the explicitly-labeled
+    ANCHOR; this is the lifecycle-benched default."""
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % DELTA_MOD == 0
+    return srp_capped_delta_pairs(spark, sf_dir, emb, is_delta)
 
 
 @query("dedup_semantic_srp", oracle=_srp_oracle())
@@ -2049,34 +2210,6 @@ def dedup_semantic_srp_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------- occupancy-capped SRP (bucket splitting)
-#: Heavy-hitter treatment for LSH buckets — the companion rule the
-#: round-11 32x measurement demanded (see the 32x NOTE at SRP_BITS):
-#: scaling bits with n holds the AVERAGE occupancy constant, but the
-#: fixture's (and any real corpus's) embeddings cluster in sign
-#: space, so heavy buckets dominate the candidate-pair count
-#: (~sum occ^2). A bucket whose occupancy exceeds SRP_CAP_FACTOR x
-#: the uniform expectation ceil(n / 2^bits) is re-hashed with
-#: SRP_CAP_SPLIT_BITS more hyperplanes of the SAME md5 sign family
-#: (bits 6..9 of each table), splitting it into up to 2^4 = 16
-#: sub-buckets — exactly the skew treatment the salting machinery
-#: applies to join keys, applied to LSH. The cap is RELATIVE (not an
-#: absolute count) so the rule composes with the _srp_scaled_bits
-#: width rule: width holds the average, the cap clips the tail.
-#: LIMIT of splitting, worth stating because it bounds what recursion
-#: could ever buy: hyperplane re-hashing separates CLUSTERED vectors,
-#: never IDENTICAL ones — equal vectors take equal signs under every
-#: hyperplane, so an identical-vector mass (empty documents, mirrored
-#: content) rides into the same sub-bucket at any split depth
-#: (pinned: tests/test_round11.py::test_srp_cap_identical_vectors).
-#: The production composition is therefore dedup_exact_embeddings
-#: FIRST (hash-group exact pass, already registered) and the cap
-#: second, clipping only the genuinely-near mass exact dedup can't
-#: see. One split level then suffices for everything the fixture and
-#: the 32x staging exhibit; recursive splitting would only chase
-#: near-identical residue at added oracle width.
-SRP_CAP_FACTOR = 2
-SRP_CAP_SPLIT_BITS = 4
 
 
 def _srp_capped_keys(b: DataFrame, bits: int = SRP_BITS) -> DataFrame:

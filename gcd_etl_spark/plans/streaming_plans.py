@@ -609,7 +609,12 @@ def stream_semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch boundaries cannot change the answer (per-vector verdicts
     are independent; the union over any batching equals the one-shot
     nightly result — the oracle IS the nightly query's oracle,
-    value-hash exact including the rounded cos_ppm)."""
+    value-hash exact including the rounded cos_ppm).
+
+    ANCHOR CONFIGURATION (round 12): fixed-width UNCAPPED index —
+    kept as the value-oracled anchor, NOT the production gate (exp
+    1.35 at 32x). Production + lifecycle bench:
+    stream_semantic_dedup_gate_capped."""
     import shutil
     import uuid
 
@@ -636,6 +641,89 @@ def stream_semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.parquet(f"{out_root}/batch_id=-1")
 
     gate = semantic_gate_batch_fn(spark, sf_dir, idx, out_root)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(delta.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(staged)
+    )
+    q = stream.writeStream.foreachBatch(gate).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out_root).select(
+        "delta_id", "corpus_id", "dot", "cos_ppm"
+    )
+
+
+def semantic_gate_batch_fn_capped(spark, sf_dir: str, idx: DataFrame, out_root: str):
+    """foreachBatch worker for the CAPPED semantic ingest gate: same
+    sink pattern as semantic_gate_batch_fn, but candidates come from
+    the probe-both-keys step shared with the nightly capped delta
+    query (dedup._srp_capped_probe_cands), so the gate and the
+    nightly boundary can never probe the capped index differently."""
+    from gcd_etl_spark.plans.dedup import (
+        _srp_capped_probe_cands,
+        _srp_verify_delta,
+    )
+
+    def gate_batch(batch: DataFrame, batch_id: int) -> None:
+        cand = _srp_capped_probe_cands(idx, batch)
+        _srp_verify_delta(spark, sf_dir, cand).write.mode("overwrite").parquet(
+            f"{out_root}/batch_id={batch_id}"
+        )
+
+    return gate_batch
+
+
+def _semantic_gate_capped_oracle() -> str:
+    from gcd_etl_spark.plans.dedup import _srp_capped_delta_oracle
+
+    return _srp_capped_delta_oracle()
+
+
+@query("stream_semantic_dedup_gate_capped", oracle=_semantic_gate_capped_oracle())
+def stream_semantic_dedup_gate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING form of dedup_semantic_delta_vs_corpus_capped —
+    the PRODUCTION SemDeDup ingest gate: micro-batches of newly-
+    embedded documents are checked against the occupancy-CAPPED
+    persisted corpus bucket index (the round-11 32x audit's fix for
+    the fixed-width gate's exp-1.35 candidate blowup; measured
+    185 s -> 49 s at 32x). Per-arrival cost is O(batch) + one
+    bucketed index probe per candidate key; heavy buckets contribute
+    only the sub-bucket sharing all wide bits, so a sign-space
+    cluster in the corpus cannot flood a batch's candidate set.
+    Per-vector verdicts are independent -> union over any batching
+    equals the one-shot nightly result; the oracle IS the capped
+    nightly query's oracle, value-hash exact. The fixed-width gate
+    (stream_semantic_dedup_gate) stays registered as the explicitly-
+    labeled anchor; this is the lifecycle-benched default."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from gcd_etl_spark.plans.dedup import DELTA_MOD, ensure_srp_bucket_index
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % DELTA_MOD == 0
+    idx = ensure_srp_bucket_index(
+        spark, sf_dir, emb.where(~is_delta), capped=True
+    )
+
+    tag = "{}_{}".format(
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_"), uuid.uuid4().hex[:8]
+    )
+    staged = f"/tmp/gcd_etl_stream_semgate_cap_{tag}"
+    out_root = f"/tmp/gcd_etl_stream_semgate_cap_out_{tag}"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(out_root, ignore_errors=True)
+    delta = emb.where(is_delta)
+    delta.repartition(4).write.parquet(staged)
+    spark.createDataFrame(
+        [], "delta_id long, corpus_id long, dot long, cos_ppm long"
+    ).write.parquet(f"{out_root}/batch_id=-1")
+
+    gate = semantic_gate_batch_fn_capped(spark, sf_dir, idx, out_root)
     stream = (
         spark.readStream.format("parquet")
         .schema(delta.schema)

@@ -127,6 +127,13 @@ TARGETS = {
     "corpus_dsir_weights": ["documents"],
     "corpus_dsir_delta": ["documents"],
     "stream_dsir_gate": ["documents"],
+    # round 12: the CAPPED semantic lifecycle (the production default
+    # — expect the delta probe to stay far under the uncapped
+    # anchor's exp-1.35 wall; the 32x candidate-count study is
+    # scripts/study_srp_cap_32x.py, this row adds the wall-clock view
+    # of the registered composition itself)
+    "dedup_semantic_delta_vs_corpus_capped": ["embeddings"],
+    "stream_semantic_dedup_gate_capped": ["embeddings"],
 }
 
 ALL_TABLES = [
