@@ -95,8 +95,13 @@ LIFECYCLE = [
     "sim_ann_ivfpq_recall",
     "sim_ann_ivfpq_persisted",
     "sim_ann_ivfpq_index_append",
-    "sim_bitext_margin_shortlist",
-    "sim_bitext_margin_persisted",
+    # round 12: the mined-only production miner replaced the
+    # shortlist/persisted rows (their in-plan |A| x |B| exact anchors
+    # were 47 s of the r11 tier and unrunnable at 100x; they stay
+    # registered as labeled anchor configurations). The bench times
+    # bitext_mined_pairs — the no-gate production plan — under this
+    # name (the dedup_minhash_lsh twin-builder precedent).
+    "sim_bitext_margin_mined",
     "corpus_shuffle_shards_write",
     # round 11 third session: the DSIR family's steady-state probe
     # (frozen persisted model; baseline recorded in BASELINE.md)
@@ -136,9 +141,10 @@ RECORDED_BASE = {
         "stream_quality_gate": 4.824, "stream_dedup_against_corpus": 7.357,
         "stream_sessions_timeout": 18.259, "sim_ann_ivfpq_recall": 5.466,
         "sim_ann_ivfpq_persisted": 2.844, "sim_ann_ivfpq_index_append": 8.9,
-        "sim_bitext_margin_shortlist": 26.58,
-        "sim_bitext_margin_persisted": 20.307,
         "corpus_shuffle_shards_write": 2.054, "corpus_dsir_delta": 0.624,
+        # sim_bitext_margin_shortlist/_persisted left the tier in
+        # round 12 (in-plan |A| x |B| anchors); the mined-only row's
+        # first recorded base lands with BENCH_r12.
         # round-12 composition change: the capped semantic lifecycle
         # replaced the fixed-width rows; their first recorded bases
         # land with BENCH_r12 — until then they sit out the trigger
@@ -244,9 +250,14 @@ def _bench_builders() -> dict:
     xxhash. The twin pin (tests/test_round7.py) keeps both variants
     on the same candidate-generation code path."""
     from gcd_etl_spark.plans.dedup import dedup_minhash_lsh_xxhash
+    from gcd_etl_spark.plans.similarity import bitext_mined_pairs
 
     out = {name: QUERIES[name].build for name in HEADLINE}
     out["dedup_minhash_lsh"] = dedup_minhash_lsh_xxhash
+    # Lifecycle twin (round 12): time the PRODUCTION mined-only plan,
+    # not the registered sampled-gate query (whose exact-sample leg
+    # is the quality gate, not the product).
+    out["sim_bitext_margin_mined"] = bitext_mined_pairs
     return out
 
 

@@ -107,16 +107,20 @@ def decode_media_meta(df: DataFrame, payload_col: str = "payload", id_col: str =
     return df.mapInPandas(_decode, schema=MEDIA_META_SCHEMA)
 
 
-# --------------------------- real container formats (round 11)
-# The decode layer stops being 100% stub here: WAV, BMP and PPM are
-# simple enough containers that a correct header parser needs only
-# struct.unpack — no PIL/ffmpeg. The fixture SYNTHESIZES spec-valid
-# files (real RIFF chunk layout, real BITMAPINFOHEADER, real P6
-# header) and the parse stage reads metadata back OUT OF THE BYTES;
-# the registered oracle recomputes the expected fields from the ids
-# alone, so any misread offset/endianness/padding rule breaks the
-# value hash. Formats beyond these three still hit the explicit
-# guard in decode_media_meta.
+# ----------------- real container formats (rounds 11 + 12)
+# The decode layer stops being 100% stub here: WAV, BMP, PPM (round
+# 11) and PNG, JPEG (round 12) are containers whose header metadata a
+# correct parser recovers with struct.unpack alone — no PIL/ffmpeg.
+# The fixture SYNTHESIZES spec-valid files (real RIFF chunk layout,
+# real BITMAPINFOHEADER, real P6 header, real PNG chunk stream with
+# correct CRC32s and a stored-block zlib IDAT, real JPEG marker
+# segments through SOF0/SOS) and the parse stage reads metadata back
+# OUT OF THE BYTES; the registered oracles recompute the expected
+# fields from the ids alone, so any misread offset/endianness/
+# padding/CRC/marker-walk rule breaks the value hash. PIXEL decode of
+# compressed formats (JPEG entropy data, PNG filters) still hits the
+# explicit plan-build-time guard in decode_media_meta — that is the
+# honest boundary of a pure-Python decoder.
 
 
 def synthesize_media_file(media_id: int) -> bytes:
@@ -167,6 +171,77 @@ def synthesize_media_file(media_id: int) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + bytes(width * height * 3)
 
 
+def synthesize_image_file(media_id: int) -> bytes:
+    """A spec-valid compressed-container image for this id: PNG
+    (8-byte signature; IHDR/IDAT/IEND chunk stream with REAL CRC32s;
+    IDAT is a valid zlib stream using one STORED block so the byte
+    length stays id-arithmetic: 2 header + 5 block-header + raw +
+    4 adler32, raw = height x (1 filter byte + 3 x width)) or JPEG
+    (SOI, APP0/JFIF, a COM segment whose id-dependent length forces a
+    real variable-length marker walk, DQT, baseline SOF0 carrying the
+    geometry, SOS, EOI), rotating by ``media_id % 2``. All geometry
+    derives from the id so the oracle restates it in SQL; total byte
+    counts are closed-form (PNG: 68 + h x (1 + 3w); JPEG: 128 + the
+    COM body length), which pins the synthesized files' framing."""
+    import struct
+    import zlib
+
+    if media_id % 2 == 0:  # PNG, 8-bit truecolor
+        width = 1 + (media_id % 48)
+        height = 1 + (media_id % 40)
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        ihdr = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+        raw = (b"\x00" + bytes(3 * width)) * height  # filter-0 scanlines
+        idat = (
+            b"\x78\x01"  # zlib header
+            + b"\x01"  # final stored block
+            + struct.pack("<HH", len(raw), 0xFFFF ^ len(raw))
+            + raw
+            + struct.pack(">I", zlib.adler32(raw))
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+    # JPEG, baseline 3-component
+    width = 1 + (media_id % 56)
+    height = 1 + (media_id % 40)
+    n_com = 1 + (media_id % 13)
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00"
+        + bytes([1, 1, 0])
+        + struct.pack(">HH", 1, 1)
+        + bytes([0, 0])
+    )
+    com = b"\xff\xfe" + struct.pack(">H", 2 + n_com) + bytes(n_com)
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([16] * 64)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">H", 12)
+        + bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 63, 0])
+    )
+    return b"\xff\xd8" + app0 + com + dqt + sof0 + sos + b"\xff\xd9"
+
+
 def parse_media_header(payload: bytes) -> dict:
     """Parse REAL container headers out of raw bytes: RIFF/WAVE chunk
     walk (fmt + data chunks located by iteration, not fixed offsets —
@@ -207,6 +282,48 @@ def parse_media_header(payload: bytes) -> dict:
         w, h = struct.unpack("<ii", payload[18:26])
         out["width"], out["height"] = abs(w), abs(h)
         return out
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        out["format"] = "png"
+        pos = 8
+        while pos + 8 <= len(payload):  # chunk walk, not a fixed offset
+            (clen,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"IHDR" and len(body) >= 13:  # len(body), not
+                # clen: a truncated file can promise 13 bytes it
+                # doesn't carry — quarantine, don't unpack-crash
+                w, h = struct.unpack(">II", body[:8])
+                out["width"], out["height"] = int(w), int(h)
+                # channels from color type: gray/palette/gray+a/rgb/rgba
+                out["channels"] = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(body[9])
+            if ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + data + crc
+        return out
+    if payload[:2] == b"\xff\xd8":
+        out["format"] = "jpeg"
+        pos = 2
+        while pos + 4 <= len(payload):  # marker walk per ITU T.81
+            if payload[pos] != 0xFF:
+                break  # desynchronized: quarantine, don't guess
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                body = payload[pos + 4 : pos + 2 + seglen]  # any SOFn
+                if len(body) >= 6:  # truncated SOF: quarantine
+                    h, w = struct.unpack(">HH", body[1:5])
+                    out["height"], out["width"] = int(h), int(w)
+                    out["channels"] = body[5]
+                return out
+            if marker == 0xDA:  # SOS: entropy-coded data follows
+                break
+            pos += 2 + seglen
+        return out
     if payload[:2] == b"P6":
         out["format"] = "ppm"
         fields, pos = [], 2
@@ -242,19 +359,22 @@ MEDIA_PARSE_SCHEMA = T.StructType(
 )
 
 
-def synthesize_media_files(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+def synthesize_media_files(
+    df: DataFrame, id_col: str = "media_id", synth=None
+) -> DataFrame:
     """(id) -> (id, payload: binary) with REAL container bytes, Arrow
     batched. In production this stage is the object-store fetch; here
-    it manufactures the fixture the parse stage must survive."""
+    it manufactures the fixture the parse stage must survive.
+    ``synth`` picks the per-id file factory (default: the WAV/BMP/PPM
+    rotation; synthesize_image_file: the PNG/JPEG rotation)."""
+    synth = synth or synthesize_media_file
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "payload": [
-                        synthesize_media_file(int(m)) for m in pdf[id_col]
-                    ],
+                    "payload": [synth(int(m)) for m in pdf[id_col]],
                 }
             )
 

@@ -64,88 +64,33 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: r3-vintage stragglers the r9 window listed past position 50, then
 #: the oldest (r4-vintage) rows, flagship trio always re-verified.
 _DRIVER_WINDOW = [
-    # --- (a00) round-11 second/third-session registrants: the DSIR
-    #     importance-resampling family (anchor, frozen-model delta,
-    #     ingest gate), the occupancy-capped SRP primitive, the
-    #     leakage-safe component-keyed split — no driver row yet —
-    #     and dedup_keep_canonical, whose oracle was refactored onto
-    #     the shared closure-CTE builder this session (first driver
-    #     row under the shared restatement) ---
+    # --- (a) round-12 registrants: the CAPPED semantic lifecycle
+    #     (nightly delta + ingest gate against the occupancy-capped
+    #     persisted index — the production default the r11 verdict
+    #     demanded) and the scale-runnable bitext gate (sampled
+    #     anchor, candidate-recall@1) — no driver row yet ---
+    "dedup_semantic_delta_vs_corpus_capped",
+    "stream_semantic_dedup_gate_capped",
+    "sim_bitext_margin_mined",
+    "mm_decode_real_headers_png_jpeg",
+    # --- (b) queries whose PLANS round 12 changed (the shared
+    #     _safe_bigrams short-doc guard across every adjacent-pair
+    #     site; substring-to-end parity at the DSIR/mix target
+    #     predicate) — first driver rows under the new expressions ---
+    "text_ngram_counts",
+    "sample_temperature_mix",
+    "quality_bigram_nll",
+    "quality_bigram_nll_delta",
+    "stream_quality_gate",
     "corpus_dsir_weights",
     "corpus_dsir_delta",
     "stream_dsir_gate",
-    "dedup_semantic_srp_capped",
-    "data_split_neardup_safe",
-    "dedup_keep_canonical",
-    # --- (a0) round-11 registrants (real container parsing +
-    #     letterbox geometry, curriculum staging) + the
-    #     queries whose oracles/plans round 11 changed (pointer-
-    #     doubling entity oracle, split Zipf moments, total-order
-    #     running-sum oracle, run-unique shard staging, scale-derived
-    #     bucket counts in every index lifecycle) — first driver rows
-    #     under the new semantics ---
-    "mm_decode_real_headers",
-    "mm_resize_letterbox",
-    "corpus_curriculum_order",
-    "entity_clusters",
-    "entity_clusters_star",
-    "window_running_sum",
-    # --- (a) round-10 registrants + conversions: first driver rows
-    #     under the new oracled semantics ---
-    "corpus_shuffle_shards",
-    "quality_bigram_nll",
-    "sample_temperature_mix",
-    "stat_zipf_fit",
-    "sim_bitext_margin",
-    "sim_bitext_margin_shortlist",
-    "sim_bitext_margin_persisted",
-    "sample_negatives_hash",
-    "ts_seasonal_decompose",
-    "dq_k_anonymity",
-    "corpus_shuffle_shards_write",
-    "stat_heaps_fit",
-    "quality_bigram_nll_delta",
-    "stream_quality_gate",
-    "dedup_crossdoc_delta",
-    "dedup_index_compaction",
-    "dedup_gram_index_update_cycle",
-    "dedup_gram_index_merge",
-    "dedup_semantic_delta_vs_corpus",
-    "stream_semantic_dedup_gate",
-    "sim_ann_ivfpq_index_append",
-    "sim_ann_ivfpq_recall",
-    "sim_ann_ivfpq_persisted",
-    "sim_ann_ivfsq8_recall",
-    "sim_ann_ivfsq8_persisted",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_fingerprints",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    # --- (b) r3-vintage stragglers (r9 window positions > 50) ---
-    "term_table",
-    "udtf_token_runs",
     # --- (c) flagship trio, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
     "gcd_snapshot_bucketed",
-    # --- (d) the oldest backlog: r4-vintage rows (the rest roll to
-    #     the r11 window) ---
-    "agg_collect_list",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "bucketed_colocated_join",
-    "cluster_kmeans_quality",
-    "data_split_deterministic",
-    "dedup_exact",
-    "fuzzy_join_symspell",
-    "graph_pagerank",
-    "join_anti",
-    "join_bloom_pruned",
-    "join_semi",
-    "pivot_status",
-    "profile_columns",
-    "range_join_events",
+    # --- (d) the oldest backlog: every r4-vintage row (the ledger's
+    #     current staleness floor), then the r5 head, alphabetical ---
     "sample_stratified",
     "scalar_dates",
     "scalar_datetime",
@@ -171,6 +116,17 @@ _DRIVER_WINDOW = [
     "text_token_stats",
     "win_session",
     "win_sliding",
+    "win_tumbling",
+    "window_analytics",
+    "window_topk_per_group",
+    "asof_join_events",
+    "assoc_pairs_lift",
+    "attribution_last_touch",
+    "bpe_learn_merges",
+    "chunk_sliding_tokens",
+    "corpus_mix_sampling",
+    "decontaminate_ngrams",
+    "dedup_ngram_jaccard",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

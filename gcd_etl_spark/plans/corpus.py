@@ -1,7 +1,15 @@
 """Corpus-construction operators — engine extensions.
 
-Three operations an LLM-training corpus pipeline runs between
-dedup/curation and the trainer (none exist in the reference):
+The operations an LLM-training corpus pipeline runs between
+dedup/curation and the trainer (none exist in the reference), grown
+across rounds 4-12: n-gram vocabularies, TF-IDF, context-window
+packing (distributed prefix-sum, no single-partition exchange),
+decontamination, mixture/temperature sampling, deterministic shard
+shuffles (+ materialized write), bigram-LM perplexity filtering with
+a frozen persisted-model delta lifecycle, DSIR importance resampling
+(anchor / frozen-model delta / ingest gate), curriculum staging, and
+Zipf/Heaps diagnostics. The founding three below kept their original
+doc entries:
 
 * ``text_ngram_counts`` — corpus bigram vocabulary with counts: the
   canonical explode -> groupBy shape whose cost is one shuffle keyed

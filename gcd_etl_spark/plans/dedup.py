@@ -1,11 +1,25 @@
-"""Deduplication query plans over the ``documents`` table.
+"""Deduplication query plans over the ``documents`` / ``embeddings``
+tables (SURVEY.md north-star, grown across rounds 1-12).
 
-Four dedup families (SURVEY.md north-star): exact, MinHash-LSH,
-SimHash, and n-gram Jaccard ground truth. Exact and Jaccard carry
-DuckDB oracles; the hash-family operators (xxhash64-based) have no
-DuckDB equivalent and use the driver's rows-only check — their
-*semantics* are pinned by tests/test_dedup.py instead (LSH candidates
-⊇ high-Jaccard pairs, etc.).
+Families registered here: exact (hash-groupBy), MinHash-LSH bands
+(+ persisted band index with append / compaction / merge / delta
+lifecycle), SimHash, n-gram Jaccard exact anchors + connected-
+component clusters, canonical-keep composition, cross-document span
+dedup (Lee et al.; gram-DF index + delta + excision), semantic
+SemDeDup (portable SRP LSH: anchor, width-scaled, occupancy-CAPPED
+production lifecycle, nightly delta), the leakage-safe component-
+keyed split, and MinHash-signature mergeability.
+
+Oracle posture (current since round 10): EVERY registered query in
+this module carries a FULL DuckDB value-hash oracle. The hash
+families run on portable-md5-derived constants embedded identically
+in both engines (the portable_hash64 stance) — the old
+"xxhash64-based, rows-only check" era is over; the cheaper xxhash64
+builds survive only as unregistered bench/production twins
+(dedup_minhash_lsh_xxhash) pinned to the same candidate-generation
+code path in pytest. Semantics are additionally pinned by
+tests/test_dedup.py property tests (LSH candidates ⊇ high-Jaccard
+pairs, identical-vector cap limits, etc.).
 """
 
 from __future__ import annotations

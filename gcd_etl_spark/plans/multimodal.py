@@ -1,9 +1,13 @@
 """Multimodal-column query plans (binary payload plumbing).
 
-The image/audio codec layer is stubbed (not in this environment —
-see operators/multimodal.py); what these plans pin down is the real
 Spark-side surface: binary columns, hashing, Arrow-batched
-mapInPandas decode, and 1:N frame fan-out.
+mapInPandas decode, 1:N tile/frame fan-out, letterbox geometry.
+Header metadata decode is REAL pure-Python parsing for five container
+formats — WAV/BMP/PPM (round 11) and PNG/JPEG (round 12), each
+synthesized spec-valid and value-hash-oracled from id arithmetic;
+only PIXEL decode of compressed payloads remains behind the
+plan-build-time guard in operators/multimodal.py (the honest boundary
+without PIL/ffmpeg in this environment).
 """
 
 from __future__ import annotations
@@ -138,6 +142,50 @@ def mm_decode_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id")
     )
     return M.parse_media_headers(M.synthesize_media_files(docs))
+
+
+@query(
+    "mm_decode_real_headers_png_jpeg",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE doc_id % 2 WHEN 0 THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(CASE doc_id % 2 WHEN 0 THEN 1 + doc_id % 48
+                            ELSE 1 + doc_id % 56 END AS INT) AS width,
+       CAST(1 + doc_id % 40 AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS INT) AS n_samples,
+       CAST(CASE doc_id % 2
+         WHEN 0 THEN 68 + (1 + doc_id % 40) * (1 + 3 * (1 + doc_id % 48))
+         ELSE 128 + 1 + doc_id % 13
+       END AS INT) AS n_bytes
+FROM documents
+""",
+)
+def mm_decode_real_headers_png_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 extension of the real header decode to the two
+    compressed containers a real corpus actually carries: each doc id
+    synthesizes a SPEC-VALID minimal PNG (signature; IHDR/IDAT/IEND
+    chunk stream with correct CRC32s; IDAT a valid zlib stream using
+    a stored block so its length stays id-arithmetic — the file
+    decompresses) or JPEG (SOI, APP0/JFIF, an id-length COM segment
+    that forces a genuine variable-length marker walk, DQT, baseline
+    SOF0, SOS, EOI), and the parse stage recovers geometry FROM THE
+    BYTES — PNG by big-endian chunk walking to IHDR (channels derived
+    from the color type), JPEG by the ITU T.81 marker walk to SOFn.
+    The oracle restates format/geometry/total byte count from ids
+    alone: a wrong chunk stride (forgetting the 12-byte len+type+crc
+    overhead), a missed COM skip, or an endianness slip mismatches
+    the value hash; n_bytes pins that the synthesized files are
+    themselves well-formed (PNG: 68 + h x (1 + 3w); JPEG: 128 + COM
+    body). PIXEL decode of the compressed payloads stays behind the
+    decode_media_meta guard — the honest pure-Python boundary."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return M.parse_media_headers(
+        M.synthesize_media_files(docs, synth=M.synthesize_image_file)
+    )
 
 
 # ---------------------------------------------------------- tiling

@@ -1,8 +1,13 @@
 """Similarity-search query plans over the ``embeddings`` table.
 
 Brute-force cosine top-k (exact baseline, DuckDB-oracled) plus the
-two ANN scale paths (SRP-LSH and IVF). Query set = first 5 vectors by
-id — deterministic and self-contained.
+ANN scale paths grown across rounds 4-12: SRP-LSH, IVF, IVF-SQ8, true
+IVF-PQ (trained residual codebooks, asymmetric LUT scoring) — each
+with a persisted, cell-bucketed index lifecycle and an in-plan recall
+floor against the exact anchor — and the bitext margin-mining family
+(exact anchor, IVF shortlist, persisted index, and the round-12
+mined-only production form gated by a sampled anchor). Query set =
+first 5 vectors by id — deterministic and self-contained.
 """
 
 from __future__ import annotations
@@ -836,9 +841,21 @@ BITEXT_MARGIN_MIN_PPM = 1_050_000
 BITEXT_ANCHOR_MAX_PAIRS = 10_000_000
 
 
-def _bitext_oracle() -> str:
+def _bitext_oracle(sample: int | None = None) -> str:
+    """The exact margin-mining restatement; with ``sample`` set, the
+    SOURCE side is restricted to the ``sample`` lowest-id sources (the
+    deterministic sampled anchor of sim_bitext_margin_mined — target-
+    side neighborhoods are then over the sample, BY DEFINITION of
+    that gate)."""
     pair_dot = " + ".join(f"p.qa[{i}] * p.qb[{i}]" for i in range(1, EMB_DIM + 1))
     self_dot = " + ".join(f"qv[{i}] * qv[{i}]" for i in range(1, EMB_DIM + 1))
+    samp_cte = (
+        f"samp AS (SELECT vec_id FROM b WHERE label % 2 = 0 "
+        f"ORDER BY vec_id LIMIT {sample}),\n" if sample else ""
+    )
+    samp_pred = (
+        " AND a.vec_id IN (SELECT vec_id FROM samp)" if sample else ""
+    )
     return f"""
 WITH e AS (
   SELECT vec_id, label,
@@ -849,10 +866,10 @@ WITH e AS (
 b AS (
   SELECT vec_id, label, qv, CAST({self_dot} AS BIGINT) AS nrm FROM e
 ),
-p AS (
+{samp_cte}p AS (
   SELECT a.vec_id AS src_id, c.vec_id AS tgt_id,
          a.qv AS qa, c.qv AS qb, a.nrm AS na, c.nrm AS nb
-  FROM b a JOIN b c ON a.label % 2 = 0 AND c.label % 2 = 1
+  FROM b a JOIN b c ON a.label % 2 = 0 AND c.label % 2 = 1{samp_pred}
 ),
 v AS (
   SELECT src_id, tgt_id, CAST({pair_dot} AS BIGINT) AS dot, na, nb
@@ -1083,7 +1100,14 @@ def sim_bitext_margin_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     production runs mined-only) and the result carries one row per
     ANCHOR-mined source with a global pair-recall floor flag, so the
     driver's value-hash comparison fails if shortlist mining ever
-    recovers less than BITEXT_RECALL_FLOOR of the exact pairs."""
+    recovers less than BITEXT_RECALL_FLOOR of the exact pairs.
+
+    ANCHOR CONFIGURATION (round 12): the in-plan exact gate is
+    |A| x |B| — fixture-affordable only, so this row is no longer
+    lifecycle-benched and cannot run at production scale. The
+    scale-runnable registered gate is sim_bitext_margin_mined
+    (sampled anchor, O(sample x |B|)); the production plan is
+    bitext_mined_pairs."""
     from gcd_etl_spark.operators.similarity import (
         ivf_cells_udf,
         train_coarse_centroids,
@@ -1225,7 +1249,13 @@ def sim_bitext_margin_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-run cost is O(sources) + the probed cell mass). Same
     shared margin arithmetic, same in-plan exact-anchor recall gate;
     staged-file reuse and the candidate branch's index scan are
-    pinned in pytest."""
+    pinned in pytest.
+
+    ANCHOR CONFIGURATION (round 12): like the shortlist row, the
+    in-plan |A| x |B| exact gate confines this registered form to
+    fixture scale — kept as the full-anchor evidence row, not
+    benched. Scale path: sim_bitext_margin_mined / bitext_mined_pairs
+    (same persisted index, sampled gate)."""
     from pyspark.sql import Window as W
 
     from gcd_etl_spark.operators.similarity import ivf_cells_udf
@@ -1265,4 +1295,182 @@ def sim_bitext_margin_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.select(
         "src_id",
         (overall >= BITEXT_RECALL_FLOOR).cast("int").alias("recall_floor_ok"),
+    )
+
+
+# ----------------- mined-only production miner + sampled-anchor gate
+#: The deterministic sampled anchor of sim_bitext_margin_mined: the
+#: BITEXT_GATE_SAMPLE lowest-id sources, exact-scored against ALL
+#: targets -- O(sample x |B|), LINEAR in the corpus, so the registered
+#: gate is runnable at any scale (round-11 verdict item 4: the
+#: shortlist/persisted forms' in-plan |A| x |B| anchors were 35% of
+#: the lifecycle tier and unrunnable at 100x).
+BITEXT_GATE_SAMPLE = 64
+#: Candidate-recall@1 floor (percent): the fraction of sampled
+#: sources whose EXACT top-1 cosine target is reached by the IVF
+#: probe set. Measured at nprobe=8/16 cells: 0.891 / 0.797 / 0.797 at
+#: sf0.001/0.01/0.1; nprobe=4 measures 0.656 / 0.625 and FAILS, so
+#: 70 is non-vacuous with headroom against fixture re-rolls.
+#: Candidate coverage is the right gated quantity: everything
+#: downstream of candidates (scoring, margins, picks) is shared exact
+#: integer code with the oracled anchor family -- candidate generation
+#: is the only stage that can silently lose pairs.
+BITEXT_SAMPLED_RECALL_FLOOR_PCT = 70
+
+
+def bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION mined-only bitext miner: persisted target index
+    (ensure_bitext_target_index), IVF candidate generation, shared
+    exact margin arithmetic -- and NO in-plan exact gate at all. This
+    is the plan a 100 TB mining run executes (cost: O(sources) + the
+    probed cell mass; wide shuffles key on cell / src_id / tgt_id
+    only) and the builder the lifecycle bench times under
+    sim_bitext_margin_mined's name (the dedup_minhash_lsh
+    twin-builder precedent). Quality contract lives in the registered
+    gate queries: sampled candidate-recall@1 in
+    sim_bitext_margin_mined (linear, every run), full exact anchors
+    in the shortlist/persisted rows (fixture-guarded)."""
+    from gcd_etl_spark.operators.similarity import ivf_cells_udf
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    a, b = _bitext_sides(emb)
+    tgt, centroids = ensure_bitext_target_index(spark, sf_dir, b)
+    if centroids.size == 0:
+        return spark.createDataFrame(
+            [], "src_id long, tgt_id long, cos_ppm long, margin_ppm long"
+        )
+    src = a.select(
+        "src_id",
+        "qa",
+        "na",
+        F.explode(ivf_cells_udf(centroids, BITEXT_NPROBE)(F.col("src_vec"))).alias(
+            "cell"
+        ),
+    )
+    cand = tgt.join(F.broadcast(src), "cell").select(
+        "src_id", "tgt_id", "qa", "na", "qb", "nb"
+    )
+    return _bitext_mine(_bitext_cos_ppm(cand))
+
+
+def _bitext_sampled_gate_oracle() -> str:
+    """Exact top-1-by-cosine per SAMPLED source (the lowest
+    BITEXT_GATE_SAMPLE source ids, ties broken by tgt_id), flag
+    constant 1: the registered plan must reproduce the sampled exact
+    scoring value-for-value AND deterministically clear the
+    candidate-recall floor."""
+    pair_dot = " + ".join(f"p.qa[{i}] * p.qb[{i}]" for i in range(1, EMB_DIM + 1))
+    self_dot = " + ".join(f"qv[{i}] * qv[{i}]" for i in range(1, EMB_DIM + 1))
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(floor(v * 1000000 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, label, qv, CAST({self_dot} AS BIGINT) AS nrm FROM e
+),
+samp AS (
+  SELECT vec_id FROM b WHERE label % 2 = 0
+  ORDER BY vec_id LIMIT {BITEXT_GATE_SAMPLE}
+),
+p AS (
+  SELECT a.vec_id AS src_id, c.vec_id AS tgt_id,
+         a.qv AS qa, c.qv AS qb, a.nrm AS na, c.nrm AS nb
+  FROM b a JOIN b c ON a.label % 2 = 0 AND c.label % 2 = 1
+   AND a.vec_id IN (SELECT vec_id FROM samp)
+),
+v AS (
+  SELECT src_id, tgt_id, CAST({pair_dot} AS BIGINT) AS dot, na, nb
+  FROM p
+),
+cosv AS (
+  SELECT src_id, tgt_id,
+         CAST(floor(CAST(dot AS DOUBLE)
+                    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS cos_ppm
+  FROM v WHERE dot > 0 AND na > 0 AND nb > 0
+),
+ranked AS (
+  SELECT src_id, tgt_id, cos_ppm,
+         ROW_NUMBER() OVER (PARTITION BY src_id
+                            ORDER BY cos_ppm DESC, tgt_id) AS rk
+  FROM cosv
+)
+SELECT src_id, tgt_id AS tgt_top1, cos_ppm AS cos_top1_ppm,
+       1 AS recall_floor_ok
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("sim_bitext_margin_mined", oracle=_bitext_sampled_gate_oracle())
+def sim_bitext_margin_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-RUNNABLE registered form of the bitext miner's
+    quality gate (round-11 verdict item 4): candidate generation is
+    the production path (persisted cell-bucketed target index, IVF
+    probes), and the recall gate is a deterministic SAMPLED anchor --
+    the BITEXT_GATE_SAMPLE lowest-id sources exact-scored against the
+    whole target side (one broadcast of 64 sampled rows over one
+    target scan, O(sample x |B|): linear, unlike the |A| x |B|
+    anchors inside the shortlist/persisted rows, which stay
+    registered as fixture-guarded ANCHOR configurations). Gated
+    quantity: candidate-recall@1 -- did the probe set reach each
+    sampled source's EXACT nearest target -- because candidate
+    generation is the only stage not covered by shared exact integer
+    code. Result carries the sampled exact top-1 (value-hashed) and
+    the global floor flag; a best-by-struct aggregate replaces the
+    per-source window so the gate's shuffle is one map-side-combinable
+    agg keyed on src_id. Production mining itself (no gate in-plan)
+    is bitext_mined_pairs -- the builder the lifecycle bench times
+    under this name."""
+    from pyspark.sql import Window as W
+
+    from gcd_etl_spark.operators.similarity import ivf_cells_udf
+
+    emb = read_table_spread(spark, sf_dir, "embeddings")
+    a, b = _bitext_sides(emb)
+    tgt, centroids = ensure_bitext_target_index(spark, sf_dir, b)
+    if centroids.size == 0:
+        return spark.createDataFrame(
+            [],
+            "src_id long, tgt_top1 long, cos_top1_ppm long, recall_floor_ok int",
+        )
+    src = a.select(
+        "src_id",
+        F.explode(ivf_cells_udf(centroids, BITEXT_NPROBE)(F.col("src_vec"))).alias(
+            "cell"
+        ),
+    )
+    cand = tgt.join(F.broadcast(src), "cell").select("src_id", "tgt_id")
+    samp = a.drop("src_vec").orderBy("src_id").limit(BITEXT_GATE_SAMPLE)
+    cosv = _bitext_cos_ppm(b.drop("tgt_vec").crossJoin(F.broadcast(samp)))
+    top1 = (
+        cosv.groupBy("src_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos_ppm"), (-F.col("tgt_id")).alias("neg_tgt"))
+            ).alias("m")
+        )
+        .select(
+            "src_id",
+            (-F.col("m.neg_tgt")).alias("tgt_top1"),
+            F.col("m.cos_ppm").alias("cos_top1_ppm"),
+        )
+    )
+    hit = top1.join(
+        cand.withColumnRenamed("tgt_id", "tgt_top1").withColumn("hit", F.lit(1)),
+        ["src_id", "tgt_top1"],
+        "left",
+    ).fillna({"hit": 0})
+    w = W.partitionBy()  # <= BITEXT_GATE_SAMPLE rows by construction
+    ok = (
+        F.sum("hit").over(w) * 100
+        >= F.count(F.lit(1)).over(w) * BITEXT_SAMPLED_RECALL_FLOOR_PCT
+    )
+    return hit.select(
+        "src_id",
+        "tgt_top1",
+        "cos_top1_ppm",
+        ok.cast("int").alias("recall_floor_ok"),
     )

@@ -1,12 +1,18 @@
-"""Structured Streaming parity as a hash-checked query.
+"""Structured Streaming parity as hash-checked queries.
 
-The streaming jobs (streaming/jobs.py) run the SAME window algebra as
-the batch operators; this plan proves it under the driver's oracle:
-stage the events table to a parquet directory, drive it through
-``readStream`` (one file per micro-batch) into a memory sink, and
-hash-compare the final state against the batch tumbling-window SQL.
-A streaming pipeline whose converged answer equals the batch answer
-is the Spark-first statement of batch/stream unification.
+The streaming jobs (streaming/jobs.py) run the SAME algebra as the
+batch operators; these plans prove it under the driver's oracle:
+stage a table to a parquet directory, drive it through ``readStream``
+(one file per micro-batch) into a memory sink or foreachBatch
+partition writes, and hash-compare converged state against the batch
+restatement. Families (rounds 3-12): windowed aggregations (tumbling
+/ sliding / sessions / stateful totals), streaming dedup, and the
+INGEST GATES — each persisted-artifact lifecycle's foreachBatch twin
+probing the same staged index as its nightly delta query (MinHash
+bands, SRP buckets fixed-width anchor + occupancy-CAPPED production
+form, frozen bigram-LM costs, frozen DSIR model). A streaming
+pipeline whose converged answer equals the batch answer is the
+Spark-first statement of batch/stream unification.
 """
 
 from __future__ import annotations

@@ -9,9 +9,14 @@ single forward-only MySQL cursor (reference Main.java:245-247,380-385)
 2. write it straight to parquet staging (snappy, partitioned);
 3. run all analytics off the parquet staging, never the database.
 
-No database exists in the test environment, so this module only
-*builds* readers; integration is exercised by unit tests over the
-option dict.
+Runtime coverage (round 12): no MySQL server exists in the test
+environment, but the Spark distribution ships embedded Apache Derby —
+a real JDBC database inside the same JVM — so
+``tests/test_jdbc_integration.py`` drives this reader END TO END:
+partitioned range read (8 live cursors, boundary rows conserved),
+filter/projection pushdown into the database scan, and the parquet
+staging write. The unit tests over the option dict remain for the
+MySQL-specific spelling.
 """
 
 from __future__ import annotations

@@ -134,6 +134,13 @@ TARGETS = {
     # of the registered composition itself)
     "dedup_semantic_delta_vs_corpus_capped": ["embeddings"],
     "stream_semantic_dedup_gate_capped": ["embeddings"],
+    # round 12: the scale-runnable bitext gate (sampled anchor is
+    # O(sample x |B|) — expect ~linear; its shortlist/persisted
+    # siblings stay absent for the documented in-plan-anchor reason)
+    "sim_bitext_margin_mined": ["embeddings"],
+    # round 12: PNG/JPEG header decode (same two-Arrow-hop shape as
+    # mm_decode_real_headers — expect ~linear, flat per-row cost)
+    "mm_decode_real_headers_png_jpeg": ["documents"],
 }
 
 ALL_TABLES = [

@@ -78,6 +78,11 @@ SCALAR_BROADCASTS = {
     # doc-sized/vocab-sized summaries — the audience_overlap pattern
     "stat_heaps_fit",
     "sample_negatives_hash",  # 1-row id-space bound into the draw modulus
+    # the BITEXT_GATE_SAMPLE(=64)-row sampled anchor broadcast over
+    # ONE target scan — bounded by the sample constant, never by data
+    # volume (O(sample x |B|), the round-12 scale-runnable gate); the
+    # data-scaled candidate join keys on the cell
+    "sim_bitext_margin_mined",
     # 1-row corpus count broadcast into the occupancy-cap threshold;
     # the occupancy frame it lands on is <= T x 2^bits = 512 rows by
     # construction and every data-scaled join is key-equi

@@ -100,7 +100,9 @@ def test_bench_tiers_name_registered_queries():
         assert name in QUERIES, name
     assert not set(bench.HEADLINE) & set(bench.LIFECYCLE)
     lc = set(bench.LIFECYCLE)
-    assert {"stream_quality_gate", "stream_semantic_dedup_gate",
+    # round 12 swapped the semantic gate row for its occupancy-capped
+    # production twin (tests/test_round12.py pins that swap)
+    assert {"stream_quality_gate", "stream_semantic_dedup_gate_capped",
             "stream_dedup_against_corpus"} <= lc
     assert {"dedup_gram_index_update_cycle", "dedup_index_append_cycle",
             "sim_ann_ivfpq_index_append"} <= lc
