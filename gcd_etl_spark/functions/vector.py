@@ -61,31 +61,80 @@ def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     return acc
 
 
+def _balanced_sum(terms: list[Column]) -> Column:
+    """Pairwise-balanced sum of integer Columns: depth log2(n) instead
+    of the left-deep n-deep Add chain. Integer addition is associative
+    so the VALUE is bit-identical to the sequential sum — only the
+    expression tree shape changes. The shape matters: a 64-deep
+    nested chain made Janino fail with an InternalCompilerException
+    when a dropDuplicates HashAggregate's output projection fused the
+    dot into hashAgg_doAggregateWithKeysOutput (round-12 bench
+    stderr: 10 fallbacks per run on the SRP verify stages), silently
+    degrading the fused stage to interpreted evaluation — the exact
+    round-6 failure class the bench fallback detector exists for."""
+    while len(terms) > 1:
+        nxt = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+        terms = nxt
+    return terms[0]
+
+
 def dot_fixed_long(a: Column | str, b: Column | str, dim: int) -> Column:
     """EXACT integer dot product for a KNOWN dimension, unrolled to
     flat codegen'd long arithmetic — for micro-scaled integer vectors
     whose oracles restate the same BIGINT sum (``dot_fixed`` would be
     value-exact here too since every intermediate stays under 2^53,
     but long-typed terms keep the plan's type story identical to the
-    oracle's and free of float casts)."""
+    oracle's and free of float casts). Terms combine as a BALANCED
+    tree (see _balanced_sum) so whole-stage codegen survives the
+    64-term unroll."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    acc = F.lit(0).cast("long")
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(ca, i) * F.element_at(cb, i)
-    return acc
+    return _balanced_sum(
+        [F.element_at(ca, i) * F.element_at(cb, i) for i in range(1, dim + 1)]
+    )
+
+
+def dot_hof_long(a: Column | str, b: Column | str) -> Column:
+    """EXACT integer dot product as a higher-order-function loop
+    (``aggregate(zip_with(a, b, *), 0L, +)``) — bit-identical to
+    ``dot_fixed_long`` (same int64 terms, addition associative) with
+    the OPPOSITE codegen trade: HOFs are CodegenFallback, so the
+    expression evaluates as a Scala loop and its host node leaves
+    whole-stage codegen — but the generated METHOD stays tiny, so the
+    surrounding stage (joins, filters, aggregates) compiles.
+
+    Use this form where the unrolled dot lands inside a LARGE fused
+    stage: the round-12 measurement on dedup_semantic_srp at sf0.1 —
+    unrolled dot blew Janino's 64 KB method limit inside the
+    dropDuplicates-output fused stage, degrading the WHOLE stage to
+    interpreted (warm min 3.31 s, 2 compile failures); this form ran
+    the same query at 2.74 s warm with ZERO failures and identical
+    rows. Keep ``dot_fixed_long`` where the projection is small
+    enough to compile — fully codegen'd arithmetic beats a
+    CodegenFallback loop when both fit."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def dist2_fixed_long(a: Column | str, b: Column | str, dim: int) -> Column:
     """EXACT integer squared L2 distance for a KNOWN dimension,
-    unrolled (see ``dot_fixed_long``)."""
+    unrolled with the balanced-tree combine (see ``dot_fixed_long``)."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
-    acc = F.lit(0).cast("long")
-    for i in range(1, dim + 1):
+
+    def term(i: int) -> Column:
         d = F.element_at(ca, i) - F.element_at(cb, i)
-        acc = acc + d * d
-    return acc
+        return d * d
+
+    return _balanced_sum([term(i) for i in range(1, dim + 1)])
 
 
 def norm_fixed(a: Column | str, dim: int) -> Column:

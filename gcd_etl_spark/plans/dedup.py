@@ -1724,8 +1724,11 @@ def _srp_verify_delta(
     candidates: vectors re-attached by id equi-joins against the
     embeddings table (the index holds only bucket ids — the verify
     never depends on how candidates were generated), same accept rule
-    and emitted columns as the anchor family."""
-    from gcd_etl_spark.functions.vector import dot_fixed_long
+    and emitted columns as the anchor family. The dot runs as the
+    higher-order-function fold (dot_hof_long) for the same round-12
+    measured reason as _srp_verify_pairs — see the codegen note
+    there."""
+    from gcd_etl_spark.functions.vector import dot_hof_long
 
     q = _srp_quant_frame(read_table_spread(spark, sf_dir, "embeddings"))
     pairs = cand.join(
@@ -1743,7 +1746,7 @@ def _srp_verify_delta(
         ),
         "corpus_id",
     )
-    dot = dot_fixed_long("qa", "qb", _SRP_DIM)
+    dot = dot_hof_long("qa", "qb")
     v = pairs.select("delta_id", "corpus_id", dot.alias("dot"), "na", "nb")
     dd = F.col("dot").cast("double")
     return v.where(
@@ -2031,15 +2034,12 @@ def _srp_accepted(
 
     Per-table equi-join on the bucket key (the scale shape), union +
     distinct over the NARROW (id, id) candidate stream, vectors
-    re-attached via two broadcast joins, then one codegen'd unrolled
-    64-term integer dot per candidate (functions/vector.py
-    dot_fixed_long — the interpreted aggregate/zip_with fold it
-    replaced ran per-element per-pair). The dedup hashAgg's OUTPUT
-    method (which fuses the verify joins + dot) still exceeds 64KB
-    and falls back to interpreted FOR THAT ONE STAGE — a logged WARN,
-    handled by spark.sql.codegen.fallback; measured cost of the
-    fallback is ~0 at fixture scale because the candidate stream is
-    the narrow (id, id) set.
+    re-attached via two broadcast joins, then one exact 64-term
+    integer dot per candidate as the higher-order fold (dot_hof_long
+    since round 12: the unrolled form blew Janino's 64 KB limit in
+    the fused dedup-output stage and degraded the WHOLE stage to
+    interpreted; the HOF keeps the stage compiled and measured ~23%
+    faster — see the codegen note below).
     """
     b = _srp_bucket_frame(
         read_table_spread(spark, sf_dir, "embeddings"), bits, n_tables
@@ -2100,27 +2100,27 @@ def _srp_verify_pairs(
             "id_b",
         )
     )
-    from gcd_etl_spark.functions.vector import dot_fixed_long
+    from gcd_etl_spark.functions.vector import dot_hof_long
 
-    dot = dot_fixed_long("qa", "qb", _SRP_DIM)
-    # KNOWN, DELIBERATE codegen fallback (measured round 7, kept on
-    # evidence): pushdown substitutes this accept filter into the
-    # broadcast-join condition, inlining the 64-term dot expression
-    # 2-3x into one generated method — past Janino's 64 KB limit, so
-    # this ONE stage runs interpreted (2 WARN markers; bench.py's
-    # detector counts them). Three fixes were built and measured at
-    # sf0.1 and all LOST to the fused-interpreted plan:
-    # localCheckpoint barrier 9.7 s; a nondeterministic projected
-    # fence column referenced by the filter (0 markers, fully
-    # codegen'd) 9.3 s — the nondeterministic filter drops out of
-    # whole-stage fusion, and losing operator fusion costs more than
-    # interpretation of the condition ever did; entangled
-    # nondeterministic atoms fence only the join, not the projection
-    # (still 2 markers). The fused-interpreted plan runs 2.7 s.
-    # Interpretation is acceptable HERE because the condition is the
-    # only interpreted work and evaluates once per candidate either
-    # way; the expensive r6 instance (the interpreted bucket stage)
-    # was real and was fixed by the Arrow matmul rewrite above.
+    dot = dot_hof_long("qa", "qb")
+    # CODEGEN NOTE (round 7 -> round 12): the unrolled 64-term dot
+    # (dot_fixed_long) blew Janino's 64 KB method limit here once
+    # pushdown inlined it 2-3x into the fused join stage, degrading
+    # the WHOLE stage to interpreted. Round 7 measured three fixes
+    # that all LOST to the fused-interpreted plan (localCheckpoint
+    # barrier 9.7 s; nondeterministic fence column 9.3 s — losing
+    # operator fusion costs more than interpreting the condition;
+    # entangled atoms still 2 markers) vs 2.7 s fused-interpreted,
+    # and kept the fallback as the least-bad option. Round 12 found
+    # the option that wins outright: the HIGHER-ORDER fold
+    # (dot_hof_long). The HOF is CodegenFallback, so ONLY the dot
+    # evaluates as a Scala loop while the generated method stays tiny
+    # and the REST of the stage compiles — alternating A/B at sf0.1,
+    # 3 reps each, same session: unrolled 2.65/2.42/2.11 s (4 compile
+    # failures), HOF 1.82/1.97/1.63 s (zero). ~23% faster AND the
+    # bench fallback detector goes quiet; the expensive r6 instance
+    # (the interpreted BUCKET stage) remains fixed by the Arrow
+    # matmul rewrite above.
     v = pairs.select(
         "id_a", "id_b", dot.alias("dot"), "na", "nb", *extra_cols
     )
