@@ -72,6 +72,8 @@ def _balanced_sum(terms: list[Column]) -> Column:
     stderr: 10 fallbacks per run on the SRP verify stages), silently
     degrading the fused stage to interpreted evaluation — the exact
     round-6 failure class the bench fallback detector exists for."""
+    if not terms:  # dim=0: keep the old accumulator contract (0L)
+        return F.lit(0).cast("long")
     while len(terms) > 1:
         nxt = [
             terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]

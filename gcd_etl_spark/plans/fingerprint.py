@@ -50,8 +50,15 @@ def _norm_name(base: str) -> str:
 def _norm_exchange_args(args: str) -> str:
     args = re.sub(r"#\d+[A-Za-z]*", "", args)
     args = re.sub(r",\s*\[plan_id=\d+\]", "", args)
-    # partition count: last bare-int argument of *partitioning(...)
-    args = re.sub(r",\s*\d+\)", ")", args)
+    # Partition count: ONLY the outermost partitioning call's final
+    # bare-int argument — recognized by what follows it (the
+    # distribution-mode keyword, e.g. ENSURE_REQUIREMENTS, or end of
+    # string). A blanket ", N)" strip also erased numeric literals
+    # INSIDE partitioning keys (salt moduli, hash seeds), blinding
+    # the gate to exactly the layout changes it exists to catch
+    # (round-12 review finding).
+    args = re.sub(r",\s*\d+\)(?=\s*,\s*[A-Z]|\s*$)", ")", args)
+    args = re.sub(r"RoundRobinPartitioning\(\d+\)", "RoundRobinPartitioning()", args)
     return args.strip()
 
 

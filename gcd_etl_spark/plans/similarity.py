@@ -841,21 +841,9 @@ BITEXT_MARGIN_MIN_PPM = 1_050_000
 BITEXT_ANCHOR_MAX_PAIRS = 10_000_000
 
 
-def _bitext_oracle(sample: int | None = None) -> str:
-    """The exact margin-mining restatement; with ``sample`` set, the
-    SOURCE side is restricted to the ``sample`` lowest-id sources (the
-    deterministic sampled anchor of sim_bitext_margin_mined — target-
-    side neighborhoods are then over the sample, BY DEFINITION of
-    that gate)."""
+def _bitext_oracle() -> str:
     pair_dot = " + ".join(f"p.qa[{i}] * p.qb[{i}]" for i in range(1, EMB_DIM + 1))
     self_dot = " + ".join(f"qv[{i}] * qv[{i}]" for i in range(1, EMB_DIM + 1))
-    samp_cte = (
-        f"samp AS (SELECT vec_id FROM b WHERE label % 2 = 0 "
-        f"ORDER BY vec_id LIMIT {sample}),\n" if sample else ""
-    )
-    samp_pred = (
-        " AND a.vec_id IN (SELECT vec_id FROM samp)" if sample else ""
-    )
     return f"""
 WITH e AS (
   SELECT vec_id, label,
@@ -866,10 +854,10 @@ WITH e AS (
 b AS (
   SELECT vec_id, label, qv, CAST({self_dot} AS BIGINT) AS nrm FROM e
 ),
-{samp_cte}p AS (
+p AS (
   SELECT a.vec_id AS src_id, c.vec_id AS tgt_id,
          a.qv AS qa, c.qv AS qb, a.nrm AS na, c.nrm AS nb
-  FROM b a JOIN b c ON a.label % 2 = 0 AND c.label % 2 = 1{samp_pred}
+  FROM b a JOIN b c ON a.label % 2 = 0 AND c.label % 2 = 1
 ),
 v AS (
   SELECT src_id, tgt_id, CAST({pair_dot} AS BIGINT) AS dot, na, nb
@@ -1436,14 +1424,23 @@ def sim_bitext_margin_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
             [],
             "src_id long, tgt_top1 long, cos_top1_ppm long, recall_floor_ok int",
         )
-    src = a.select(
+    # Probe cells ONLY for the sampled sources: the gate consumes
+    # candidates solely for the <= BITEXT_GATE_SAMPLE anchor rows, so
+    # fanning out the whole source side would pay full-corpus
+    # candidate generation (and a data-sized broadcast) to check 64
+    # rows (round-12 review finding). Candidate generation for the
+    # sampled sources is the production code path bit-for-bit — same
+    # centroids, same nprobe, same cell join — so the recall it
+    # measures is the production path's.
+    samp_src = a.orderBy("src_id").limit(BITEXT_GATE_SAMPLE)
+    src = samp_src.select(
         "src_id",
         F.explode(ivf_cells_udf(centroids, BITEXT_NPROBE)(F.col("src_vec"))).alias(
             "cell"
         ),
     )
     cand = tgt.join(F.broadcast(src), "cell").select("src_id", "tgt_id")
-    samp = a.drop("src_vec").orderBy("src_id").limit(BITEXT_GATE_SAMPLE)
+    samp = samp_src.drop("src_vec")
     cosv = _bitext_cos_ppm(b.drop("tgt_vec").crossJoin(F.broadcast(samp)))
     top1 = (
         cosv.groupBy("src_id")

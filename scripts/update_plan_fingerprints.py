@@ -23,28 +23,38 @@ from gcd_etl_spark.plans.fingerprint import plan_fingerprint  # noqa: E402
 from gcd_etl_spark.session import get_spark  # noqa: E402
 
 
-def fingerprinted_queries() -> list[str]:
-    """The gated set: the bench headline tier + every scale-critical
-    plan PLANS.md dumps + the non-stream lifecycle tier. Streaming
-    queries execute eagerly on build (their returned plan is a sink
-    scan) and are excluded, same as tests/test_plan_audit.py."""
+def fingerprinted_queries() -> dict:
+    """The gated set, name -> builder: the bench headline tier +
+    every scale-critical plan PLANS.md dumps + the non-stream
+    lifecycle tier — and, under ``<name>::bench_twin`` keys, every
+    bench twin builder that differs from the registered query (the
+    plans the bench ACTUALLY times: dedup_minhash_lsh_xxhash,
+    bitext_mined_pairs; round-12 review finding — a structural
+    regression in a benched production twin must not escape the gate
+    just because its registered sibling carries the oracle).
+    Streaming queries execute eagerly on build (their returned plan
+    is a sink scan) and are excluded, same as
+    tests/test_plan_audit.py."""
     import bench
     from scripts.dump_plans import DUMP
 
-    names: list[str] = []
+    builders: dict = {}
     for n in list(bench.HEADLINE) + list(bench.LIFECYCLE) + list(DUMP):
-        if n.startswith("stream_") or n in names or n not in QUERIES:
+        if n.startswith("stream_") or n in builders or n not in QUERIES:
             continue
-        names.append(n)
-    return names
+        builders[n] = QUERIES[n].build
+    for n, twin in bench._bench_builders().items():
+        if n in QUERIES and twin is not QUERIES[n].build and not n.startswith("stream_"):
+            builders[f"{n}::bench_twin"] = twin
+    return builders
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-fingerprints")
     out: dict[str, list[str]] = {}
-    for name in fingerprinted_queries():
-        out[name] = plan_fingerprint(QUERIES[name].build(spark, sf_dir))
+    for name, build in fingerprinted_queries().items():
+        out[name] = plan_fingerprint(build(spark, sf_dir))
         print(f"{name}: {len(out[name])} nodes")
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

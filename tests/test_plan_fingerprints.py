@@ -29,7 +29,9 @@ with open(_PATH) as _f:
 
 def test_fingerprint_set_covers_bench_tiers():
     """New bench-tier rows must be fingerprinted in the same commit
-    (the gate must not silently narrow as tiers grow)."""
+    (the gate must not silently narrow as tiers grow) — INCLUDING the
+    bench twin builders, which are the plans the bench actually
+    times."""
     import bench
 
     expected = {
@@ -37,6 +39,11 @@ def test_fingerprint_set_covers_bench_tiers():
         for n in list(bench.HEADLINE) + list(bench.LIFECYCLE)
         if not n.startswith("stream_")
     }
+    for n, twin in bench._bench_builders().items():
+        if n in QUERIES and twin is not QUERIES[n].build and not n.startswith(
+            "stream_"
+        ):
+            expected.add(f"{n}::bench_twin")
     missing = expected - set(RECORDED)
     assert not missing, (
         f"bench-tier queries missing from plan_fingerprints.json: "
@@ -44,14 +51,25 @@ def test_fingerprint_set_covers_bench_tiers():
     )
 
 
+def _resolve_builder(name: str):
+    if name.endswith("::bench_twin"):
+        import bench
+
+        return bench._bench_builders()[name[: -len("::bench_twin")]]
+    if name not in QUERIES:
+        return None
+    return QUERIES[name].build
+
+
 @pytest.mark.parametrize("name", sorted(RECORDED), ids=str)
 def test_plan_fingerprint_unchanged(spark, sf_smoke, name):
-    if name not in QUERIES:
+    build = _resolve_builder(name)
+    if build is None:
         pytest.fail(
             f"{name} is fingerprinted but no longer registered — "
             "regenerate plan_fingerprints.json"
         )
-    got = plan_fingerprint(QUERIES[name].build(spark, sf_smoke))
+    got = plan_fingerprint(build(spark, sf_smoke))
     want = RECORDED[name]
     if got != want:
         diff = "\n".join(
