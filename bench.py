@@ -112,8 +112,10 @@ LIFECYCLE = [
 #: Recorded per-query bases for the AUTOMATIC floor re-measurement
 #: (round-11 verdict item 2: the variance protocol lived in prose and
 #: hand-run profile_bench_movers.py pastes; the judge's independent
-#: floor disagreed with the recorded one). Values are the r11 driver
-#: bench (BENCH_r11.json, sf0.1). When an in-process tier total runs
+#: floor disagreed with the recorded one). Values are the r12 driver
+#: bench (BENCH_r12.json, sf0.1 — refreshed per round-12 verdict item
+#: 2; full tier coverage, including first recorded bases for the
+#: three r12 composition rows). When an in-process tier total runs
 #: more than FLOOR_TRIGGER_PCT above its recorded base (compared over
 #: the INTERSECTION of names, so tier-composition changes can't fake
 #: a regression), the top-FLOOR_TOP_N relative movers are re-floored
@@ -126,29 +128,27 @@ LIFECYCLE = [
 RECORDED_BASE = {
     "sf": 0.1,
     "headline": {
-        "gcd_snapshot": 7.134, "snapshot_denorm": 2.597,
-        "q1_pricing_summary": 1.099, "join_left_fanout": 1.309,
-        "agg_rollup": 1.208, "window_topk_per_group": 0.669,
-        "sort_limit_topk": 0.174, "dedup_exact": 0.48,
-        "dedup_minhash_lsh": 2.949, "sim_bruteforce_topk": 2.247,
-        "text_token_stats": 0.311, "win_session": 0.672,
+        "gcd_snapshot": 5.712, "snapshot_denorm": 2.139,
+        "q1_pricing_summary": 0.846, "join_left_fanout": 1.099,
+        "agg_rollup": 0.906, "window_topk_per_group": 0.498,
+        "sort_limit_topk": 0.156, "dedup_exact": 0.377,
+        "dedup_minhash_lsh": 2.286, "sim_bruteforce_topk": 1.867,
+        "text_token_stats": 0.307, "win_session": 0.564,
     },
     "lifecycle": {
-        "dedup_keep_canonical": 3.829, "dedup_delta_vs_corpus": 1.915,
-        "dedup_crossdoc_delta": 1.38, "dedup_gram_index_update_cycle": 3.549,
-        "dedup_gram_index_merge": 2.096, "dedup_index_compaction": 3.881,
-        "dedup_index_append_cycle": 5.158, "quality_bigram_nll_delta": 0.483,
-        "stream_quality_gate": 4.824, "stream_dedup_against_corpus": 7.357,
-        "stream_sessions_timeout": 18.259, "sim_ann_ivfpq_recall": 5.466,
-        "sim_ann_ivfpq_persisted": 2.844, "sim_ann_ivfpq_index_append": 8.9,
-        "corpus_shuffle_shards_write": 2.054, "corpus_dsir_delta": 0.624,
-        # sim_bitext_margin_shortlist/_persisted left the tier in
-        # round 12 (in-plan |A| x |B| anchors); the mined-only row's
-        # first recorded base lands with BENCH_r12.
-        # round-12 composition change: the capped semantic lifecycle
-        # replaced the fixed-width rows; their first recorded bases
-        # land with BENCH_r12 — until then they sit out the trigger
-        # arithmetic via the intersection rule.
+        "dedup_keep_canonical": 3.489, "dedup_delta_vs_corpus": 1.455,
+        "dedup_crossdoc_delta": 1.088, "dedup_gram_index_update_cycle": 2.748,
+        "dedup_gram_index_merge": 1.747, "dedup_index_compaction": 3.16,
+        "dedup_index_append_cycle": 4.406,
+        "dedup_semantic_delta_vs_corpus_capped": 1.796,
+        "quality_bigram_nll_delta": 0.426,
+        "stream_quality_gate": 4.107,
+        "stream_semantic_dedup_gate_capped": 5.721,
+        "stream_dedup_against_corpus": 6.377,
+        "stream_sessions_timeout": 14.111, "sim_ann_ivfpq_recall": 4.504,
+        "sim_ann_ivfpq_persisted": 2.525, "sim_ann_ivfpq_index_append": 6.6,
+        "sim_bitext_margin_mined": 9.566,
+        "corpus_shuffle_shards_write": 1.997, "corpus_dsir_delta": 0.465,
     },
 }
 FLOOR_TRIGGER_PCT = 15

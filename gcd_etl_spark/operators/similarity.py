@@ -180,6 +180,53 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+#: Width rule for the IVF coarse quantizer (round-13 verdict item 1 —
+#: the ``suggest_bucket_count`` / SRP-width-rule pattern applied to
+#: the last fixed-width constant). A FIXED 16-cell quantizer holds the
+#: probed corpus FRACTION constant but lets per-cell occupancy — and,
+#: for PQ, the residual radius — grow linearly with the corpus:
+#: measured end-to-end IVF-PQ recall@10 slides 0.42 (sf0.1) -> 0.24
+#: (8x) -> 0.16 (32x), through the 0.3 floor. n_cells ~ sqrt(n) (the
+#: classic FAISS sizing) with nprobe a fixed fraction of it holds
+#: per-cell occupancy ~sqrt(n) and keeps shrinking the PQ residuals:
+#: measured 0.58 / 0.60 / 0.62 / 0.64 at 1x/4x/8x/32x sf0.1 (floor
+#: 0.3, rule c4 — see BASELINE.md round-13 table). Power of two so a
+#: re-staged 4x corpus doubles predictably, like bucket counts.
+IVF_CELLS_FLOOR = 16
+#: Past this, a flat driver-held centroid matrix is the wrong layout
+#: (4096 x 64 fp64 = 2 MiB — still broadcastable; beyond it train a
+#: hierarchical quantizer instead).
+IVF_CELLS_MAX = 4096
+IVF_NPROBE_FRACTION = 4
+IVF_NPROBE_FLOOR = 4
+
+
+def suggest_ivf_cells(n_rows: int, floor: int = IVF_CELLS_FLOOR) -> int:
+    """Coarse-quantizer cell count for an ``n_rows`` corpus: next
+    power of two of sqrt(n), clamped to [floor, IVF_CELLS_MAX]. The
+    floor keeps sub-floor fixtures (unit tests, sf<=0.01: 500 vectors
+    -> 32) on small stable configs."""
+    n = max(1, int(n_rows))
+    target = int(n ** 0.5)
+    p = 1
+    while p < target:
+        p *= 2
+    return max(floor, min(p, IVF_CELLS_MAX))
+
+
+def suggest_ivf_nprobe(
+    n_cells: int,
+    fraction: int = IVF_NPROBE_FRACTION,
+    floor: int = IVF_NPROBE_FLOOR,
+) -> int:
+    """Probe count scaled WITH the cell count (fixed probed fraction
+    of cells — 1/4 for the ANN family, 1/2 for the bitext miner whose
+    gate needs recall@1). Derive it from the STAGED index's actual
+    centroid count (``len(centroids)``) so probe-time config always
+    matches what the index was built with."""
+    return max(floor, int(n_cells) // fraction)
+
+
 def ivf_cells_udf(centroids: np.ndarray, n_keep: int):
     """Pandas-UDF: the ``n_keep`` nearest centroid indices per vector.
 
@@ -211,8 +258,8 @@ def ivf_cells_udf(centroids: np.ndarray, n_keep: int):
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    n_cells: int = 16,
-    nprobe: int = 4,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -228,7 +275,17 @@ def ivf_topk(
     Arrow-batched matmul each; the only shuffle key is the cell id.
     A (query, corpus) pair meets in at most one cell (the corpus
     row's), so candidate scoring needs no dedup.
+
+    ``n_cells`` / ``nprobe`` default to the corpus-size width rule
+    (suggest_ivf_cells / suggest_ivf_nprobe — round-13: the fixed
+    16/4 config degraded through the recall floor at 8x).
     """
+    if n_cells is None or nprobe is None:
+        n_rows = corpus.count()
+        if n_cells is None:
+            n_cells = suggest_ivf_cells(n_rows)
+        if nprobe is None:
+            nprobe = suggest_ivf_nprobe(n_cells)
     cent_rows = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
         .where(F.col("cent_id") % F.lit(max(1, 1000 // n_cells)) == 0)

@@ -41,8 +41,13 @@ def _formatted(df) -> str:
 def _norm_name(base: str) -> str:
     """Normalize a relation basename: run-unique hex / fingerprint
     suffixes and sf tags out, layout-bearing config suffixes kept
-    (``srp_bucket_idx_sf0_001_b6t8c_<fp>`` -> ``srp_bucket_idx_<sf>_b6t8c``)."""
-    base = re.sub(r"_[0-9a-f]{8,}(?=_|\.|$)", "", base)
+    (``srp_bucket_idx_sf0_001_b6t8c_<fp>`` -> ``srp_bucket_idx_<sf>_b6t8c``).
+    The hex strip is anchored to EXACTLY the 8 chars
+    ``sources.catalog.table_fingerprint`` emits (round-12 ADVICE: an
+    8-or-more pattern would silently erase a legitimate hex-alphabet
+    word used as a semantic suffix, blinding the gate for that
+    name)."""
+    base = re.sub(r"_[0-9a-f]{8}(?=_|\.|$)", "", base)
     base = re.sub(r"sf\d+(?:[._]\d+)*", "<sf>", base)
     return base
 

@@ -72,12 +72,13 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantized ANN top-k rows (16 cells, nprobe=4).
+    """IVF coarse-quantized ANN top-k rows (width-ruled cells/nprobe
+    — suggest_ivf_cells/suggest_ivf_nprobe since round 13).
     UNREGISTERED raw-result form since round 10; the registered
     sim_ann_ivf wraps this exact plan in the in-plan recall@10
     gate."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, _query_set(emb), n_cells=16, nprobe=4, k=TOP_K, dim=EMB_DIM)
+    return S.ivf_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
 
 
 #: ANN output is approximate by definition, so the cross-engine check
@@ -140,7 +141,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf_topk operator). Formerly registered as sim_ann_ivf_recall."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
     q = _query_set(emb)
-    ann = S.ivf_topk(emb, q, n_cells=16, nprobe=4, k=TOP_K, dim=EMB_DIM)
+    ann = S.ivf_topk(emb, q, k=TOP_K, dim=EMB_DIM)
     exact = S.brute_force_topk(emb, q, k=TOP_K, dim=EMB_DIM)
     return _recall_bound(ann, exact)
 
@@ -289,9 +290,11 @@ def sim_ann_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor as the other ANN paths. Named for what it is since round 10
     (verdict item 4: the old sim_ann_ivfpq_* names said PQ while the
     quantizer was per-vector min-max SQ8; true product quantization
-    now lives under sim_ann_ivfpq_*), and the 16 coarse cells are now
+    now lives under sim_ann_ivfpq_*); the coarse cells are
     Lloyd-TRAINED (train_coarse_centroids — the shared distributed
-    k-means), not modulo-sampled.
+    k-means) and WIDTH-RULED since round 13 (suggest_ivf_cells /
+    suggest_ivf_nprobe — the fixed 16/4 config's recall degraded
+    through the floor at 8x the sf0.1 corpus).
 
     The corpus never ships full-precision vectors past the scan: each
     vector is min-max-quantized to 8-bit codes (emb_quantize_int8's
@@ -307,7 +310,9 @@ def sim_ann_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table_spread(spark, sf_dir, "embeddings")
     q = _query_set(emb)
 
-    centroids = S.train_coarse_centroids(emb, n_cells=16, dim=EMB_DIM)
+    n_cells = S.suggest_ivf_cells(emb.count())
+    nprobe = S.suggest_ivf_nprobe(n_cells)
+    centroids = S.train_coarse_centroids(emb, n_cells=n_cells, dim=EMB_DIM)
     if centroids.size == 0:
         return spark.createDataFrame(
             [], "query_id long, n_exact bigint, recall_floor_ok int"
@@ -344,7 +349,7 @@ def sim_ann_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
-        F.explode(S.ivf_cells_udf(centroids, 4)(F.col("embedding"))).alias("cell"),
+        F.explode(S.ivf_cells_udf(centroids, nprobe)(F.col("embedding"))).alias("cell"),
     )
     cand = (
         corpus_q.join(F.broadcast(queries), on="cell")
@@ -395,13 +400,18 @@ def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
     # data-file fingerprint in the name: stale-index guard (r10 ADVICE)
     tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
+    # width-rule the coarse quantizer at (re)staging (round-13 item 1)
+    # and carry the config in the name so a differently-configured
+    # index can never shadow this one
+    n_cells = S.suggest_ivf_cells(emb.count())
+    tag = f"{tag}_c{n_cells}"
     idx_name = f"ivfsq8_index_{tag}"
     cent_name = f"ivfsq8_centroids_{tag}"
     if not spark.catalog.tableExists(idx_name):
         warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         for n in (idx_name, cent_name):
             _shutil.rmtree(_os.path.join(warehouse, n.lower()), ignore_errors=True)
-        trained = S.train_coarse_centroids(emb, n_cells=16, dim=EMB_DIM)
+        trained = S.train_coarse_centroids(emb, n_cells=n_cells, dim=EMB_DIM)
         if trained.size == 0:
             # empty corpus: stage empty tables with the right schemas
             spark.createDataFrame(
@@ -465,7 +475,7 @@ def sim_ann_ivfsq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     REAL: the int8-quantized, cell-bucketed corpus index and the
     trained centroid table are PERSISTED once (ensure_ivfsq8_index)
     and the query path only (a) collects the 16-row centroid table to
-    route each query to its nprobe=4 cells and (b) probes the bucketed
+    route each query to its width-ruled nprobe cells and (b) probes the bucketed
     index — the corpus is never re-read, re-quantized, or re-assigned
     per query, which is the production contract for an ANN serving
     path at 100 TB (index build amortizes across every query ever
@@ -485,10 +495,12 @@ def sim_ann_ivfsq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id long, n_exact bigint, recall_floor_ok int"
         )
     q = _query_set(emb)
+    # probe config derived from the STAGED index's actual cell count
+    nprobe = S.suggest_ivf_nprobe(len(centroids))
     queries = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
-        F.explode(S.ivf_cells_udf(centroids, 4)(F.col("embedding"))).alias("cell"),
+        F.explode(S.ivf_cells_udf(centroids, nprobe)(F.col("embedding"))).alias("cell"),
     )
     dequant = F.transform(
         F.col("q_codes"),
@@ -520,7 +532,8 @@ def sim_ann_ivfsq8_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_ann_ivfpq_recall", oracle=_RECALL_ORACLE)
 def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE IVF-PQ ANN (round-9 verdict item 4): Lloyd-trained coarse
-    quantizer (16 cells), residual PRODUCT quantization (8 subspaces
+    quantizer (width-ruled cell count, suggest_ivf_cells), residual
+    PRODUCT quantization (8 subspaces
     x 8 dims, per-subspace codebooks of up to 256 entries trained on
     a bounded deterministic sample), and ASYMMETRIC distance scoring
     — the full-precision query against per-subspace lookup tables,
@@ -531,7 +544,8 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAISS IVFPQ shape, re-expressed as one cell-keyed broadcast join
     plus an Arrow-batched table-gather scan."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
-    centroids = S.train_coarse_centroids(emb, n_cells=16, dim=EMB_DIM)
+    n_cells = S.suggest_ivf_cells(emb.count())
+    centroids = S.train_coarse_centroids(emb, n_cells=n_cells, dim=EMB_DIM)
     if centroids.size == 0:
         return spark.createDataFrame(
             [], "query_id long, n_exact bigint, recall_floor_ok int"
@@ -539,7 +553,12 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = S.pq_train_codebooks(emb, centroids)
     index = S.pq_encode(emb, centroids, codebooks)
     ann = S.pq_adc_topk(
-        index, _query_set(emb), centroids, codebooks, nprobe=4, k=TOP_K
+        index,
+        _query_set(emb),
+        centroids,
+        codebooks,
+        nprobe=S.suggest_ivf_nprobe(n_cells),
+        k=TOP_K,
     )
     exact = S.brute_force_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
     return _recall_bound(ann, exact)
@@ -568,6 +587,11 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
     # data-file fingerprint in the name: stale-index guard (r10 ADVICE)
     tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
+    # width-rule the coarse quantizer at (re)staging (round-13 item 1)
+    # and carry the config in the name so a differently-configured
+    # index can never shadow this one
+    n_cells = S.suggest_ivf_cells(emb.count())
+    tag = f"{tag}_c{n_cells}"
     codes_name = f"ivfpq_codes_{tag}"
     cent_name = f"ivfpq_centroids_{tag}"
     book_name = f"ivfpq_codebooks_{tag}"
@@ -575,7 +599,7 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
         warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         for n in (codes_name, cent_name, book_name):
             _shutil.rmtree(_os.path.join(warehouse, n.lower()), ignore_errors=True)
-        centroids = S.train_coarse_centroids(emb, n_cells=16, dim=EMB_DIM)
+        centroids = S.train_coarse_centroids(emb, n_cells=n_cells, dim=EMB_DIM)
         if centroids.size == 0:
             spark.createDataFrame(
                 [], "cell_id int, centroid array<double>"
@@ -641,7 +665,12 @@ def sim_ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id long, n_exact bigint, recall_floor_ok int"
         )
     ann = S.pq_adc_topk(
-        codes, _query_set(emb), centroids, codebooks, nprobe=4, k=TOP_K
+        codes,
+        _query_set(emb),
+        centroids,
+        codebooks,
+        nprobe=S.suggest_ivf_nprobe(len(centroids)),
+        k=TOP_K,
     )
     exact = S.brute_force_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
     return _recall_bound(ann, exact)
@@ -688,7 +717,8 @@ def sim_ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_delta = F.col("vec_id") % EMB_DELTA_MOD == 0
     corpus, delta = emb.where(~is_delta), emb.where(is_delta)
 
-    centroids = S.train_coarse_centroids(corpus, n_cells=16, dim=EMB_DIM)
+    n_cells = S.suggest_ivf_cells(corpus.count())
+    centroids = S.train_coarse_centroids(corpus, n_cells=n_cells, dim=EMB_DIM)
     if centroids.size == 0:
         return spark.createDataFrame(
             [],
@@ -698,7 +728,7 @@ def sim_ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = S.pq_train_codebooks(corpus, centroids)
 
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
-    name = f"ivfpq_cycle_codes_{tag}"
+    name = f"ivfpq_cycle_codes_{tag}_c{n_cells}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     _shutil.rmtree(_os.path.join(warehouse, name.lower()), ignore_errors=True)
@@ -722,7 +752,12 @@ def sim_ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     ann = S.pq_adc_topk(
-        spark.table(name), _query_set(emb), centroids, codebooks, nprobe=4, k=TOP_K
+        spark.table(name),
+        _query_set(emb),
+        centroids,
+        codebooks,
+        nprobe=S.suggest_ivf_nprobe(n_cells),
+        k=TOP_K,
     )
     # control-plane reachability probe (1-row answer, like watermarks)
     reach = (
@@ -1052,17 +1087,42 @@ def sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Shortlist geometry for the production miner: targets index into
-#: BITEXT_CELLS IVF cells (Lloyd-trained on the target side), each
-#: source probes its BITEXT_NPROBE nearest cells. The recall floor is
-#: the in-plan gate against the exact anchor's mined pairs.
-BITEXT_CELLS = 16
-BITEXT_NPROBE = 8
+#: WIDTH-RULED IVF cells (Lloyd-trained on the target side, n_cells ~
+#: sqrt(|B|) — round 13; the fixed 16-cell config's candidate-recall@1
+#: dipped to 0.719 at 8x while the rule holds >= 0.875 at every
+#: measured scale), each source probes HALF the cells (the miner's
+#: gate is recall@1, so it runs a denser probe fraction than the ANN
+#: family's quarter; nprobe=n_cells/4 measured 0.703 at sf0.1 — flush
+#: against the floor, rejected). The recall floor is the in-plan gate
+#: against the exact anchor's mined pairs.
+BITEXT_NPROBE_FRACTION = 2
+BITEXT_NPROBE_FLOOR = 8
+
+
+def bitext_cells(n_targets: int) -> int:
+    """Width rule for the bitext target-side coarse quantizer — the
+    ANN family's suggest_ivf_cells (floor 16 keeps the sf<=0.01
+    fixtures, ~256 targets, on the historical 16-cell config)."""
+    return S.suggest_ivf_cells(n_targets)
+
+
+def bitext_nprobe(n_cells: int) -> int:
+    """Probe count for a bitext index of ``n_cells`` cells — half the
+    cells, floor 8. Derive from the STAGED index's len(centroids)."""
+    return S.suggest_ivf_nprobe(
+        n_cells, fraction=BITEXT_NPROBE_FRACTION, floor=BITEXT_NPROBE_FLOOR
+    )
+
+
 #: Measured shortlist pair-recall on the near-random fixture
-#: embeddings: 0.86 / 0.79 / 0.82 at sf0.001/0.01/0.1 (nprobe=8 of 16
-#: cells — random vectors spread their best match across cells, the
-#: hard case for IVF; clustered production embeddings concentrate it).
-#: 0.70 is non-vacuous (nprobe=4 measured 0.56 and FAILS) with
-#: headroom against fixture re-rolls.
+#: embeddings: 0.86 / 0.79 / 0.82 at sf0.001/0.01/0.1 under the
+#: historical fixed 16/8 config (random vectors spread their best
+#: match across cells, the hard case for IVF; clustered production
+#: embeddings concentrate it). The width rule leaves sf<=0.01
+#: unchanged and RAISES sf0.1 (32 cells / 16 probes — see BASELINE.md
+#: round-13 recall-vs-scale table). 0.70 is non-vacuous (probing a
+#: quarter of the cells measured 0.56 and FAILS) with headroom
+#: against fixture re-rolls.
 BITEXT_RECALL_FLOOR = 0.70
 
 
@@ -1076,7 +1136,7 @@ def _bitext_recall_oracle() -> str:
 def sim_bitext_margin_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION path of margin-based bitext mining: candidate
     pairs come from IVF cells (targets assigned to their nearest
-    Lloyd-trained cell, sources probing BITEXT_NPROBE cells — the
+    Lloyd-trained cell, sources probing bitext_nprobe cells — the
     CCMatrix recipe) instead of the anchor's A x B, then the SAME
     quantization / cosine / ratio-margin arithmetic (_bitext_sides /
     _bitext_cos_ppm / _bitext_mine, shared code) mines one best
@@ -1105,7 +1165,7 @@ def sim_bitext_margin_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _bitext_sides(emb)
     tgt_corpus = emb.where(F.col("label") % 2 == 1)
     centroids = train_coarse_centroids(
-        tgt_corpus, n_cells=BITEXT_CELLS, dim=EMB_DIM
+        tgt_corpus, n_cells=bitext_cells(tgt_corpus.count()), dim=EMB_DIM
     )
     tgt = b.select(
         "tgt_id",
@@ -1117,9 +1177,9 @@ def sim_bitext_margin_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_id",
         "qa",
         "na",
-        F.explode(ivf_cells_udf(centroids, BITEXT_NPROBE)(F.col("src_vec"))).alias(
-            "cell"
-        ),
+        F.explode(
+            ivf_cells_udf(centroids, bitext_nprobe(len(centroids)))(F.col("src_vec"))
+        ).alias("cell"),
     )
     # A (src, tgt) pair meets in at most ONE cell (the target's), so
     # the candidate stream needs no dedup; broadcast the fanned-out
@@ -1153,9 +1213,9 @@ def sim_bitext_margin_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
     """The persisted bitext TARGET-side index — the FAISS train-once
-    posture applied to the miner: Lloyd-trained centroids (16 rows)
-    plus the quantized, cell-assigned target table staged once per
-    (sf dir, data fingerprint), bucketed on the cell key the
+    posture applied to the miner: Lloyd-trained centroids (width-ruled
+    cell count, bitext_cells) plus the quantized, cell-assigned target
+    table staged once per (sf dir, data fingerprint), bucketed on the cell key the
     candidate join shuffles on. Mining runs (nightly source batches,
     re-mines with new thresholds) probe the staged index and never
     re-train, re-quantize, or re-assign the target side.
@@ -1178,6 +1238,11 @@ def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
 
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
     tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
+    # width-rule the target-side quantizer at (re)staging (round-13
+    # item 1) and carry the config in the name so a differently-
+    # configured index can never shadow this one
+    n_cells = bitext_cells(b.count())
+    tag = f"{tag}_c{n_cells}"
     idx_name = f"bitext_tgt_idx_{tag}"
     cent_name = f"bitext_tgt_cent_{tag}"
     if not spark.catalog.tableExists(idx_name):
@@ -1186,7 +1251,7 @@ def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
             _shutil.rmtree(_os.path.join(warehouse, n.lower()), ignore_errors=True)
         trained = train_coarse_centroids(
             b.select(F.col("tgt_id").alias("vec_id"), F.col("tgt_vec").alias("embedding")),
-            n_cells=BITEXT_CELLS,
+            n_cells=n_cells,
             dim=EMB_DIM,
         )
         if trained.size == 0:
@@ -1257,9 +1322,9 @@ def sim_bitext_margin_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_id",
         "qa",
         "na",
-        F.explode(ivf_cells_udf(centroids, BITEXT_NPROBE)(F.col("src_vec"))).alias(
-            "cell"
-        ),
+        F.explode(
+            ivf_cells_udf(centroids, bitext_nprobe(len(centroids)))(F.col("src_vec"))
+        ).alias("cell"),
     )
     cand = tgt.join(F.broadcast(src), "cell").select(
         "src_id", "tgt_id", "qa", "na", "qb", "nb"
@@ -1331,9 +1396,9 @@ def bitext_mined_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_id",
         "qa",
         "na",
-        F.explode(ivf_cells_udf(centroids, BITEXT_NPROBE)(F.col("src_vec"))).alias(
-            "cell"
-        ),
+        F.explode(
+            ivf_cells_udf(centroids, bitext_nprobe(len(centroids)))(F.col("src_vec"))
+        ).alias("cell"),
     )
     cand = tgt.join(F.broadcast(src), "cell").select(
         "src_id", "tgt_id", "qa", "na", "qb", "nb"
@@ -1435,9 +1500,9 @@ def sim_bitext_margin_mined(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp_src = a.orderBy("src_id").limit(BITEXT_GATE_SAMPLE)
     src = samp_src.select(
         "src_id",
-        F.explode(ivf_cells_udf(centroids, BITEXT_NPROBE)(F.col("src_vec"))).alias(
-            "cell"
-        ),
+        F.explode(
+            ivf_cells_udf(centroids, bitext_nprobe(len(centroids)))(F.col("src_vec"))
+        ).alias("cell"),
     )
     cand = tgt.join(F.broadcast(src), "cell").select("src_id", "tgt_id")
     samp = samp_src.drop("src_vec")

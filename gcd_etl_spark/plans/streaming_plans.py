@@ -341,6 +341,35 @@ def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------- stateful sessions with event-time expiry
+def _time_ordered_halves(events: DataFrame):
+    """Replay staging split: two time-ordered halves around the
+    median timestamp from ONE scalar aggregate — every batch-2 event
+    is strictly newer than every batch-1 event, so no event can be
+    late-dropped, and sessions spanning the boundary prove
+    cross-batch state carry. Returns ([first, second], max_ts_us).
+
+    Round-13 verdict item 3: the previous global-sort 2-tile split
+    OVER (ORDER BY ts, event_id) ran the whole events table through a data-sized
+    Exchange SinglePartition — the exact funnel the plan audit
+    forbids in batch plans; a scalar-agg median funnels only reduced
+    partials (audited by tests/test_plan_audit.py's streaming-staging
+    rule). The cap keeps batch 2 non-empty when more than half the
+    events share the max timestamp; a degenerate all-one-timestamp
+    corpus degrades to an empty first batch, which the file source
+    replays as a 0-row micro-batch."""
+    from pyspark.sql import functions as F
+
+    hi, med = events.agg(
+        F.max(F.unix_micros("ts")),
+        F.percentile_approx(F.unix_micros("ts"), 0.5, 10000),
+    ).collect()[0]
+    med = min(med, hi - 1)
+    halves = events.withColumn(
+        "b", F.when(F.unix_micros("ts") <= F.lit(med), F.lit(1)).otherwise(F.lit(2))
+    )
+    return [halves.where(F.col("b") == i).drop("b") for i in (1, 2)], hi
+
+
 _SESS_TIMEOUT_ORACLE = """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS us FROM events
@@ -401,15 +430,7 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    hi = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
-    halves = events.select(
-        F.ntile(2).over(
-            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
-                "ts", "event_id"
-            )
-        ).alias("b"),
-        "*",
-    )
+    halves, hi = _time_ordered_halves(events)
     sent = lambda uid, us: spark.createDataFrame(
         [(int(uid), int(uid), "sentinel", 0.0)],
         "event_id long, user_id long, event_type string, value double",
@@ -420,9 +441,7 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    batches = [
-        halves.where(F.col("b") == i).drop("b") for i in (1, 2)
-    ] + [
+    batches = halves + [
         sent(-1, hi + 3 * SESSION_GAP_US),
         sent(-2, hi + 6 * SESSION_GAP_US),
     ]

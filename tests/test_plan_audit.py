@@ -117,3 +117,64 @@ def test_no_accidental_nested_loop(spark, sf_smoke, name):
     if name in QUADRATIC_ANCHORS or name in SCALAR_BROADCASTS:
         return  # quadratic by design, or a 1-row broadcast (O(n))
     assert not quadratic, f"{name} plans a nested-loop/cartesian join:\n{plan}"
+
+
+# ------------------- streaming STAGING subplans (round-13 item 3)
+# Streaming queries execute eagerly, so the generic audit above skips
+# them — which let a data-sized global-sort funnel hide in replay
+# STAGING for two rounds (stream_sessions_timeout's
+# ntile(2) OVER (ORDER BY ts, event_id) ran the whole events table
+# through one Exchange SinglePartition before any micro-batch ran).
+# These close that class mechanically: the staging subplans are
+# audited like batch plans, and the module source itself may not
+# contain an unpartitioned window function.
+
+
+def _data_sized_single_partition(plan: str) -> bool:
+    """True when an Exchange SinglePartition feeds a Sort or Window —
+    the whole input through one partition. Scalar aggregates also
+    plan SinglePartition exchanges, but those move only map-side-
+    reduced partials (parent = HashAggregate/SortAggregate) and are
+    the correct plan for a global statistic."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange" not in ln or "SinglePartition" not in ln:
+            continue
+        depth = ln.index("+-") if "+-" in ln else 0
+        for j in range(i - 1, -1, -1):
+            pd = lines[j].index("+-") if "+-" in lines[j] else 0
+            if pd < depth or j == 0:
+                if "Sort" in lines[j] or "Window" in lines[j]:
+                    return True
+                break
+    return False
+
+
+def test_sessions_replay_staging_has_no_global_sort_funnel(spark, sf_smoke):
+    from gcd_etl_spark.plans.streaming_plans import _time_ordered_halves
+    from gcd_etl_spark.sources.catalog import read_table
+
+    events = read_table(spark, sf_smoke, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    halves, _hi = _time_ordered_halves(events)
+    for half in halves:
+        plan = _formatted_plan(half)
+        assert "Window" not in plan, plan
+        assert not _data_sized_single_partition(plan), plan
+
+
+def test_streaming_module_has_no_unpartitioned_window():
+    """Source-level closure: replay staging lives inline in the
+    streaming plan functions, so any future global-ordered window
+    (ntile / row_number over an unpartitioned ORDER BY) in this
+    module is the same funnel reintroduced. Partitioned windows
+    would import Window and call partitionBy; the module needs
+    neither today."""
+    import inspect
+
+    import gcd_etl_spark.plans.streaming_plans as sp
+
+    src = inspect.getsource(sp)
+    assert "ntile(" not in src
+    assert "Window.orderBy" not in src

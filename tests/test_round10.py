@@ -418,12 +418,24 @@ def test_ann_index_append_colocation_and_flags(spark, sf_smoke):
     import os
     import re
 
+    import pyspark.sql.functions as F
+
+    from gcd_etl_spark.operators.similarity import suggest_ivf_cells
+    from gcd_etl_spark.plans.similarity import EMB_DELTA_MOD
+    from gcd_etl_spark.sources.catalog import read_table_spread
+
     rows = QUERIES["sim_ann_ivfpq_index_append"].build(spark, sf_smoke).collect()
     assert len(rows) == 5
     assert all(r["recall_floor_ok"] == 1 for r in rows)
     assert all(r["delta_reachable"] == 1 for r in rows)
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
-    t = spark.table(f"ivfpq_cycle_codes_{tag}")
+    # cycle table name carries the width-ruled cell config (round 13)
+    n_corpus = (
+        read_table_spread(spark, sf_smoke, "embeddings")
+        .where(F.col("vec_id") % EMB_DELTA_MOD != 0)
+        .count()
+    )
+    t = spark.table(f"ivfpq_cycle_codes_{tag}_c{suggest_ivf_cells(n_corpus)}")
     plan = (
         t.groupBy("cell").count()._jdf.queryExecution().executedPlan().toString()
     )

@@ -225,11 +225,11 @@ def test_bitext_mined_pairs_match_shortlist_mining(spark, sf_smoke):
     the fixture."""
     from gcd_etl_spark.operators.similarity import ivf_cells_udf
     from gcd_etl_spark.plans.similarity import (
-        BITEXT_NPROBE,
         _bitext_cos_ppm,
         _bitext_mine,
         _bitext_sides,
         bitext_mined_pairs,
+        bitext_nprobe,
         ensure_bitext_target_index,
     )
     from gcd_etl_spark.sources.catalog import read_table_spread
@@ -243,7 +243,7 @@ def test_bitext_mined_pairs_match_shortlist_mining(spark, sf_smoke):
         "src_id",
         "qa",
         "na",
-        F.explode(ivf_cells_udf(cent, BITEXT_NPROBE)(F.col("src_vec"))).alias(
+        F.explode(ivf_cells_udf(cent, bitext_nprobe(len(cent)))(F.col("src_vec"))).alias(
             "cell"
         ),
     )
