@@ -242,6 +242,89 @@ def synthesize_image_file(media_id: int) -> bytes:
     return b"\xff\xd8" + app0 + com + dqt + sof0 + sos + b"\xff\xd9"
 
 
+def synthesize_web_container_file(media_id: int) -> bytes:
+    """A web-container image for this id, rotating by ``media_id % 3``:
+
+    * GIF89a — FULLY spec-valid: signature, logical screen descriptor,
+      2-entry global color table, image descriptor, and a genuinely
+      DECODABLE LZW stream (min code size 2; the code sequence is
+      ``CLEAR, px, CLEAR, px, ..., EOI`` — resetting before every
+      pixel pins the code width at 3 bits, so the bit-packed length
+      stays id-arithmetic: bytes = ((2wh + 1) * 3 + 7) // 8, wrapped
+      in <=255-byte sub-blocks), trailer. Total byte count is closed
+      form: 32 + lzw_bytes + ceil(lzw_bytes / 255).
+    * WebP VP8L (lossless) — RIFF/WEBP container with the VP8L
+      signature byte and the 14+14+1+3-bit LSB-first geometry header
+      (the 5 bytes a parser needs); the huffman-coded image stream
+      after the header is absent, the same honest boundary as the
+      synthesized JPEG's missing entropy data after SOS. 26 bytes
+      (25 + 1 RIFF even-pad).
+    * WebP VP8 (lossy) — RIFF/WEBP with the 3-byte frame tag
+      (keyframe, version 0, show_frame, first-partition size 0), the
+      0x9D012A sync code, and 14-bit width/height u16s; DCT data
+      absent as above. 30 bytes.
+
+    All geometry derives from the id so the oracle restates it in
+    SQL; a wrong LZW sub-block wrap, LSB/MSB slip, or RIFF pad
+    misread breaks the value hash."""
+    import struct
+
+    fmt = media_id % 3
+    if fmt == 0:  # GIF89a
+        width = 1 + (media_id % 24)
+        height = 1 + (media_id % 16)
+        n_px = width * height
+        # LZW with min code size 2: codes CLEAR=4, EOI=5, 3 bits each,
+        # packed LSB-first; CLEAR before each pixel keeps width at 3.
+        codes = []
+        for _ in range(n_px):
+            codes += [4, 0]
+        codes.append(5)
+        acc = n_bits = 0
+        lzw = bytearray()
+        for c in codes:
+            acc |= c << n_bits
+            n_bits += 3
+            while n_bits >= 8:
+                lzw.append(acc & 0xFF)
+                acc >>= 8
+                n_bits -= 8
+        if n_bits:
+            lzw.append(acc & 0xFF)
+        blocks = b"".join(
+            bytes([len(lzw[i : i + 255])]) + bytes(lzw[i : i + 255])
+            for i in range(0, len(lzw), 255)
+        )
+        return (
+            b"GIF89a"
+            + struct.pack("<HHBBB", width, height, 0x80, 0, 0)  # LSD + GCT flag
+            + bytes(6)  # 2-entry global color table (black, black)
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+            + bytes([2])  # LZW minimum code size
+            + blocks
+            + b"\x00"  # block terminator
+            + b"\x3b"  # trailer
+        )
+    if fmt == 1:  # WebP VP8L (lossless) header
+        width = 1 + (media_id % 300)
+        height = 1 + (media_id % 200)
+        bits = (width - 1) | ((height - 1) << 14)  # alpha 0, version 0
+        payload = b"\x2f" + struct.pack("<I", bits)
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    # WebP VP8 (lossy) frame header
+    width = 1 + (media_id % 320)
+    height = 1 + (media_id % 240)
+    tag = 0 | (0 << 1) | (1 << 4) | (0 << 5)  # keyframe, ver 0, shown
+    payload = (
+        tag.to_bytes(3, "little")
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", width, height)
+    )
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def parse_media_header(payload: bytes) -> dict:
     """Parse REAL container headers out of raw bytes: RIFF/WAVE chunk
     walk (fmt + data chunks located by iteration, not fixed offsets —
@@ -306,12 +389,20 @@ def parse_media_header(payload: bytes) -> dict:
         while pos + 4 <= len(payload):  # marker walk per ITU T.81
             if payload[pos] != 0xFF:
                 break  # desynchronized: quarantine, don't guess
+            # ITU T.81 B.1.1.2 permits any number of 0xFF fill bytes
+            # before a marker id; step past them or the walk reads a
+            # fill byte as the marker and a bogus segment length
+            # (round-12 ADVICE)
+            while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
             marker = payload[pos + 1]
-            if marker == 0xD9:  # EOI
+            if marker == 0xFF or marker == 0xD9:  # trailing fill / EOI
                 break
             if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
                 pos += 2
                 continue
+            if pos + 4 > len(payload):  # fill skip may outrun the
+                break  # loop-top bound: truncated segment, quarantine
             (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 body = payload[pos + 4 : pos + 2 + seglen]  # any SOFn
@@ -323,6 +414,50 @@ def parse_media_header(payload: bytes) -> dict:
             if marker == 0xDA:  # SOS: entropy-coded data follows
                 break
             pos += 2 + seglen
+        return out
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # Logical Screen Descriptor immediately follows the 6-byte
+        # signature: canvas width/height as little-endian u16 (GIF89a
+        # spec §18) — no walk needed; frame data is LZW-compressed
+        # and stays behind the decode guard.
+        out["format"] = "gif"
+        if len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            out["width"], out["height"] = int(w), int(h)
+            out["channels"] = 3  # palette entries are RGB triples
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # RIFF chunk walk like WAV (even-padded chunks); geometry
+        # lives in whichever bitstream chunk is present: VP8L
+        # (lossless: 1 signature byte then width-1/height-1 as two
+        # 14-bit fields packed LSB-first + alpha bit), VP8 (lossy:
+        # 3-byte frame tag, 0x9D012A sync, then 14-bit width/height
+        # in little-endian u16s), or VP8X (extended: 24-bit LE
+        # canvas-1 fields).
+        out["format"] = "webp"
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid = payload[pos : pos + 4]
+            (csize,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            body = payload[pos + 8 : pos + 8 + csize]
+            if cid == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                out["width"] = (bits & 0x3FFF) + 1
+                out["height"] = ((bits >> 14) & 0x3FFF) + 1
+                out["channels"] = 4 if (bits >> 28) & 1 else 3
+                return out
+            if cid == b"VP8 " and len(body) >= 10 and body[3:6] == b"\x9d\x01\x2a":
+                (w,) = struct.unpack("<H", body[6:8])
+                (h,) = struct.unpack("<H", body[8:10])
+                out["width"], out["height"] = w & 0x3FFF, h & 0x3FFF
+                out["channels"] = 3
+                return out
+            if cid == b"VP8X" and len(body) >= 10:
+                out["width"] = 1 + int.from_bytes(body[4:7], "little")
+                out["height"] = 1 + int.from_bytes(body[7:10], "little")
+                out["channels"] = 4 if body[0] & 0x10 else 3
+                # keep walking: a bitstream chunk refines channels
+            pos += 8 + csize + (csize % 2)  # RIFF chunks pad to even
         return out
     if payload[:2] == b"P6":
         out["format"] = "ppm"

@@ -62,71 +62,72 @@ from gcd_etl_spark.plans import ml  # noqa: E402,F401
 #: name the value-oracled builds, so their first driver rows under
 #: the new semantics come first), the round-10 registrants, the two
 #: r3-vintage stragglers the r9 window listed past position 50, then
-#: the oldest (r4-vintage) rows, flagship trio always re-verified.
+#: the oldest (r4-vintage) rows, flagship trio always re-verified;
+#: r13 = below: the GIF/WebP registrant, the ten IVF-width-rule /
+#: replay-staging plan changes, flagship trio, then the ENTIRE
+#: r5-vintage backlog (34 names — drained completely per the r12
+#: verdict item 4).
 _DRIVER_WINDOW = [
-    # --- (a) round-12 registrants: the CAPPED semantic lifecycle
-    #     (nightly delta + ingest gate against the occupancy-capped
-    #     persisted index — the production default the r11 verdict
-    #     demanded) and the scale-runnable bitext gate (sampled
-    #     anchor, candidate-recall@1) — no driver row yet ---
-    "dedup_semantic_delta_vs_corpus_capped",
-    "stream_semantic_dedup_gate_capped",
+    # --- (a) round-13 registrant: GIF/WebP real header decode (no
+    #     driver row yet) ---
+    "mm_decode_real_headers_gif_webp",
+    # --- (b) queries whose PLANS round 13 changed: the WIDTH-RULED
+    #     IVF coarse quantizer (suggest_ivf_cells/suggest_ivf_nprobe
+    #     replacing the fixed 16/4 at every IVF call site; staged
+    #     index names now carry the cell config) and the
+    #     median-split replay staging that replaced the global-sort
+    #     ntile funnel — first driver rows under the new plans ---
+    "sim_ann_ivf",
+    "sim_ann_ivfsq8_recall",
+    "sim_ann_ivfsq8_persisted",
+    "sim_ann_ivfpq_recall",
+    "sim_ann_ivfpq_persisted",
+    "sim_ann_ivfpq_index_append",
+    "sim_bitext_margin_shortlist",
+    "sim_bitext_margin_persisted",
     "sim_bitext_margin_mined",
-    "mm_decode_real_headers_png_jpeg",
-    # --- (b) queries whose PLANS round 12 changed (the shared
-    #     _safe_bigrams short-doc guard across every adjacent-pair
-    #     site; substring-to-end parity at the DSIR/mix target
-    #     predicate) — first driver rows under the new expressions ---
-    "text_ngram_counts",
-    "sample_temperature_mix",
-    "quality_bigram_nll",
-    "quality_bigram_nll_delta",
-    "stream_quality_gate",
-    "corpus_dsir_weights",
-    "corpus_dsir_delta",
-    "stream_dsir_gate",
+    "stream_sessions_timeout",
     # --- (c) flagship trio, re-verified every round ---
     "gcd_snapshot",
     "gcd_snapshot_from_dump",
     "gcd_snapshot_bucketed",
-    # --- (d) the oldest backlog: every r4-vintage row (the ledger's
-    #     current staleness floor), then the r5 head, alphabetical ---
-    "sample_stratified",
-    "scalar_dates",
-    "scalar_datetime",
-    "scalar_defaults",
-    "scalar_dict_decode",
-    "scalar_higher_order",
-    "scalar_json",
-    "scalar_multi_split",
-    "scalar_strings",
-    "scalar_try_cast",
-    "scalar_variant",
-    "scd2_history",
-    "set_ops",
-    "skew_salted_join",
-    "snapshot_apply_cdc",
-    "snapshot_diff",
-    "sql_q12_priority_case",
-    "stream_dedup",
-    "stream_sessions",
-    "stream_sliding",
-    "stream_stateful_totals",
-    "stream_tumbling",
-    "text_token_stats",
-    "win_session",
-    "win_sliding",
-    "win_tumbling",
-    "window_analytics",
-    "window_topk_per_group",
-    "asof_join_events",
-    "assoc_pairs_lift",
-    "attribution_last_touch",
-    "bpe_learn_merges",
-    "chunk_sliding_tokens",
-    "corpus_mix_sampling",
-    "decontaminate_ngrams",
+    # --- (d) the oldest backlog, drained COMPLETELY: every query
+    #     whose latest driver row is r5 vintage (round-12 verdict
+    #     item 4 — 34 names, alphabetical) ---
     "dedup_ngram_jaccard",
+    "dedup_semantic_srp",
+    "dq_drift_psi",
+    "dump_datasource_roundtrip",
+    "emb_pca_power",
+    "events_funnel",
+    "events_sessionize_ids",
+    "events_streak_runs",
+    "graph_degree_topk",
+    "graph_link_prediction",
+    "join_interval_overlap",
+    "ml_knn_confusion",
+    "ml_naive_bayes_confusion",
+    "ml_ols_exact",
+    "mm_image_tiles",
+    "quality_repetition_ngrams",
+    "rank_fusion_rrf",
+    "resample_ffill",
+    "rollup_incremental_merge",
+    "rollup_time_hierarchy",
+    "scan_zonemap_prune",
+    "scd2_point_in_time",
+    "sketch_distinct_kmv",
+    "sketch_quantile_bound",
+    "stat_chi2_independence",
+    "stat_corr_exact",
+    "stream_apply_cdc",
+    "stream_late_drop",
+    "stream_sink_parquet",
+    "stream_stream_join",
+    "text_bm25_topk",
+    "ts_anomaly_mad",
+    "ts_changepoint_cusum",
+    "window_time_weighted_avg",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

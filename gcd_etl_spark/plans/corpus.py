@@ -1920,11 +1920,18 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The DSIR family's standing-corpus filtration name: callers passing
+#: ``docs.where(doc_id % DELTA_MOD != 0)`` use this tag; any other
+#: filtration must name itself (ensure_dsir_model's key contract).
+DSIR_STANDING_TAG = "standing"
+
+
 def ensure_dsir_model(
     spark: SparkSession,
     sf_dir: str,
     corpus_docs: DataFrame,
-    filter_tag: str = "",
+    *,
+    filter_tag: str,
 ):
     """The persisted DSIR model — the importance-resampling family's
     storage half, mirroring ensure_bigram_lm / ensure_corpus_band_index:
@@ -1937,14 +1944,19 @@ def ensure_dsir_model(
     restatement. <= DSIR_BUCKETS + 1 rows regardless of corpus size —
     the artifact a nightly delta probes without re-reading the corpus.
 
-    ARTIFACT-KEY CONTRACT (ADVICE round 11): the table name keys on
-    (sf dir, FULL documents fingerprint, ``filter_tag``) but trains
-    on the CALLER-filtered ``corpus_docs``. The default empty tag is
-    reserved for the family's standing-corpus convention
-    (``doc_id % DELTA_MOD != 0`` — what the nightly delta and the
-    ingest gate both pass, same as ensure_bigram_lm_index); a caller
-    training on any OTHER filtration must pass a distinct
-    ``filter_tag`` or it would silently reuse a mismatched model."""
+    ARTIFACT-KEY CONTRACT (ADVICE rounds 11 + 12): the table name
+    keys on (sf dir, FULL documents fingerprint, ``filter_tag``) but
+    trains on the CALLER-filtered ``corpus_docs`` — so the tag IS the
+    filtration's name and is REQUIRED, keyword-only, with no default
+    (round-12 ADVICE: a default empty tag let a caller training on a
+    non-standard filtration silently reuse a mismatched persisted
+    model). ``DSIR_STANDING_TAG`` names the family's standing-corpus
+    convention (``doc_id % DELTA_MOD != 0`` — what the nightly delta
+    and the ingest gate both pass, same as ensure_bigram_lm_index).
+    A training-frame checksum in the key was considered and rejected:
+    computing it means a full corpus_docs pass on EVERY probe run
+    just to resolve the table name — at 100 TB that is a nightly
+    corpus scan purchasing nothing the explicit tag doesn't."""
     import os as _os
     import re as _re
     import shutil as _shutil
@@ -1956,7 +1968,13 @@ def ensure_dsir_model(
 
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
     fp = table_fingerprint(sf_dir, "documents")
-    ftag = "" if not filter_tag else f"_{_re.sub(r'[^A-Za-z0-9_]', '_', filter_tag)}"
+    if not filter_tag:
+        raise ValueError(
+            "ensure_dsir_model requires an explicit filter_tag naming the "
+            f"corpus filtration (use DSIR_STANDING_TAG={DSIR_STANDING_TAG!r} "
+            "for the standing-corpus convention)"
+        )
+    ftag = f"_{_re.sub(r'[^A-Za-z0-9_]', '_', filter_tag)}"
     name = f"dsir_model_{tag}{ftag}_{fp}"
     if not spark.catalog.tableExists(name):
         warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
@@ -2128,7 +2146,9 @@ def corpus_dsir_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table_spread(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
-    model = ensure_dsir_model(spark, sf_dir, docs.where(~is_delta))
+    model = ensure_dsir_model(
+        spark, sf_dir, docs.where(~is_delta), filter_tag=DSIR_STANDING_TAG
+    )
     return score_docs_frozen_dsir(docs.where(is_delta), model)
 
 

@@ -891,13 +891,15 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from gcd_etl_spark.plans.corpus import ensure_dsir_model
+    from gcd_etl_spark.plans.corpus import DSIR_STANDING_TAG, ensure_dsir_model
     from gcd_etl_spark.plans.dedup import DELTA_MOD
     from gcd_etl_spark.sources.catalog import read_table_spread
 
     docs = read_table_spread(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
-    model = ensure_dsir_model(spark, sf_dir, docs.where(~is_delta))
+    model = ensure_dsir_model(
+        spark, sf_dir, docs.where(~is_delta), filter_tag=DSIR_STANDING_TAG
+    )
 
     tag = "{}_{}".format(
         os.path.basename(sf_dir.rstrip("/")).replace(".", "_"), uuid.uuid4().hex[:8]

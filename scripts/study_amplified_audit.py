@@ -141,6 +141,10 @@ TARGETS = {
     # round 12: PNG/JPEG header decode (same two-Arrow-hop shape as
     # mm_decode_real_headers — expect ~linear, flat per-row cost)
     "mm_decode_real_headers_png_jpeg": ["documents"],
+    # round 13: GIF/WebP header decode (same shape; GIF synthesis
+    # includes a real LZW bit-packing loop per row — still flat
+    # per-row cost, the frames are <=384 px by construction)
+    "mm_decode_real_headers_gif_webp": ["documents"],
 }
 
 ALL_TABLES = [

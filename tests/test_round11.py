@@ -711,14 +711,16 @@ def test_dsir_gate_batch_replay_idempotent(spark, sf_smoke, tmp_path):
     converged union is unchanged."""
     import pyspark.sql.functions as F
 
-    from gcd_etl_spark.plans.corpus import ensure_dsir_model
+    from gcd_etl_spark.plans.corpus import DSIR_STANDING_TAG, ensure_dsir_model
     from gcd_etl_spark.plans.dedup import DELTA_MOD
     from gcd_etl_spark.plans.streaming_plans import dsir_gate_batch_fn
     from gcd_etl_spark.sources.catalog import read_table_spread
 
     docs = read_table_spread(spark, sf_smoke, "documents")
     is_delta = F.col("doc_id") % DELTA_MOD == 0
-    model = ensure_dsir_model(spark, sf_smoke, docs.where(~is_delta))
+    model = ensure_dsir_model(
+        spark, sf_smoke, docs.where(~is_delta), filter_tag=DSIR_STANDING_TAG
+    )
     out_root = str(tmp_path / "dsirgate_out")
     gate = dsir_gate_batch_fn(model, out_root)
     delta = docs.where(is_delta)

@@ -103,6 +103,7 @@ def test_frozen_scorers_survive_short_documents(spark, sf_smoke):
     scorers now yield zero bigram features and score the unigrams
     (or drop the empty doc) instead of erroring."""
     from gcd_etl_spark.plans.corpus import (
+        DSIR_STANDING_TAG,
         ensure_bigram_lm_index,
         ensure_dsir_model,
         score_docs_frozen_bigram_lm,
@@ -117,7 +118,7 @@ def test_frozen_scorers_survive_short_documents(spark, sf_smoke):
         [(900001, "word"), (900002, ""), (900003, "  ,  ")],
         "doc_id long, text string",
     )
-    model = ensure_dsir_model(spark, sf_smoke, corpus)
+    model = ensure_dsir_model(spark, sf_smoke, corpus, filter_tag=DSIR_STANDING_TAG)
     got = score_docs_frozen_dsir(short, model).collect()
     # the 1-token doc scores its unigram; the empty docs yield no rows
     assert {r["doc_id"] for r in got} == {900001}
@@ -130,14 +131,17 @@ def test_ensure_dsir_model_filter_tag_keys_table(spark, sf_smoke):
     DIFFERENT persisted artifact (ADVICE round 11: the default name
     keyed only on the full-documents fingerprint, silently reusing a
     mismatched model)."""
-    from gcd_etl_spark.plans.corpus import ensure_dsir_model
+    from gcd_etl_spark.plans.corpus import (
+        DSIR_STANDING_TAG,
+        ensure_dsir_model,
+    )
     from gcd_etl_spark.plans.dedup import DELTA_MOD
     from gcd_etl_spark.sources.catalog import read_table_spread
 
     docs = read_table_spread(spark, sf_smoke, "documents")
     corpus = docs.where(F.col("doc_id") % DELTA_MOD != 0)
     half = corpus.where(F.col("doc_id") % 2 == 0)
-    base = ensure_dsir_model(spark, sf_smoke, corpus)
+    base = ensure_dsir_model(spark, sf_smoke, corpus, filter_tag=DSIR_STANDING_TAG)
     tagged = ensure_dsir_model(spark, sf_smoke, half, filter_tag="even-half")
     rows = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
     assert rows(base) != rows(tagged)
