@@ -435,6 +435,36 @@ def _run_tier(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    if "--tier=amplified" in sys.argv[1:]:
+        # Standing amplified-scale audit (round-12 verdict item 5):
+        # ONE command over the bench LIFECYCLE tier — fresh JVM per
+        # query, 1x/8x key-disjoint amplified inputs, min-of-2 at
+        # BOTH amps (steady-state probe, not one-time index staging),
+        # plan-shape features at both ends, and the mechanical
+        # exponent gate (EXP_CEILINGS). Emits the machine-readable
+        # artifact the round record commits as AMPLIFIED_r{N}.json
+        # and prints it as one JSON line.
+        import subprocess
+
+        out_path = os.path.abspath("AMPLIFIED.json")
+        for a in sys.argv[1:]:
+            if a.startswith("--json="):
+                out_path = os.path.abspath(a.split("=", 1)[1])
+        script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "scripts", "study_amplified_audit.py",
+        )
+        rc = subprocess.run(
+            [sys.executable, script, sf_dir, "1", "8", "--per-query",
+             "--tier=lifecycle", f"--json={out_path}", "--runs=2"],
+        ).returncode
+        if rc != 0:
+            sys.exit(rc)
+        with open(out_path) as fh:
+            print(json.dumps(json.load(fh)))
+        return
+
     import tempfile
 
     log_path = os.path.join(tempfile.mkdtemp(prefix="gcd_bench_"), "bench-jvm.log")

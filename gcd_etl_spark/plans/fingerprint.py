@@ -98,6 +98,13 @@ def plan_fingerprint(df) -> list[str]:
         extra: list[str] = []
         det = details.get(nid or "", [])
         if label.startswith("Scan"):
+            # Catalog-table scans carry the staged name IN the label
+            # (``Scan parquet spark_catalog.default.ivfsq8_index_
+            # sf0_001_<fp>_c32``) — normalize it the same way as the
+            # Location basename, or a testdata refresh (new mtimes ->
+            # new staging fingerprints) breaks the gate with no code
+            # change (observed live at round 13).
+            label = _norm_name(label)
             for d in det:
                 dm = re.search(r"\[[a-z0-9]+:(.+?)\]?$", d.strip())
                 if d.strip().startswith("Location") and dm:

@@ -25,11 +25,28 @@ scripts/study_bucketed_sweep.py (BASELINE.md round 8: fixed bucket
 count is a parallelism cap; re-stage buckets as data grows).
 
 Usage: python scripts/study_amplified_audit.py [sf_dir] [amps...]
+           [--per-query] [--tier=lifecycle] [--json=PATH] [--runs=N]
 Writes a markdown table to stdout; paste into BASELINE.md.
+
+STANDING MODE (round-12 verdict item 5 — "make scale regressions as
+mechanical as the bench floors"): ``--tier=lifecycle --json=PATH``
+restricts the audit to the bench LIFECYCLE tier (bench.py's exact
+name list) and emits ONE machine-readable JSON artifact:
+per-query walls at each amp, the scaling exponent, plan-shape
+features at both ends, and a ``flagged`` list of queries whose
+exponent exceeds its recorded ceiling (EXP_CEILINGS — default 1.35 =
+linear + noise margin; documented workload-superlinear rows carry
+explicit higher ceilings with the reason inline). The round record
+commits the artifact as AMPLIFIED_r{N}.json; a non-empty ``flagged``
+is the audit failing, same semantics as the bench floor trigger.
+``--runs=N`` forces min-of-N at EVERY amp (standing mode wants the
+steady-state probe at 8x too, not a first run that folds one-time
+index staging into the wall).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import re
@@ -145,6 +162,43 @@ TARGETS = {
     # includes a real LZW bit-packing loop per row — still flat
     # per-row cost, the frames are <=384 px by construction)
     "mm_decode_real_headers_gif_webp": ["documents"],
+    # round 13 (standing lifecycle runner): the three bench-LIFECYCLE
+    # rows the ad-hoc audits never covered — the MinHash-band delta
+    # probe, the band-index APPEND cycle, and the PQ persisted probe
+    # (same fixed-query-set denominator as the recall row, so the
+    # amplified wall measures the probe path, not an in-plan anchor).
+    "dedup_delta_vs_corpus": ["documents"],
+    "dedup_index_append_cycle": ["documents"],
+    "sim_ann_ivfpq_persisted": ["embeddings"],
+}
+
+#: Mechanical exponent gate for the STANDING lifecycle audit: wall
+#: exponent (log(w_hi/w_lo)/log(hi/lo), min-of-N walls) above the
+#: ceiling -> the query lands in the JSON's ``flagged`` list. Default
+#: ceiling 1.35 = linear workload + measurement margin (the bench
+#: floor-trigger analog). Rows whose AMPLIFIED WORKLOAD is documented
+#: superlinear (suffix-token amplification makes document copies
+#: near-duplicates ACROSS copies, so cross-copy gram/band sharing
+#: grows with k — see the TARGETS comments) carry explicit ceilings:
+#: for them the gate still catches a plan-shape regression (their
+#: recorded exps sit well under these), it just doesn't re-litigate
+#: the fixture's geometry every round.
+EXP_CEILING_DEFAULT = 1.35
+#: Absolute slack on the gate: a row is flagged only when its high-amp
+#: wall exceeds w_lo * (hi/lo)^ceiling by MORE than this many seconds
+#: (bench FLOOR_MIN_BASE_SEC's analog — a 0.5 s probe "doubling" at 8x
+#: is scheduler/JVM noise, not a plan regression; real superlinearity
+#: on tier-sized rows clears 1 s immediately).
+EXP_EXCESS_SLACK_S = 1.0
+EXP_CEILINGS = {
+    # cross-copy near-dup components span copies by construction
+    "dedup_keep_canonical": 1.8,
+    "dedup_crossdoc_spans": 1.8,
+    "dedup_span_excision": 1.8,
+    "dedup_crossdoc_delta": 1.8,
+    "stream_dedup_against_corpus": 1.8,
+    "dedup_delta_vs_corpus": 1.8,
+    "dedup_index_append_cycle": 1.8,
 }
 
 ALL_TABLES = [
@@ -267,6 +321,18 @@ def stage_dir(spark, sf_dir: str, k: int, scratch_root: str) -> str:
     return d
 
 
+def is_flagged(rec: dict, amps: list[int]) -> bool:
+    """Mechanical gate: exponent over ceiling AND wall excess over the
+    absolute slack (see EXP_EXCESS_SLACK_S)."""
+    lo, hi = amps[0], amps[-1]
+    w_lo = rec["walls"][str(lo)]
+    w_hi = rec["walls"][str(hi)]
+    expected_hi = w_lo * (hi / lo) ** rec["ceiling"]
+    return rec["exp"] > rec["ceiling"] and (
+        w_hi - expected_hi > EXP_EXCESS_SLACK_S
+    )
+
+
 _PLAN_MARKS = (
     ("exchanges", "Exchange"),
     ("bhj", "BroadcastHashJoin"),
@@ -305,6 +371,33 @@ def main() -> None:
     per_query = "--per-query" in argv
     if per_query:
         argv.remove("--per-query")
+    tier, json_path, forced_runs = "all", None, None
+    passthrough = []
+    for a in list(argv):
+        if a.startswith("--tier="):
+            tier = a.split("=", 1)[1]
+            argv.remove(a)
+            passthrough.append(a)
+        elif a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            argv.remove(a)
+        elif a.startswith("--runs="):
+            forced_runs = int(a.split("=", 1)[1])
+            argv.remove(a)
+            passthrough.append(a)
+    if tier not in ("all", "lifecycle"):
+        print(f"unknown --tier={tier}; use all|lifecycle", file=sys.stderr)
+        sys.exit(2)
+    if tier == "lifecycle":
+        # the bench tier's exact name list: the standing audit and the
+        # bench floor gate cover the same surface by construction.
+        from bench import LIFECYCLE
+
+        missing = [n for n in LIFECYCLE if n not in TARGETS]
+        if missing:  # fail loud: a tier addition must extend TARGETS
+            raise RuntimeError(f"LIFECYCLE rows without audit targets: {missing}")
+        for k in [t for t in TARGETS if t not in LIFECYCLE]:
+            del TARGETS[k]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     amps = [int(a) for a in argv[1:]] or [1, 4, 8]
     if per_query and not os.environ.get("GCD_AUDIT_ONLY"):
@@ -315,6 +408,10 @@ def main() -> None:
         # reused (row-count-verified) by the rest.
         import subprocess
 
+        frag_dir = f"{json_path}.frags" if json_path else None
+        if frag_dir:
+            os.makedirs(frag_dir, exist_ok=True)
+        failed = {}
         for name in TARGETS:
             # 32 local threads share ONE heap here; a cluster gives
             # every executor its own. Default the audit JVM to 32g so
@@ -323,13 +420,33 @@ def main() -> None:
             # a shared 8g heap) — still overridable from outside.
             env = dict(os.environ, GCD_AUDIT_ONLY=name)
             env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), sf_dir]
-                + [str(a) for a in amps],
-                env=env,
-            )
+            child = [sys.executable, os.path.abspath(__file__), sf_dir]
+            child += [str(a) for a in amps] + passthrough
+            if frag_dir:
+                child.append(f"--json={os.path.join(frag_dir, name + '.json')}")
+            r = subprocess.run(child, env=env)
             if r.returncode != 0:
                 print(f"| {name} | FAILED (rc={r.returncode}) |", flush=True)
+                failed[name] = r.returncode
+        if json_path:
+            merged = {
+                "sf_dir": sf_dir, "amps": amps,
+                "runs": forced_runs or "2@lo/1@hi", "tier": tier,
+                "queries": {}, "failed": failed, "flagged": [],
+            }
+            for name in TARGETS:
+                frag = os.path.join(frag_dir, name + ".json")
+                if os.path.exists(frag):
+                    with open(frag) as fh:
+                        merged["queries"].update(json.load(fh)["queries"])
+            merged["flagged"] = sorted(
+                n for n, rec in merged["queries"].items()
+                if is_flagged(rec, amps)
+            )
+            with open(json_path, "w") as fh:
+                json.dump(merged, fh, indent=1, sort_keys=True)
+            print(f"wrote {json_path}; flagged={merged['flagged']}",
+                  file=sys.stderr, flush=True)
         return
     only = os.environ.get("GCD_AUDIT_ONLY")
     if only:  # re-measure a subset (comma-separated) without re-running all
@@ -345,10 +462,11 @@ def main() -> None:
     print(f"| query | " + " | ".join(f"{k}x" for k in amps)
           + " | exp | plan 1x -> max (exch/bhj/smj/wsc/skew) |")
     print("|---|" + "---|" * (len(amps) + 2))
+    records = {}
     for name in TARGETS:
         walls, flo, fhi = {}, {}, {}
         for k in amps:
-            runs = 2 if k == amps[0] else 1
+            runs = forced_runs or (2 if k == amps[0] else 1)
             print(f"## running {name} @ {k}x", file=sys.stderr, flush=True)
             walls[k], feats = run_one(spark, name, dirs[k], runs)
             if k == amps[0]:
@@ -366,6 +484,24 @@ def main() -> None:
         print(f"| {name} | "
               + " | ".join(f"{walls[k]:.1f}" for k in amps)
               + f" | {exp:.2f} | {fs(flo)} -> {fs(fhi)} |", flush=True)
+        records[name] = {
+            "walls": {str(k): round(walls[k], 2) for k in amps},
+            "exp": round(exp, 3),
+            "ceiling": EXP_CEILINGS.get(name, EXP_CEILING_DEFAULT),
+            "plan_lo": flo, "plan_hi": fhi,
+        }
+    if json_path:
+        out = {
+            "sf_dir": sf_dir, "amps": amps,
+            "runs": forced_runs or "2@lo/1@hi", "tier": tier,
+            "queries": records,
+            "flagged": sorted(
+                n for n, rec in records.items()
+                if is_flagged(rec, amps)
+            ),
+        }
+        with open(json_path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
     spark.stop()
 
 

@@ -345,3 +345,50 @@ def test_acquisition_artifact_feeds_distributed_tokenizer(
     )
     assert res2.skipped and res2.filename is None
     assert load_history(hist) == [ts]
+
+
+# ---------------- standing amplified-audit runner (r12 verdict #5)
+def test_amplified_audit_covers_lifecycle_tier():
+    """--tier=lifecycle restricts to bench's LIFECYCLE names and the
+    fail-loud invariant holds: every tier row has an audit target (a
+    tier addition without one raises at runner start, so the standing
+    audit can never silently narrow as the tier grows)."""
+    import bench
+    from scripts.study_amplified_audit import EXP_CEILINGS, TARGETS
+
+    missing = [n for n in bench.LIFECYCLE if n not in TARGETS]
+    assert not missing, f"LIFECYCLE rows without audit targets: {missing}"
+    # ceilings only name real targets (a typo'd override is dead code)
+    assert set(EXP_CEILINGS) <= set(TARGETS)
+
+
+def test_amplified_audit_flag_gate():
+    """The mechanical gate: exponent over ceiling AND wall excess over
+    the absolute slack. A sub-second probe 'doubling' at 8x (noise)
+    must NOT flag; a tier-sized row genuinely superlinear must."""
+    from scripts.study_amplified_audit import is_flagged
+
+    amps = [1, 8]
+    # 0.4 s -> 1.1 s: exp 0.49... under ceiling anyway; make exp high
+    noisy = {"walls": {"1": 0.2, "8": 4.0}, "exp": 1.44, "ceiling": 1.35}
+    # expected_hi = 0.2 * 8^1.35 = 3.32; excess 0.68 < 1.0 slack
+    assert not is_flagged(noisy, amps)
+    real = {"walls": {"1": 5.0, "8": 120.0}, "exp": 1.53, "ceiling": 1.35}
+    # expected_hi = 5 * 8^1.35 = 82.9; excess 37 s >> slack
+    assert is_flagged(real, amps)
+    under = {"walls": {"1": 5.0, "8": 38.0}, "exp": 0.98, "ceiling": 1.35}
+    assert not is_flagged(under, amps)
+
+
+def test_fingerprint_normalizes_catalog_scan_label():
+    """Catalog-table scan labels embed the staged-index fingerprint
+    (spark_catalog.default.<name>_<fp8>_c32); the normalizer must
+    strip it from the LABEL, not just the Location detail — a
+    testdata refresh re-fingerprints every staged index and must not
+    break the plan gate with zero code change (observed live r13)."""
+    from gcd_etl_spark.plans.fingerprint import _norm_name
+
+    assert (
+        _norm_name("Scan parquet spark_catalog.default.ivfsq8_index_sf0_001_312b4259_c32")
+        == "Scan parquet spark_catalog.default.ivfsq8_index_<sf>_c32"
+    )
