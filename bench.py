@@ -439,8 +439,9 @@ def main() -> None:
     if "--tier=amplified" in sys.argv[1:]:
         # Standing amplified-scale audit (round-12 verdict item 5):
         # ONE command over the bench LIFECYCLE tier — fresh JVM per
-        # query, 1x/8x key-disjoint amplified inputs, min-of-2 at
-        # BOTH amps (steady-state probe, not one-time index staging),
+        # query, 1x/8x key-disjoint amplified inputs, untimed warmup
+        # + min-of-2 at both amps (steady-state probe, not one-time
+        # index staging or its GC aftermath),
         # plan-shape features at both ends, and the mechanical
         # exponent gate (EXP_CEILINGS). Emits the machine-readable
         # artifact the round record commits as AMPLIFIED_r{N}.json

@@ -128,6 +128,11 @@ _DRIVER_WINDOW = [
     "ts_anomaly_mad",
     "ts_changepoint_cusum",
     "window_time_weighted_avg",
+    # --- (e) fill to the driver's 50: the r6-vintage drain begins
+    #     (46 names outstanding, alphabetical; the rest are r14's
+    #     backlog section) ---
+    "ab_test_assignment",
+    "agg_tree_rollup",
 ]
 
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]

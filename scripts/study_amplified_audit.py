@@ -39,9 +39,10 @@ linear + noise margin; documented workload-superlinear rows carry
 explicit higher ceilings with the reason inline). The round record
 commits the artifact as AMPLIFIED_r{N}.json; a non-empty ``flagged``
 is the audit failing, same semantics as the bench floor trigger.
-``--runs=N`` forces min-of-N at EVERY amp (standing mode wants the
-steady-state probe at 8x too, not a first run that folds one-time
-index staging into the wall).
+``--runs=N`` forces one UNTIMED warmup + min-of-N at EVERY amp
+(standing mode wants the steady-state probe at 8x too, not a first
+run that folds one-time index staging into the wall — or a second
+run paying that staging's GC aftermath).
 """
 
 from __future__ import annotations
@@ -351,19 +352,31 @@ def plan_features(df) -> dict[str, int]:
     return out
 
 
-def run_one(spark, name: str, d: str, runs: int) -> tuple[float, dict]:
+def run_one(
+    spark, name: str, d: str, runs: int, warmup: bool = False
+) -> tuple[float, dict, list[float]]:
+    """min wall + plan features + all timed walls. ``warmup`` runs one
+    UNTIMED execution first — standing mode needs it: one-time index
+    staging (Lloyd/PQ training, bucketed writes) lands in run 1 and
+    its JVM aftermath (GC of the collected training set) measurably
+    bleeds into run 2, so min-of-2 alone reported a 4x-inflated 1x
+    wall for the persisted-index rows (observed: ivfpq_recall 32.8 s
+    min-of-2-with-staging vs 7.3 s steady state on the same dir)."""
     q = QUERIES[name]
-    best, feats = float("inf"), {}
+    if warmup:
+        q.build(spark, d).write.format("noop").mode("overwrite").save()
+    best, feats, walls = float("inf"), {}, []
     for _ in range(runs):
         t0 = time.perf_counter()
         df = q.build(spark, d)
         df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
+        walls.append(round(time.perf_counter() - t0, 2))
+        best = min(best, walls[-1])
         try:
             feats = plan_features(df)
         except Exception:  # noqa: BLE001 — streaming results have no plan
             feats = {}
-    return best, feats
+    return best, feats, walls
 
 
 def main() -> None:
@@ -464,11 +477,13 @@ def main() -> None:
     print("|---|" + "---|" * (len(amps) + 2))
     records = {}
     for name in TARGETS:
-        walls, flo, fhi = {}, {}, {}
+        walls, flo, fhi, all_walls = {}, {}, {}, {}
         for k in amps:
             runs = forced_runs or (2 if k == amps[0] else 1)
             print(f"## running {name} @ {k}x", file=sys.stderr, flush=True)
-            walls[k], feats = run_one(spark, name, dirs[k], runs)
+            walls[k], feats, all_walls[k] = run_one(
+                spark, name, dirs[k], runs, warmup=forced_runs is not None
+            )
             if k == amps[0]:
                 flo = feats
             fhi = feats
@@ -486,6 +501,7 @@ def main() -> None:
               + f" | {exp:.2f} | {fs(flo)} -> {fs(fhi)} |", flush=True)
         records[name] = {
             "walls": {str(k): round(walls[k], 2) for k in amps},
+            "walls_all": {str(k): all_walls[k] for k in amps},
             "exp": round(exp, 3),
             "ceiling": EXP_CEILINGS.get(name, EXP_CEILING_DEFAULT),
             "plan_lo": flo, "plan_hi": fhi,
