@@ -145,9 +145,22 @@ RECORDED_BASE = {
         "stream_quality_gate": 4.107,
         "stream_semantic_dedup_gate_capped": 5.721,
         "stream_dedup_against_corpus": 6.377,
-        "stream_sessions_timeout": 14.111, "sim_ann_ivfpq_recall": 4.504,
-        "sim_ann_ivfpq_persisted": 2.525, "sim_ann_ivfpq_index_append": 6.6,
-        "sim_bitext_margin_mined": 9.566,
+        "stream_sessions_timeout": 14.111,
+        # IVF-family bases re-recorded after the round-13 width rule
+        # (r12 numbers measured the FIXED 16/4 quantizer; at sf0.1 the
+        # rule stages c64/p16 — ANN — and p32 — bitext — so probe
+        # density is 4x and the walls legitimately shifted +15-25%
+        # beyond the ~+10% box drift the unchanged rows showed that
+        # day). Values are the fresh-JVM floor minima the r13 floor
+        # pass recorded (index_append 9.02, bitext 11.805) / the
+        # in-process min-of-2 for the two rows the mover cap skipped
+        # (recall 5.241, persisted 3.124). The trade is documented in
+        # BASELINE.md round 13: recall@10 0.42 -> 0.58 at 1x and
+        # HOLDING 0.58-0.64 to 32x where fixed 16/4 breaches the 0.3
+        # floor at 8x.
+        "sim_ann_ivfpq_recall": 5.241,
+        "sim_ann_ivfpq_persisted": 3.124, "sim_ann_ivfpq_index_append": 9.02,
+        "sim_bitext_margin_mined": 11.805,
         "corpus_shuffle_shards_write": 1.997, "corpus_dsir_delta": 0.465,
     },
 }
