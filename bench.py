@@ -473,11 +473,13 @@ def main() -> None:
             [sys.executable, script, sf_dir, "1", "8", "--per-query",
              "--tier=lifecycle", f"--json={out_path}", "--runs=2"],
         ).returncode
-        if rc != 0:
-            sys.exit(rc)
-        with open(out_path) as fh:
-            print(json.dumps(json.load(fh)))
-        return
+        # print whatever artifact exists BEFORE propagating rc — a
+        # failed/flagged audit (rc 1) still wrote its evidence, and
+        # the consumer needs both the JSON and the nonzero status
+        if os.path.exists(out_path):
+            with open(out_path) as fh:
+                print(json.dumps(json.load(fh)))
+        sys.exit(rc)
 
     import tempfile
 

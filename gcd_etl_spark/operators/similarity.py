@@ -280,15 +280,21 @@ def ivf_topk(
     (suggest_ivf_cells / suggest_ivf_nprobe — round-13: the fixed
     16/4 config degraded through the recall floor at 8x).
     """
-    if n_cells is None or nprobe is None:
-        n_rows = corpus.count()
-        if n_cells is None:
-            n_cells = suggest_ivf_cells(n_rows)
-        if nprobe is None:
-            nprobe = suggest_ivf_nprobe(n_cells)
+    n_rows = corpus.count()
+    if n_cells is None:
+        n_cells = suggest_ivf_cells(n_rows)
+    if nprobe is None:
+        nprobe = suggest_ivf_nprobe(n_cells)
+    # Sample stride derives from the CORPUS size, not a fixed pool:
+    # the old ``1000 // n_cells`` collapsed to stride 1 once the
+    # width rule pushed n_cells past 1000 (and covered only the
+    # lowest 1000 ids below that), making the quantizer an id-prefix
+    # sample — id-correlated corpora (amplified copies are id-offset
+    # blocks) would then funnel most rows into few cells (round-13
+    # review finding).
     cent_rows = (
         corpus.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-        .where(F.col("cent_id") % F.lit(max(1, 1000 // n_cells)) == 0)
+        .where(F.col("cent_id") % F.lit(max(1, n_rows // n_cells)) == 0)
         .orderBy("cent_id")
         .limit(n_cells)
         .collect()

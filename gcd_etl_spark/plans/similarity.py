@@ -402,8 +402,12 @@ def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
     # width-rule the coarse quantizer at (re)staging (round-13 item 1)
     # and carry the config in the name so a differently-configured
-    # index can never shadow this one
-    n_cells = S.suggest_ivf_cells(emb.count())
+    # index can never shadow this one. The count for NAME RESOLUTION
+    # reads the plain parquet scan, not the spread frame the caller
+    # passes — counting through the parallelism repartition shuffled
+    # the full vector table on every probe just to spell the table
+    # name (round-13 review finding); row count is identical.
+    n_cells = S.suggest_ivf_cells(read_table(spark, sf_dir, "embeddings").count())
     tag = f"{tag}_c{n_cells}"
     idx_name = f"ivfsq8_index_{tag}"
     cent_name = f"ivfsq8_centroids_{tag}"
@@ -589,8 +593,9 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
     # width-rule the coarse quantizer at (re)staging (round-13 item 1)
     # and carry the config in the name so a differently-configured
-    # index can never shadow this one
-    n_cells = S.suggest_ivf_cells(emb.count())
+    # index can never shadow this one (name-resolution count on the
+    # plain scan, not the spread frame — see ensure_ivfsq8_index)
+    n_cells = S.suggest_ivf_cells(read_table(spark, sf_dir, "embeddings").count())
     tag = f"{tag}_c{n_cells}"
     codes_name = f"ivfpq_codes_{tag}"
     cent_name = f"ivfpq_centroids_{tag}"
@@ -1240,8 +1245,15 @@ def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
     tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
     # width-rule the target-side quantizer at (re)staging (round-13
     # item 1) and carry the config in the name so a differently-
-    # configured index can never shadow this one
-    n_cells = bitext_cells(b.count())
+    # configured index can never shadow this one. Name-resolution
+    # count re-applies the target predicate (label odd —
+    # _bitext_sides) on the PLAIN scan instead of counting the
+    # spread+quantized frame (round-13 review finding); same rows.
+    n_cells = bitext_cells(
+        read_table(spark, sf_dir, "embeddings")
+        .where(F.col("label") % 2 == 1)
+        .count()
+    )
     tag = f"{tag}_c{n_cells}"
     idx_name = f"bitext_tgt_idx_{tag}"
     cent_name = f"bitext_tgt_cent_{tag}"

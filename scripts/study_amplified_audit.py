@@ -322,6 +322,29 @@ def stage_dir(spark, sf_dir: str, k: int, scratch_root: str) -> str:
     return d
 
 
+def write_artifact(
+    json_path: str,
+    sf_dir: str,
+    amps: list[int],
+    runs,
+    tier: str,
+    records: dict,
+    failed: dict,
+) -> dict:
+    """The ONE artifact writer (parent merge and child frag share it —
+    a field added to one cannot silently diverge the other)."""
+    out = {
+        "sf_dir": sf_dir, "amps": amps, "runs": runs, "tier": tier,
+        "queries": records, "failed": failed,
+        "flagged": sorted(
+            n for n, rec in records.items() if is_flagged(rec, amps)
+        ),
+    }
+    with open(json_path, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    return out
+
+
 def is_flagged(rec: dict, amps: list[int]) -> bool:
     """Mechanical gate: exponent over ceiling AND wall excess over the
     absolute slack (see EXP_EXCESS_SLACK_S)."""
@@ -423,7 +446,15 @@ def main() -> None:
 
         frag_dir = f"{json_path}.frags" if json_path else None
         if frag_dir:
-            os.makedirs(frag_dir, exist_ok=True)
+            # Clear stale fragments: a previous run's frag (possibly
+            # at different amps) must not be merged as this run's data
+            # when a child fails before writing its own (round-13
+            # review finding — a stale [1,4] frag under a [1,8] merge
+            # KeyErrors the whole audit at the final step).
+            import shutil
+
+            shutil.rmtree(frag_dir, ignore_errors=True)
+            os.makedirs(frag_dir)
         failed = {}
         for name in TARGETS:
             # 32 local threads share ONE heap here; a cluster gives
@@ -442,24 +473,24 @@ def main() -> None:
                 print(f"| {name} | FAILED (rc={r.returncode}) |", flush=True)
                 failed[name] = r.returncode
         if json_path:
-            merged = {
-                "sf_dir": sf_dir, "amps": amps,
-                "runs": forced_runs or "2@lo/1@hi", "tier": tier,
-                "queries": {}, "failed": failed, "flagged": [],
-            }
+            records: dict = {}
             for name in TARGETS:
                 frag = os.path.join(frag_dir, name + ".json")
                 if os.path.exists(frag):
                     with open(frag) as fh:
-                        merged["queries"].update(json.load(fh)["queries"])
-            merged["flagged"] = sorted(
-                n for n, rec in merged["queries"].items()
-                if is_flagged(rec, amps)
+                        records.update(json.load(fh)["queries"])
+            merged = write_artifact(
+                json_path, sf_dir, amps, forced_runs or "2@lo/1@hi",
+                tier, records, failed,
             )
-            with open(json_path, "w") as fh:
-                json.dump(merged, fh, indent=1, sort_keys=True)
-            print(f"wrote {json_path}; flagged={merged['flagged']}",
-                  file=sys.stderr, flush=True)
+            print(f"wrote {json_path}; flagged={merged['flagged']}; "
+                  f"failed={sorted(failed)}", file=sys.stderr, flush=True)
+            if failed or merged["flagged"]:
+                # the gate FAILING must reach exit status — a consumer
+                # keying on rc (bench --tier=amplified, CI) must not
+                # see success for an audit that lost rows or flagged
+                # a superlinear query (round-13 review finding)
+                sys.exit(1)
         return
     only = os.environ.get("GCD_AUDIT_ONLY")
     if only:  # re-measure a subset (comma-separated) without re-running all
@@ -507,17 +538,10 @@ def main() -> None:
             "plan_lo": flo, "plan_hi": fhi,
         }
     if json_path:
-        out = {
-            "sf_dir": sf_dir, "amps": amps,
-            "runs": forced_runs or "2@lo/1@hi", "tier": tier,
-            "queries": records,
-            "flagged": sorted(
-                n for n, rec in records.items()
-                if is_flagged(rec, amps)
-            ),
-        }
-        with open(json_path, "w") as fh:
-            json.dump(out, fh, indent=1, sort_keys=True)
+        write_artifact(
+            json_path, sf_dir, amps, forced_runs or "2@lo/1@hi",
+            tier, records, {},
+        )
     spark.stop()
 
 
