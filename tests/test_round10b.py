@@ -322,7 +322,12 @@ def test_bitext_persisted_index_reuse_and_scan(spark, sf_smoke):
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
     fp = table_fingerprint(sf_smoke, "embeddings")
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    idx_dir = os.path.join(warehouse, f"bitext_tgt_idx_{tag}_{fp}")
+    # the width-ruled quantizer (r13) suffixes the staged name with
+    # its cell count — resolve the concrete dir by glob
+    import glob as _glob
+    [idx_dir] = _glob.glob(
+        os.path.join(warehouse, f"bitext_tgt_idx_{tag}_{fp}_c*")
+    )
     files_before = sorted(os.listdir(idx_dir))
     QUERIES["sim_bitext_margin_persisted"].build(spark, sf_smoke)
     files_after = sorted(os.listdir(idx_dir))

@@ -402,8 +402,14 @@ def test_ivfsq8_persisted_index_reuse_plan_shape(spark, sf_smoke):
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_smoke.rstrip("/")))
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     from gcd_etl_spark.sources.catalog import table_fingerprint
-    idx_dir = os.path.join(
-        warehouse, f"ivfsq8_index_{tag}_{table_fingerprint(sf_smoke, 'embeddings')}"
+    # the width-ruled quantizer (r13) suffixes the staged name with
+    # its cell count — resolve the concrete dir by glob
+    import glob as _glob
+    [idx_dir] = _glob.glob(
+        os.path.join(
+            warehouse,
+            f"ivfsq8_index_{tag}_{table_fingerprint(sf_smoke, 'embeddings')}_c*",
+        )
     )
     files_before = sorted(os.listdir(idx_dir))
     QUERIES["sim_ann_ivfsq8_persisted"].build(spark, sf_smoke)
