@@ -217,6 +217,23 @@ def minhash_lsh_candidates(
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+) -> DataFrame:
+    """(_sid, _shingles): the per-document shingle sets the Jaccard
+    verify joins against — factored out (round 13) so callers can
+    hand ``jaccard_pairs`` a SMALLER side (the delta/batch frame when
+    every id_a is a delta id) or a pre-materialized one (the
+    streaming gates checkpoint the corpus side once per run instead
+    of re-shingling the whole corpus inside every micro-batch)."""
+    return df.select(
+        F.col(id_col).alias("_sid"), shingles(text_col, k=k_shingle).alias("_shingles")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -224,18 +241,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     threshold: float = 0.5,
+    sets_a: DataFrame | None = None,
+    sets_b: DataFrame | None = None,
 ) -> DataFrame:
     """Verify stage: exact shingle-Jaccard for candidate pairs.
 
     Joins the (id_a, id_b) candidates back to shingle sets and keeps
     pairs with J >= threshold. Join keys are document ids — candidates
     are a tiny fraction of n^2, so this stays cheap.
+
+    ``sets_a`` / ``sets_b`` (round 13) override the per-side shingle
+    frame (built with ``shingle_sets``; must cover every id the
+    corresponding pair column can hold). The delta/streaming callers
+    use this to stop shingling the WHOLE corpus on the delta side of
+    the join (the delta frame covers every id_a) and to re-shingle it
+    per MICRO-BATCH on the corpus side (a once-per-run checkpointed
+    frame covers every batch). The join/filter shape is unchanged —
+    the per-side shingle arrays stay materialized BELOW the join, so
+    the two-sided threshold predicate that Catalyst pushes into the
+    join condition keeps operating on cheap array references. (The
+    obvious alternative — joining raw text and shingling after the
+    join — inlines the full shingle construction ~6x into that join
+    condition and measured 2.3 s -> 41 s on dedup_minhash_lsh at
+    sf0.1; see OPTIMIZATION_r13.md.)
     """
-    sets_df = df.select(
-        F.col(id_col).alias("_sid"), shingles(text_col, k=k_shingle).alias("_shingles")
-    )
-    a = sets_df.alias("a")
-    b = sets_df.alias("b")
+    sets_df = shingle_sets(df, text_col, id_col, k_shingle)
+    a = (sets_df if sets_a is None else sets_a).alias("a")
+    b = (sets_df if sets_b is None else sets_b).alias("b")
     inter = F.size(F.array_intersect(F.col("a._shingles"), F.col("b._shingles")))
     union = F.size(F.array_union(F.col("a._shingles"), F.col("b._shingles")))
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))

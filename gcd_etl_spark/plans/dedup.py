@@ -381,7 +381,13 @@ def dedup_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
         .distinct()
     )
-    verified = D.jaccard_pairs(docs, cand, threshold=0.5)
+    # verify: every id_a is a delta id, so the a-side shingles only
+    # the delta frame instead of the whole corpus (round 13 — the
+    # default shingled ALL docs on BOTH sides of the verify join;
+    # the b-side stays corpus-wide because id_b is a corpus id)
+    verified = D.jaccard_pairs(
+        docs, cand, threshold=0.5, sets_a=D.shingle_sets(docs.where(is_delta))
+    )
     return verified.select(
         F.col("id_a").alias("delta_id"),
         F.col("id_b").alias("corpus_id"),
@@ -1045,7 +1051,15 @@ def dedup_index_append_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
             .distinct()
         )
-        return D.jaccard_pairs(docs, cand, threshold=0.5), bands
+        # id_a is always tonight's delta -> a-side shingles only the
+        # night's frame (round 13); id_b can be corpus OR night-1
+        # after the append, so the b-side stays the full docs default
+        return (
+            D.jaccard_pairs(
+                docs, cand, threshold=0.5, sets_a=D.shingle_sets(delta_docs)
+            ),
+            bands,
+        )
 
     v1, bands1 = night(docs.where(is_n1))
     v1 = v1.localCheckpoint(eager=True)  # materialize BEFORE the append
@@ -1677,7 +1691,10 @@ def srp_capped_delta_pairs(
         capped=True,
     )
     cand = _srp_capped_probe_cands(idx, emb.where(is_delta), bits, n_tables)
-    return _srp_verify_delta(spark, sf_dir, cand)
+    # delta side of the verify quantizes only the delta (round 13)
+    return _srp_verify_delta(
+        spark, sf_dir, cand, q_a=_srp_quant_frame(emb.where(is_delta))
+    )
 
 
 def _srp_capped_probe_cands(
@@ -1718,7 +1735,11 @@ def _srp_capped_probe_cands(
 
 
 def _srp_verify_delta(
-    spark: SparkSession, sf_dir: str, cand: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    cand: DataFrame,
+    q_a: DataFrame | None = None,
+    q_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact integer-dot verification of (delta_id, corpus_id)
     candidates: vectors re-attached by id equi-joins against the
@@ -1727,19 +1748,36 @@ def _srp_verify_delta(
     and emitted columns as the anchor family. The dot runs as the
     higher-order-function fold (dot_hof_long) for the same round-12
     measured reason as _srp_verify_pairs — see the codegen note
-    there."""
+    there.
+
+    ``q_a`` / ``q_b`` (round 13) override the per-side quant frame
+    ((vec_id, qv, nrm) — ``_srp_quant_frame`` of a frame covering
+    every id the corresponding candidate column can hold): by default
+    BOTH sides of the attach join quantize + self-dot the ENTIRE
+    embeddings table per call; the nightly delta queries pass the
+    delta frame for the delta side, and the streaming gates
+    additionally pass a once-per-run checkpointed corpus frame so a
+    micro-batch never re-quantizes the corpus. The join/filter shape
+    is unchanged — quant arrays stay materialized BELOW the join (the
+    jaccard_pairs round-13 lesson: moving them above lets the
+    two-sided accept predicate inline the quantization into the join
+    condition)."""
     from gcd_etl_spark.functions.vector import dot_hof_long
 
-    q = _srp_quant_frame(read_table_spread(spark, sf_dir, "embeddings"))
+    q = (
+        _srp_quant_frame(read_table_spread(spark, sf_dir, "embeddings"))
+        if q_a is None or q_b is None
+        else None
+    )
     pairs = cand.join(
-        q.select(
+        (q if q_a is None else q_a).select(
             F.col("vec_id").alias("delta_id"),
             F.col("qv").alias("qa"),
             F.col("nrm").alias("na"),
         ),
         "delta_id",
     ).join(
-        q.select(
+        (q if q_b is None else q_b).select(
             F.col("vec_id").alias("corpus_id"),
             F.col("qv").alias("qb"),
             F.col("nrm").alias("nb"),
@@ -1805,7 +1843,10 @@ def dedup_semantic_delta_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFram
         .select("delta_id", "corpus_id")
         .dropDuplicates(["delta_id", "corpus_id"])
     )
-    return _srp_verify_delta(spark, sf_dir, cand)
+    # delta side of the verify quantizes only the delta (round 13)
+    return _srp_verify_delta(
+        spark, sf_dir, cand, q_a=_srp_quant_frame(emb.where(is_delta))
+    )
 
 
 def _srp_capped_delta_oracle() -> str:

@@ -310,7 +310,10 @@ def sim_ann_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table_spread(spark, sf_dir, "embeddings")
     q = _query_set(emb)
 
-    n_cells = S.suggest_ivf_cells(emb.count())
+    # width-rule count on the PLAIN scan (round 13): counting through
+    # the spread frame shuffles the full table just to size the
+    # quantizer — a parquet count is footer metadata. Same rows.
+    n_cells = S.suggest_ivf_cells(read_table(spark, sf_dir, "embeddings").count())
     nprobe = S.suggest_ivf_nprobe(n_cells)
     centroids = S.train_coarse_centroids(emb, n_cells=n_cells, dim=EMB_DIM)
     if centroids.size == 0:
@@ -373,6 +376,34 @@ def sim_ann_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_bound(ann, exact)
 
 
+def _resolve_staged_cells(spark: SparkSession, prefix: str) -> int | None:
+    """Cell count of an ALREADY-STAGED width-ruled index, parsed back
+    from the catalog name instead of recomputed from a corpus count.
+
+    Staged names are ``<prefix>c<ncells>`` where ``prefix`` ends with
+    the source table's data-file fingerprint, so a catalog hit implies
+    identical source bytes and therefore the identical width-rule
+    output — the ``c`` suffix IS the staging-time rule result. Before
+    round 13's optimization pass, every probe re-derived the suffix
+    with a full ``count()`` of the source table just to spell the
+    table name (one full-scan metadata job per query — at 100 TB a
+    file-listing + footer pass per probe; guide §1.2). Returns None
+    when nothing matches (the builder then counts ONCE, at staging).
+    """
+    import re as _re
+
+    rows = spark.sql(f"SHOW TABLES LIKE '{prefix}c*'").collect()
+    cells = [
+        int(m.group(1))
+        for r in rows
+        if (m := _re.fullmatch(_re.escape(prefix) + r"c(\d+)", r["tableName"]))
+    ]
+    # at most one per fingerprint in practice (the rule is a pure
+    # function of the fingerprinted bytes); max() is a deterministic
+    # tie-break if a foreign table ever matches the pattern
+    return max(cells) if cells else None
+
+
 def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     """The persisted SQ8 ANN index, staged once per sf dir
     (ingest-side cost, idempotent) and read back on every query: a
@@ -402,12 +433,17 @@ def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
     # width-rule the coarse quantizer at (re)staging (round-13 item 1)
     # and carry the config in the name so a differently-configured
-    # index can never shadow this one. The count for NAME RESOLUTION
-    # reads the plain parquet scan, not the spread frame the caller
-    # passes — counting through the parallelism repartition shuffled
-    # the full vector table on every probe just to spell the table
-    # name (round-13 review finding); row count is identical.
-    n_cells = S.suggest_ivf_cells(read_table(spark, sf_dir, "embeddings").count())
+    # index can never shadow this one. NAME RESOLUTION on the probe
+    # path parses the suffix back from the catalog (round-13
+    # optimization pass): the previous per-probe count — even on the
+    # plain scan — was a full-table job per query just to re-derive a
+    # value the staged name already records. The count now runs only
+    # when staging.
+    n_cells = _resolve_staged_cells(spark, f"ivfsq8_index_{tag}_")
+    if n_cells is None:
+        n_cells = S.suggest_ivf_cells(
+            read_table(spark, sf_dir, "embeddings").count()
+        )
     tag = f"{tag}_c{n_cells}"
     idx_name = f"ivfsq8_index_{tag}"
     cent_name = f"ivfsq8_centroids_{tag}"
@@ -548,7 +584,8 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     FAISS IVFPQ shape, re-expressed as one cell-keyed broadcast join
     plus an Arrow-batched table-gather scan."""
     emb = read_table_spread(spark, sf_dir, "embeddings")
-    n_cells = S.suggest_ivf_cells(emb.count())
+    # plain-scan count for the width rule (see sim_ann_ivfsq8_recall)
+    n_cells = S.suggest_ivf_cells(read_table(spark, sf_dir, "embeddings").count())
     centroids = S.train_coarse_centroids(emb, n_cells=n_cells, dim=EMB_DIM)
     if centroids.size == 0:
         return spark.createDataFrame(
@@ -593,9 +630,13 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
     # width-rule the coarse quantizer at (re)staging (round-13 item 1)
     # and carry the config in the name so a differently-configured
-    # index can never shadow this one (name-resolution count on the
-    # plain scan, not the spread frame — see ensure_ivfsq8_index)
-    n_cells = S.suggest_ivf_cells(read_table(spark, sf_dir, "embeddings").count())
+    # index can never shadow this one (probe-path name resolution from
+    # the catalog, count only at staging — see _resolve_staged_cells)
+    n_cells = _resolve_staged_cells(spark, f"ivfpq_codes_{tag}_")
+    if n_cells is None:
+        n_cells = S.suggest_ivf_cells(
+            read_table(spark, sf_dir, "embeddings").count()
+        )
     tag = f"{tag}_c{n_cells}"
     codes_name = f"ivfpq_codes_{tag}"
     cent_name = f"ivfpq_centroids_{tag}"
@@ -722,7 +763,12 @@ def sim_ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_delta = F.col("vec_id") % EMB_DELTA_MOD == 0
     corpus, delta = emb.where(~is_delta), emb.where(is_delta)
 
-    n_cells = S.suggest_ivf_cells(corpus.count())
+    # width-rule count on the PLAIN scan with the same corpus
+    # predicate (round 13) — counting through the spread frame
+    # shuffled the full vector table just to size the quantizer
+    n_cells = S.suggest_ivf_cells(
+        read_table(spark, sf_dir, "embeddings").where(~is_delta).count()
+    )
     centroids = S.train_coarse_centroids(corpus, n_cells=n_cells, dim=EMB_DIM)
     if centroids.size == 0:
         return spark.createDataFrame(
@@ -764,14 +810,29 @@ def sim_ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=S.suggest_ivf_nprobe(n_cells),
         k=TOP_K,
     )
-    # control-plane reachability probe (1-row answer, like watermarks)
-    reach = (
-        ann.where(F.col("neighbor_id") % EMB_DELTA_MOD == 0).limit(1).count() > 0
+    # delta-reachability gate folded INTO the returned plan (round
+    # 13): the old form ran a separate eager ``limit(1).count()``
+    # action over ``ann`` before returning, so the whole ADC probe
+    # pipeline executed TWICE per run (once for the control-plane
+    # bool, once when the returned recall join materialized). As a
+    # 1-row aggregate crossJoined back in, both consumers share the
+    # plan and Spark's ReusedExchange dedupes the probe pipeline
+    # below the common exchange — one ADC execution, and the probe
+    # (bucketed codes scan, broadcast probe join) stays visible in
+    # the final plan. Values identical: delta_reachable = 1 iff any
+    # ANN neighbor is an appended vector, 0 otherwise (coalesce
+    # covers the structurally-empty case the early return already
+    # guards).
+    reach1 = ann.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("neighbor_id") % EMB_DELTA_MOD == 0, 1).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("delta_reachable")
     )
     exact = S.brute_force_topk(emb, _query_set(emb), k=TOP_K, dim=EMB_DIM)
-    return _recall_bound(ann, exact).withColumn(
-        "delta_reachable", F.lit(1 if reach else 0)
-    )
+    return _recall_bound(ann, exact).crossJoin(F.broadcast(reach1))
 
 
 # ------------------------------------------- power-iteration PCA
@@ -985,10 +1046,18 @@ def _bitext_sides(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
 def _bitext_cos_ppm(pairs: DataFrame) -> DataFrame:
     """(src_id, tgt_id, cos_ppm) from candidate pairs carrying
     (qa, na, qb, nb): exact int64 dot, cosine rounded to ppm — the
-    only float step, identical in anchor and shortlist paths."""
-    from gcd_etl_spark.functions.vector import dot_fixed_long
+    only float step, identical in anchor and shortlist paths.
 
-    dot = dot_fixed_long("qa", "qb", EMB_DIM)
+    The dot runs as the higher-order-function fold since round 13:
+    the unrolled 64-term form (dot_fixed_long) lands inside the fused
+    candidate-join stage here — the exact placement whose generated
+    method the round-12 SRP measurement showed degrading the whole
+    stage — and measured 5.3-5.4 s vs 1.2-1.6 s for the HOF fold on
+    the same 307k-candidate stage at sf0.1 (4x; OPTIMIZATION_r13.md).
+    Bit-identical values: exact int64 terms, order-free addition."""
+    from gcd_etl_spark.functions.vector import dot_hof_long
+
+    dot = dot_hof_long("qa", "qb")
     return (
         pairs.select("src_id", "tgt_id", dot.alias("dot"), "na", "nb")
         .where((F.col("dot") > 0) & (F.col("na") > 0) & (F.col("nb") > 0))
@@ -1013,38 +1082,61 @@ def _bitext_mine(cosv: DataFrame) -> DataFrame:
     neighborhoods, best target per source, threshold in exact
     integer ppm. Candidate-set-agnostic — the anchor feeds it the
     full A x B, the production path feeds it the IVF shortlist
-    (margins are then shortlist margins, as in CCMatrix)."""
+    (margins are then shortlist margins, as in CCMatrix).
+
+    Round-13 restructure (values proven identical vs the DuckDB
+    oracle and the pre-change rows at sf0.1): the neighborhood sums
+    are CONDITIONAL WINDOW SUMS over the same partitionings as the
+    rank windows — ``sum(when(rk <= K, cos)) over (partition by
+    key)`` — instead of two groupBy branches joined back into the
+    scored set. The old shape had THREE consumers of the scored
+    candidate set (both neighborhood aggregates and the margin
+    join), so the whole candidate join + dot re-executed up to 3x
+    per run (8.7-9.3 s at sf0.1), and fixing that with a lineage
+    cut (localCheckpoint) hid the persisted-index scan from the
+    plan while a persist() would let bench rep 2 silently hit rep
+    1's CacheManager entry. The window-sum form has exactly ONE
+    linear pipeline: Exchange(tgt_id) -> rk_t + bsum ->
+    Exchange(src_id) -> rk_s + asum -> margin -> pick (reuses the
+    src_id partitioning, sort only) — candidates computed once, 2
+    exchanges of the 3-column shortlist, zero self-joins, zero
+    lineage cuts, full plan visibility. The unordered sum windows
+    reuse the rank windows' partitioning (guide §2.4: same-key
+    windows need no second shuffle)."""
     from pyspark.sql import Window as W
 
-    rk_s = F.row_number().over(
-        W.partitionBy("src_id").orderBy(F.col("cos_ppm").desc(), F.col("tgt_id").asc())
+    cosv = cosv.select("src_id", "tgt_id", "cos_ppm")
+    w_t = W.partitionBy("tgt_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("src_id").asc()
     )
-    rk_t = F.row_number().over(
-        W.partitionBy("tgt_id").orderBy(F.col("cos_ppm").desc(), F.col("src_id").asc())
+    w_t_all = W.partitionBy("tgt_id")
+    w_s = W.partitionBy("src_id").orderBy(
+        F.col("cos_ppm").desc(), F.col("tgt_id").asc()
     )
-    ranked = cosv.select("src_id", "tgt_id", "cos_ppm", rk_s.alias("rk_s"), rk_t.alias("rk_t"))
-    ax = (
-        ranked.where(F.col("rk_s") <= BITEXT_K)
-        .groupBy("src_id")
-        .agg(F.sum("cos_ppm").cast("bigint").alias("asum"))
-    )
-    ay = (
-        ranked.where(F.col("rk_t") <= BITEXT_K)
-        .groupBy("tgt_id")
-        .agg(F.sum("cos_ppm").cast("bigint").alias("bsum"))
-    )
-    m = (
-        ranked.join(ax, "src_id")
-        .join(ay, "tgt_id")
-        .where(F.col("asum") + F.col("bsum") > 0)
-        .select(
-            "src_id",
-            "tgt_id",
-            "cos_ppm",
-            F.expr(
-                f"cos_ppm * {2 * BITEXT_K * 1_000_000}L div (asum + bsum)"
-            ).alias("margin_ppm"),
+    w_s_all = W.partitionBy("src_id")
+    scored = (
+        cosv.withColumn("rk_t", F.row_number().over(w_t))
+        .withColumn(
+            "bsum",
+            F.sum(F.when(F.col("rk_t") <= BITEXT_K, F.col("cos_ppm")))
+            .over(w_t_all)
+            .cast("bigint"),
         )
+        .withColumn("rk_s", F.row_number().over(w_s))
+        .withColumn(
+            "asum",
+            F.sum(F.when(F.col("rk_s") <= BITEXT_K, F.col("cos_ppm")))
+            .over(w_s_all)
+            .cast("bigint"),
+        )
+    )
+    m = scored.where(F.col("asum") + F.col("bsum") > 0).select(
+        "src_id",
+        "tgt_id",
+        "cos_ppm",
+        F.expr(
+            f"cos_ppm * {2 * BITEXT_K * 1_000_000}L div (asum + bsum)"
+        ).alias("margin_ppm"),
     )
     pick = F.row_number().over(
         W.partitionBy("src_id").orderBy(F.col("margin_ppm").desc(), F.col("tgt_id").asc())
@@ -1169,8 +1261,15 @@ def sim_bitext_margin_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table_spread(spark, sf_dir, "embeddings")
     a, b = _bitext_sides(emb)
     tgt_corpus = emb.where(F.col("label") % 2 == 1)
+    # width-rule count on the PLAIN scan with the same target
+    # predicate (round 13; see sim_ann_ivfsq8_recall)
+    n_tgt = (
+        read_table(spark, sf_dir, "embeddings")
+        .where(F.col("label") % 2 == 1)
+        .count()
+    )
     centroids = train_coarse_centroids(
-        tgt_corpus, n_cells=bitext_cells(tgt_corpus.count()), dim=EMB_DIM
+        tgt_corpus, n_cells=bitext_cells(n_tgt), dim=EMB_DIM
     )
     tgt = b.select(
         "tgt_id",
@@ -1245,15 +1344,18 @@ def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
     tag = f"{tag}_{table_fingerprint(sf_dir, 'embeddings')}"
     # width-rule the target-side quantizer at (re)staging (round-13
     # item 1) and carry the config in the name so a differently-
-    # configured index can never shadow this one. Name-resolution
-    # count re-applies the target predicate (label odd —
-    # _bitext_sides) on the PLAIN scan instead of counting the
-    # spread+quantized frame (round-13 review finding); same rows.
-    n_cells = bitext_cells(
-        read_table(spark, sf_dir, "embeddings")
-        .where(F.col("label") % 2 == 1)
-        .count()
-    )
+    # configured index can never shadow this one. Probe-path name
+    # resolution parses the suffix from the catalog (round-13
+    # optimization pass — see _resolve_staged_cells); only STAGING
+    # counts, re-applying the target predicate (label odd —
+    # _bitext_sides) on the PLAIN scan (round-13 review finding).
+    n_cells = _resolve_staged_cells(spark, f"bitext_tgt_idx_{tag}_")
+    if n_cells is None:
+        n_cells = bitext_cells(
+            read_table(spark, sf_dir, "embeddings")
+            .where(F.col("label") % 2 == 1)
+            .count()
+        )
     tag = f"{tag}_c{n_cells}"
     idx_name = f"bitext_tgt_idx_{tag}"
     cent_name = f"bitext_tgt_cent_{tag}"

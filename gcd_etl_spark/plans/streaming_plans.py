@@ -27,6 +27,25 @@ from gcd_etl_spark.streaming.jobs import run_streaming_tumbling
 from gcd_etl_spark.streaming.stateful import run_streaming_stateful_totals
 
 
+def _empty_seed(spark: SparkSession, schema: str) -> DataFrame:
+    """Zero-row frame with ``schema``, built purely JVM-side
+    (``spark.range(0)`` + typed null literals). The gates seed their
+    verdict sinks with one empty partition dir per run; the previous
+    ``spark.createDataFrame([], schema)`` parallelizes even an empty
+    local list into defaultParallelism PICKLED PYTHON partitions, so
+    the seed write paid ~32 Python-worker task round-trips (measured
+    0.4-1.5 s per gate run at local[32]; the JVM form is ~0.1 s —
+    guide §4: eliminate the Python boundary). Read-back schema is
+    identical (parquet footer from the same DDL types)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromDDL(schema)
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+    )
+
+
 def _stage_events(spark: SparkSession, sf_dir: str, prefix: str) -> tuple[str, str]:
     """Write the events table to a parquet dir usable as a file-source
     stream; returns (staged_dir, per-sf tag for sink names)."""
@@ -431,15 +450,20 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     halves, hi = _time_ordered_halves(events)
-    sent = lambda uid, us: spark.createDataFrame(
-        [(int(uid), int(uid), "sentinel", 0.0)],
-        "event_id long, user_id long, event_type string, value double",
-    ).select(
-        "event_id",
-        F.timestamp_micros(F.lit(us)).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
+    # JVM-native 1-row frame (round 13): a local-data createDataFrame
+    # parallelizes the row into defaultParallelism PICKLED PYTHON
+    # partitions, and the staging coalesce(1) then evaluates all of
+    # them SEQUENTIALLY through one task's Python-worker round-trips —
+    # measured ~4 s PER SENTINEL WRITE at local[32] (~8 s of this
+    # row's 15 s wall) vs ~0.3 s for the identical rows built from
+    # spark.range(1) + literals, which never leave the JVM (guide §4:
+    # eliminate the Python boundary — here it was hiding in staging).
+    sent = lambda uid, us: spark.range(1).select(
+        F.lit(int(uid)).cast("long").alias("event_id"),
+        F.timestamp_micros(F.lit(int(us))).alias("ts"),
+        F.lit(int(uid)).cast("long").alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
     )
     batches = halves + [
         sent(-1, hi + 3 * SESSION_GAP_US),
@@ -474,7 +498,16 @@ def delta_dedup_batch_fn(docs: DataFrame, idx: DataFrame, out_root: str):
     bucketed corpus index, exact-Jaccard verify, then OVERWRITE the
     batch's own batch_id-keyed partition dir — idempotent under
     at-least-once redelivery (a replayed batch lands on the same path
-    instead of appending duplicate verdict rows)."""
+    instead of appending duplicate verdict rows).
+
+    Round 13: the verify's delta side shingles only the BATCH instead
+    of the whole docs table (every id_a is a batch id). The corpus
+    side keeps the default corpus-wide shingle projection: it is
+    computed inside the broadcast build, i.e. parallel across cores
+    and ~0.3 s warm at sf0.1 — a once-per-run checkpointed corpus
+    frame was measured SLOWER (6.0 -> 7.0 s fresh-JVM min-of-2:
+    checkpoint setup + RDD-scan reads beat by the columnar
+    scan-project broadcast; OPTIMIZATION_r13.md)."""
     from pyspark.sql import functions as F
 
     from gcd_etl_spark.operators import dedup as D
@@ -491,7 +524,12 @@ def delta_dedup_batch_fn(docs: DataFrame, idx: DataFrame, out_root: str):
             )
             .distinct()
         )
-        verified = D.jaccard_pairs(docs, cand, threshold=0.5)
+        verified = D.jaccard_pairs(
+            docs,
+            cand,
+            threshold=0.5,
+            sets_a=D.shingle_sets(batch),
+        )
         verified.select(
             F.col("id_a").alias("delta_id"),
             F.col("id_b").alias("corpus_id"),
@@ -564,9 +602,7 @@ def stream_dedup_against_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed the sink with an empty frame so a zero-delta stream still
     # yields a readable (empty) result (a batch_id=-1 partition dir,
     # keeping the layout uniform for partition discovery)
-    empty = spark.createDataFrame(
-        [], "delta_id long, corpus_id long, jaccard double"
-    )
+    empty = _empty_seed(spark, "delta_id long, corpus_id long, jaccard double")
     empty.write.parquet(f"{out_root}/batch_id=-1")
 
     dedup_batch = delta_dedup_batch_fn(docs, idx, out_root)
@@ -589,13 +625,21 @@ def semantic_gate_batch_fn(spark, sf_dir: str, idx: DataFrame, out_root: str):
     O(batch) rows), broadcast its (t, bk) rows against the persisted
     corpus bucket index, exact-integer-dot verify, OVERWRITE the
     batch's own batch_id-keyed partition dir (idempotent under
-    at-least-once redelivery — the dedup gate's sink pattern)."""
+    at-least-once redelivery — the dedup gate's sink pattern).
+
+    Round 13: the verify's delta side quantizes only the BATCH
+    instead of the whole embeddings table (every delta_id is a batch
+    id); the corpus side keeps the default corpus-wide quant frame —
+    it is computed inside the broadcast/join build in parallel, and a
+    once-per-run checkpointed corpus frame measured slightly SLOWER
+    (see delta_dedup_batch_fn's note)."""
     from pyspark.sql import functions as F
 
     from gcd_etl_spark.plans.dedup import (
         SRP_BITS,
         SRP_TABLES,
         _srp_bucket_frame,
+        _srp_quant_frame,
         _srp_verify_delta,
     )
 
@@ -608,9 +652,9 @@ def semantic_gate_batch_fn(spark, sf_dir: str, idx: DataFrame, out_root: str):
             .select("delta_id", "corpus_id")
             .dropDuplicates(["delta_id", "corpus_id"])
         )
-        _srp_verify_delta(spark, sf_dir, cand).write.mode("overwrite").parquet(
-            f"{out_root}/batch_id={batch_id}"
-        )
+        _srp_verify_delta(
+            spark, sf_dir, cand, q_a=_srp_quant_frame(batch)
+        ).write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
 
     return gate_batch
 
@@ -661,8 +705,8 @@ def stream_semantic_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_root, ignore_errors=True)
     delta = emb.where(is_delta)
     delta.repartition(4).write.parquet(staged)
-    spark.createDataFrame(
-        [], "delta_id long, corpus_id long, dot long, cos_ppm long"
+    _empty_seed(
+        spark, "delta_id long, corpus_id long, dot long, cos_ppm long"
     ).write.parquet(f"{out_root}/batch_id=-1")
 
     gate = semantic_gate_batch_fn(spark, sf_dir, idx, out_root)
@@ -684,17 +728,21 @@ def semantic_gate_batch_fn_capped(spark, sf_dir: str, idx: DataFrame, out_root: 
     sink pattern as semantic_gate_batch_fn, but candidates come from
     the probe-both-keys step shared with the nightly capped delta
     query (dedup._srp_capped_probe_cands), so the gate and the
-    nightly boundary can never probe the capped index differently."""
+    nightly boundary can never probe the capped index differently.
+
+    Round 13: the verify's delta side quantizes only the batch
+    (see semantic_gate_batch_fn's note)."""
     from gcd_etl_spark.plans.dedup import (
         _srp_capped_probe_cands,
+        _srp_quant_frame,
         _srp_verify_delta,
     )
 
     def gate_batch(batch: DataFrame, batch_id: int) -> None:
         cand = _srp_capped_probe_cands(idx, batch)
-        _srp_verify_delta(spark, sf_dir, cand).write.mode("overwrite").parquet(
-            f"{out_root}/batch_id={batch_id}"
-        )
+        _srp_verify_delta(
+            spark, sf_dir, cand, q_a=_srp_quant_frame(batch)
+        ).write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
 
     return gate_batch
 
@@ -744,8 +792,8 @@ def stream_semantic_dedup_gate_capped(spark: SparkSession, sf_dir: str) -> DataF
     shutil.rmtree(out_root, ignore_errors=True)
     delta = emb.where(is_delta)
     delta.repartition(4).write.parquet(staged)
-    spark.createDataFrame(
-        [], "delta_id long, corpus_id long, dot long, cos_ppm long"
+    _empty_seed(
+        spark, "delta_id long, corpus_id long, dot long, cos_ppm long"
     ).write.parquet(f"{out_root}/batch_id=-1")
 
     gate = semantic_gate_batch_fn_capped(spark, sf_dir, idx, out_root)
@@ -824,8 +872,8 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_root, ignore_errors=True)
     delta = docs.where(is_delta)
     delta.repartition(4).write.parquet(staged)
-    spark.createDataFrame(
-        [],
+    _empty_seed(
+        spark,
         "doc_id long, n_bigrams long, n_unseen long, "
         "nll_total_micro long, nll_mean_micro long",
     ).write.parquet(f"{out_root}/batch_id=-1")
@@ -910,8 +958,8 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_root, ignore_errors=True)
     delta = docs.where(is_delta)
     delta.repartition(4).write.parquet(staged)
-    spark.createDataFrame(
-        [],
+    _empty_seed(
+        spark,
         "doc_id long, n_feats long, n_unseen long, "
         "llr_total_micro long, llr_mean_micro long, selected boolean",
     ).write.parquet(f"{out_root}/batch_id=-1")
