@@ -32,6 +32,29 @@ from gcd_etl_spark.functions.text import shingles, ws_tokens
 #: (standard (a*x + b) mod p construction; see Broder '97).
 _MERSENNE_P = (1 << 61) - 1
 
+#: Memo for CONSTRUCTED Column expression trees (round 13). Building
+#: the 32 minhash permutation aggregates + 8 band hashes costs ~0.5 s
+#: of driver-side py4j round trips PER CALL — paid once per
+#: micro-batch by the streaming gates and once per build by every
+#: bench rep, while the resulting Columns are pure unresolved
+#: expression trees, reusable across DataFrames (names bind at
+#: analysis). This caches EXPRESSIONS only — never data, never query
+#: results; every execution still computes from the parquet inputs.
+#: Keyed on the py4j gateway identity so a restarted JVM can never
+#: see another gateway's stale JavaObject handles.
+_EXPR_CACHE: dict = {}
+
+
+def _cached_exprs(key: tuple, builder):
+    """Return ``builder()`` memoized per (active py4j gateway, key)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    full = (id(sc._gateway) if sc is not None else None,) + key
+    if full not in _EXPR_CACHE:
+        _EXPR_CACHE[full] = builder()
+    return _EXPR_CACHE[full]
+
 
 def normalized(col) -> F.Column:
     """Dedup-canonical text: trimmed, lowercased, whitespace-collapsed."""
@@ -121,20 +144,23 @@ def minhash_signature_table(
     cannot near-dup; keeping a degenerate signature would funnel every
     short doc into one LSH bucket -> quadratic pair explosion).
     """
+    def build_aggs():
+        base = portable_hash64("_g") if portable else F.abs(F.xxhash64("_g"))
+        h = base % F.lit(1 << 32)
+        aggs = [
+            F.min(
+                (F.lit(2 * i + 1) * h + F.lit(1_000_003 * (i + 1))) % F.lit(_MERSENNE_P)
+            ).alias(f"_m{i}")
+            for i in range(num_hashes)
+        ]
+        sig = F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
+        return aggs, sig
+
     grams = shingles(text_col, k=k_shingle)
     exploded = df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
-    base = portable_hash64("_g") if portable else F.abs(F.xxhash64("_g"))
-    h = base % F.lit(1 << 32)
-    aggs = [
-        F.min((F.lit(2 * i + 1) * h + F.lit(1_000_003 * (i + 1))) % F.lit(_MERSENNE_P)).alias(
-            f"_m{i}"
-        )
-        for i in range(num_hashes)
-    ]
+    aggs, sig = _cached_exprs(("minhash_aggs", num_hashes, portable), build_aggs)
     mins = exploded.groupBy("_id").agg(*aggs)
-    return mins.select(
-        "_id", F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    return mins.select("_id", sig)
 
 
 def minhash_band_table(
@@ -163,10 +189,8 @@ def minhash_band_table(
             return F.md5(joined)
         return F.xxhash64(sl.cast("string")).cast("string")
 
-    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k_shingle, portable)
-    return sig.select(
-        "_id",
-        F.explode(
+    def build_band_explode():
+        return F.explode(
             F.array(
                 *[
                     F.struct(
@@ -176,8 +200,13 @@ def minhash_band_table(
                     for b in range(bands)
                 ]
             )
-        ).alias("band"),
-    ).select("_id", "band.band_idx", "band.band_hash")
+        ).alias("band")
+
+    sig = minhash_signature_table(df, text_col, id_col, num_hashes, k_shingle, portable)
+    band = _cached_exprs(
+        ("minhash_bands", num_hashes, bands, portable), build_band_explode
+    )
+    return sig.select("_id", band).select("_id", "band.band_idx", "band.band_hash")
 
 
 def minhash_lsh_candidates(
