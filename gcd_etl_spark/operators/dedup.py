@@ -258,9 +258,15 @@ def shingle_sets(
     every id_a is a delta id) or a pre-materialized one (the
     streaming gates checkpoint the corpus side once per run instead
     of re-shingling the whole corpus inside every micro-batch)."""
-    return df.select(
-        F.col(id_col).alias("_sid"), shingles(text_col, k=k_shingle).alias("_shingles")
+    build = lambda: shingles(text_col, k=k_shingle).alias("_shingles")
+    # A Column text_col is unhashable as a dict key (__eq__ returns a
+    # Column) — memoize only the plain-string form every caller uses.
+    sh = (
+        _cached_exprs(("shingle_sets", text_col, k_shingle), build)
+        if isinstance(text_col, str)
+        else build()
     )
+    return df.select(F.col(id_col).alias("_sid"), sh)
 
 
 def jaccard_pairs(

@@ -1784,30 +1784,29 @@ def _srp_verify_delta(
         ),
         "corpus_id",
     )
-    dot = dot_hof_long("qa", "qb")
-    v = pairs.select("delta_id", "corpus_id", dot.alias("dot"), "na", "nb")
-    dd = F.col("dot").cast("double")
-    return v.where(
-        (F.col("dot") > 0)
-        & (
+    def build():
+        dd = F.col("dot").cast("double")
+        accept = (F.col("dot") > 0) & (
             dd * dd
             >= F.lit(SRP_COS2)
             * F.col("na").cast("double")
             * F.col("nb").cast("double")
         )
-    ).select(
-        "delta_id",
-        "corpus_id",
-        "dot",
-        F.floor(
-            F.col("dot").cast("double")
-            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
-            * 1_000_000
-            + 0.5
+        cos_ppm = (
+            F.floor(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("cos_ppm")
         )
-        .cast("long")
-        .alias("cos_ppm"),
-    )
+        return dot_hof_long("qa", "qb").alias("dot"), accept, cos_ppm
+
+    dot, accept, cos_ppm = D._cached_exprs(("srp_verify",), build)
+    v = pairs.select("delta_id", "corpus_id", dot, "na", "nb")
+    return v.where(accept).select("delta_id", "corpus_id", "dot", cos_ppm)
 
 
 @query("dedup_semantic_delta_vs_corpus", oracle=_srp_delta_oracle())
@@ -2012,18 +2011,21 @@ def _srp_quant_frame(emb: DataFrame) -> DataFrame:
     """(vec_id, qv, nrm): the exact integer-quantized vector (1e6
     fixed point, the SRP family's only float->int step) and its
     int64 self-dot — the verify-side attachment every SRP pipeline
-    stage shares."""
-    return emb.select(
-        "vec_id",
-        F.transform(
+    stage shares. Both projection Columns are memoized expression
+    trees (operators.dedup._cached_exprs): the streaming gates call
+    this once per MICRO-BATCH, and rebuilding the 64-term self-dot
+    plus the quantize transform is pure driver-side py4j overhead."""
+
+    def build():
+        qv = F.transform(
             "embedding",
             lambda v: F.floor(v.cast("double") * 1_000_000 + 0.5).cast("long"),
-        ).alias("qv"),
-    ).select(
-        "vec_id",
-        "qv",
-        F.expr(f"CAST({_srp_self_dot(False)} AS BIGINT)").alias("nrm"),
-    )
+        ).alias("qv")
+        nrm = F.expr(f"CAST({_srp_self_dot(False)} AS BIGINT)").alias("nrm")
+        return qv, nrm
+
+    qv, nrm = D._cached_exprs(("srp_quant",), build)
+    return emb.select("vec_id", qv).select("vec_id", "qv", nrm)
 
 
 def _srp_bucket_frame(emb: DataFrame, bits: int, n_tables: int) -> DataFrame:
@@ -2033,28 +2035,34 @@ def _srp_bucket_frame(emb: DataFrame, bits: int, n_tables: int) -> DataFrame:
     literal SQL). Shared by the self-join anchor, the delta-vs-corpus
     path, the persisted bucket index build, and the streaming gate —
     the four can never bucket differently."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    def build():
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
 
-    signs = np.asarray(
-        [[_srp_signs(t, j) for j in range(bits)] for t in range(n_tables)],
-        dtype=np.int64,
-    ).reshape(n_tables * bits, _SRP_DIM)
-    weights = 1 << np.arange(bits, dtype=np.int64)
+        signs = np.asarray(
+            [[_srp_signs(t, j) for j in range(bits)] for t in range(n_tables)],
+            dtype=np.int64,
+        ).reshape(n_tables * bits, _SRP_DIM)
+        weights = 1 << np.arange(bits, dtype=np.int64)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _buckets(qv):
-        if len(qv) == 0:
-            return pd.Series([], dtype=object)
-        m = np.asarray(qv.tolist(), dtype=np.int64)
-        hits = (m @ signs.T) >= 0
-        packed = hits.reshape(len(m), n_tables, bits) @ weights
-        return pd.Series(list(packed))
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _buckets(qv):
+            if len(qv) == 0:
+                return pd.Series([], dtype=object)
+            m = np.asarray(qv.tolist(), dtype=np.int64)
+            hits = (m @ signs.T) >= 0
+            packed = hits.reshape(len(m), n_tables, bits) @ weights
+            return pd.Series(list(packed))
 
-    return _srp_quant_frame(emb).select(
-        "vec_id", "qv", "nrm", _buckets("qv").alias("bks")
-    )
+        return _buckets("qv").alias("bks")
+
+    # Memoized per (bits, n_tables): recomputing the 8x16x64 md5 sign
+    # matrix and re-wrapping the pandas UDF is identical every call,
+    # and the gates pay it once per micro-batch (expression tree only
+    # — the matmul itself still runs per batch on the batch's rows).
+    bks = D._cached_exprs(("srp_buckets", bits, n_tables), build)
+    return _srp_quant_frame(emb).select("vec_id", "qv", "nrm", bks)
 
 
 def _srp_accepted(

@@ -360,12 +360,12 @@ def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------- stateful sessions with event-time expiry
-def _time_ordered_halves(events: DataFrame):
-    """Replay staging split: two time-ordered halves around the
-    median timestamp from ONE scalar aggregate — every batch-2 event
-    is strictly newer than every batch-1 event, so no event can be
-    late-dropped, and sessions spanning the boundary prove
-    cross-batch state carry. Returns ([first, second], max_ts_us).
+def _time_ordered_banded(events: DataFrame):
+    """Replay staging split: a band column ``_rb`` (1 = at-or-below
+    the median timestamp, 2 = above) from ONE scalar aggregate —
+    every band-2 event is strictly newer than every band-1 event, so
+    no event can be late-dropped, and sessions spanning the boundary
+    prove cross-batch state carry. Returns (banded_frame, max_ts_us).
 
     Round-13 verdict item 3: the previous global-sort 2-tile split
     OVER (ORDER BY ts, event_id) ran the whole events table through a data-sized
@@ -374,8 +374,8 @@ def _time_ordered_halves(events: DataFrame):
     partials (audited by tests/test_plan_audit.py's streaming-staging
     rule). The cap keeps batch 2 non-empty when more than half the
     events share the max timestamp; a degenerate all-one-timestamp
-    corpus degrades to an empty first batch, which the file source
-    replays as a 0-row micro-batch."""
+    corpus degrades to an empty first batch (no band-1 rows), whose
+    0-row micro-batch cannot change the converged state."""
     from pyspark.sql import functions as F
 
     hi, med = events.agg(
@@ -383,10 +383,20 @@ def _time_ordered_halves(events: DataFrame):
         F.percentile_approx(F.unix_micros("ts"), 0.5, 10000),
     ).collect()[0]
     med = min(med, hi - 1)
-    halves = events.withColumn(
-        "b", F.when(F.unix_micros("ts") <= F.lit(med), F.lit(1)).otherwise(F.lit(2))
+    banded = events.withColumn(
+        "_rb", F.when(F.unix_micros("ts") <= F.lit(med), F.lit(1)).otherwise(F.lit(2))
     )
-    return [halves.where(F.col("b") == i).drop("b") for i in (1, 2)], hi
+    return banded, hi
+
+
+def _time_ordered_halves(events: DataFrame):
+    """([first, second], max_ts_us) view of ``_time_ordered_banded``
+    (kept for the plan-audit and split-property pins; the staging
+    path writes the banded frame in one pass)."""
+    from pyspark.sql import functions as F
+
+    banded, hi = _time_ordered_banded(events)
+    return [banded.where(F.col("_rb") == i).drop("_rb") for i in (1, 2)], hi
 
 
 _SESS_TIMEOUT_ORACLE = """
@@ -449,7 +459,7 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    halves, hi = _time_ordered_halves(events)
+    banded, hi = _time_ordered_banded(events)
     # JVM-native 1-row frame (round 13): a local-data createDataFrame
     # parallelizes the row into defaultParallelism PICKLED PYTHON
     # partitions, and the staging coalesce(1) then evaluates all of
@@ -458,31 +468,46 @@ def stream_sessions_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row's 15 s wall) vs ~0.3 s for the identical rows built from
     # spark.range(1) + literals, which never leave the JVM (guide §4:
     # eliminate the Python boundary — here it was hiding in staging).
-    sent = lambda uid, us: spark.range(1).select(
+    sent = lambda uid, us, rb: spark.range(1).select(
         F.lit(int(uid)).cast("long").alias("event_id"),
         F.timestamp_micros(F.lit(int(us))).alias("ts"),
         F.lit(int(uid)).cast("long").alias("user_id"),
         F.lit("sentinel").alias("event_type"),
         F.lit(0.0).alias("value"),
+        F.lit(int(rb)).alias("_rb"),
     )
-    batches = halves + [
-        sent(-1, hi + 3 * SESSION_GAP_US),
-        sent(-2, hi + 6 * SESSION_GAP_US),
-    ]
-    seen: list[str] = []
-    groups: list[list[str]] = []
-    for i, b in enumerate(batches):
-        mode = "overwrite" if i == 0 else "append"
-        b.select("event_id", "ts", "user_id", "event_type", "value").coalesce(
-            1
-        ).write.mode(mode).parquet(staged)
-        now_files = sorted(glob.glob(f"{staged}/part-*.parquet"))
-        groups.append([p for p in now_files if p not in seen])
-        seen = now_files
+    # Single-pass staging (round 13 opt): ONE job writes all four
+    # replay files via partitionBy("_rb") — previously four
+    # SEQUENTIAL jobs, the two half writes each collapsing a full
+    # events scan + filter into one coalesce(1) task (guide §1.2:
+    # the same rows were read twice and written through two
+    # single-threaded funnels). repartition on _rb yields exactly one
+    # file per band; the files are then flattened into the staged dir
+    # so the file-source replay (one file per trigger, mtime order)
+    # is unchanged. An empty band (degenerate corpus) writes no file:
+    # its 0-row micro-batch carried no state anyway.
+    n_batches = 4
+    all_banded = (
+        banded.select("event_id", "ts", "user_id", "event_type", "value", "_rb")
+        .unionAll(sent(-1, hi + 3 * SESSION_GAP_US, 3))
+        .unionAll(sent(-2, hi + 6 * SESSION_GAP_US, 4))
+    )
+    all_banded.repartition(n_batches, "_rb").write.partitionBy("_rb").mode(
+        "overwrite"
+    ).parquet(staged)
+    import shutil as _shutil
+
     now = _time.time()
-    for i, grp in enumerate(groups):
-        for p in grp:
-            os.utime(p, (now - 600 + i * 60, now - 600 + i * 60))
+    for i in range(1, n_batches + 1):
+        # Suffix j guards the (off-by-default) case of >1 file per
+        # band, e.g. a global maxRecordsPerFile; same-mtime files
+        # within a band replay in either order, which the banded
+        # split makes irrelevant (no cross-band reorder possible).
+        for j, p in enumerate(sorted(glob.glob(f"{staged}/_rb={i}/part-*.parquet"))):
+            dst = f"{staged}/replay-{i}-{j}{os.path.splitext(p)[1]}"
+            os.rename(p, dst)
+            os.utime(dst, (now - 600 + i * 60, now - 600 + i * 60))
+        _shutil.rmtree(f"{staged}/_rb={i}", ignore_errors=True)
     return run_streaming_sessions_timeout(
         spark, staged, name=f"stream_sess_timeout_{tag}"
     )
