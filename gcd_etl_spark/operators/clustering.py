@@ -79,30 +79,54 @@ def assign_clusters(
     )
 
 
-def _update_centroids(assigned: DataFrame, k: int, dim: int, vec_col: str) -> np.ndarray:
-    """New centroid matrix from an assignment: exact-decimal
-    per-component sums (shuffle-order-independent), one shuffle keyed
-    on (cluster, component). Empty clusters keep a zero vector (the
-    quality gate flags them; with lowest-id init over real data they
-    do not occur)."""
+def _update_centroids(
+    assigned: DataFrame, k: int, dim: int, vec_col: str
+) -> tuple[np.ndarray, float]:
+    """New centroid matrix AND iteration inertia from an assignment:
+    exact-decimal per-component sums (shuffle-order-independent), ONE
+    shuffle keyed on (cluster, component). Empty clusters keep a zero
+    vector (the quality gate flags them; with lowest-id init over
+    real data they do not occur).
+
+    The inertia rides in the SAME aggregation (round 13, guide §1.2):
+    each row's 6-dp-rounded sqdist is attached to its pos==0 exploded
+    slot only (exactly one slot per row), so the per-group decimal
+    sums add up — driver-side, still as exact decimals — to the
+    identical global decimal sum the previous separate
+    sum-over-assignment job produced (decimal addition is
+    associative). That separate job, and the eager localCheckpoint
+    that existed only so the two consumers would not re-run the
+    assignment matmul, are both gone: one pass per Lloyd iteration."""
+    from decimal import Decimal
+
     comp = assigned.select(
-        "cluster", F.posexplode(vec_col).alias("pos", "comp")
+        "cluster",
+        F.posexplode(vec_col).alias("pos", "comp"),
+        F.round(F.col("sqdist"), 6).cast("decimal(28,6)").alias("sq_all"),
     ).select(
         "cluster",
         "pos",
         F.round(F.col("comp").cast("double"), _COMP_SCALE)
         .cast(f"decimal(28,{_COMP_SCALE})")
         .alias("comp"),
+        F.when(F.col("pos") == 0, F.col("sq_all")).alias("sq"),
     )
     rows = (
         comp.groupBy("cluster", "pos")
-        .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("comp").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq").alias("sq"),
+        )
         .collect()
     )
     cent = np.zeros((k, dim), dtype=np.float64)
+    inertia = Decimal(0)
     for r in rows:
         cent[r["cluster"], r["pos"]] = float(r["s"]) / r["n"]
-    return cent
+        if r["sq"] is not None:
+            inertia += r["sq"]
+    return cent, float(inertia)
 
 
 def kmeans_fit(
@@ -124,17 +148,15 @@ def kmeans_fit(
     init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     cent = np.asarray([r[vec_col] for r in init_rows], dtype=np.float64)
     history: list[float] = []
-    assigned = None
     for _ in range(iters):
-        # checkpoint: the inertia job AND the centroid update both
-        # read this assignment — without materialization each would
-        # re-run the Arrow matmul pass (2x the work per iteration)
-        assigned = assign_clusters(df, cent, id_col, vec_col).localCheckpoint(eager=True)
-        inertia = assigned.select(
-            F.sum(F.round("sqdist", 6).cast("decimal(28,6)")).alias("i")
-        ).collect()[0]["i"]
-        history.append(float(inertia))
-        cent = _update_centroids(assigned, k, cent.shape[1], vec_col)
+        # ONE job per iteration (round 13): the centroid update and
+        # the inertia ride the same aggregation over the assignment
+        # pass — see _update_centroids. (Previously: an eager
+        # localCheckpoint of the assignment + a separate inertia
+        # job + the update job = 3 jobs per iteration.)
+        assigned = assign_clusters(df, cent, id_col, vec_col)
+        cent, inertia = _update_centroids(assigned, k, cent.shape[1], vec_col)
+        history.append(inertia)
     # final re-assignment against the learned centroids
     assigned = assign_clusters(df, cent, id_col, vec_col)
     return assigned, cent, history
