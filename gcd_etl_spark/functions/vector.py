@@ -47,18 +47,35 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when(denom > 0, d / denom).otherwise(F.lit(None))
 
 
+def _memo_fixed(key: tuple, builder, *operands):
+    """Memoize an unrolled fixed-dim expression tree when every
+    operand is a plain column NAME (hashable, name-bound — the form
+    every hot caller uses; a Column operand just builds directly).
+    Round 13: each 64-term unroll is ~300 py4j round trips, ~0.5-1.5 s
+    per DataFrame build, rebuilt on every bench rep. Expressions only
+    — see functions/exprcache.py."""
+    from gcd_etl_spark.functions.exprcache import cached
+
+    if all(isinstance(o, str) for o in operands):
+        return cached(key, builder)
+    return builder()
+
+
 def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Dot product for a KNOWN dimension, unrolled to flat codegen'd
     arithmetic (no higher-order functions — Spark evaluates
     ``aggregate``/``zip_with`` lambdas interpreted, per element; the
     unrolled form is ~20x faster in pairwise joins). Left-to-right
     addition order matches ``dot``'s sequential fold bit-for-bit."""
-    ca = F.col(a) if isinstance(a, str) else a
-    cb = F.col(b) if isinstance(b, str) else b
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(ca, i).cast("double") * F.element_at(cb, i).cast("double")
-    return acc
+    def build():
+        ca = F.col(a) if isinstance(a, str) else a
+        cb = F.col(b) if isinstance(b, str) else b
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + F.element_at(ca, i).cast("double") * F.element_at(cb, i).cast("double")
+        return acc
+
+    return _memo_fixed(("dot_fixed", a, b, dim), build, a, b)
 
 
 def _balanced_sum(terms: list[Column]) -> Column:
@@ -92,11 +109,14 @@ def dot_fixed_long(a: Column | str, b: Column | str, dim: int) -> Column:
     oracle's and free of float casts). Terms combine as a BALANCED
     tree (see _balanced_sum) so whole-stage codegen survives the
     64-term unroll."""
-    ca = F.col(a) if isinstance(a, str) else a
-    cb = F.col(b) if isinstance(b, str) else b
-    return _balanced_sum(
-        [F.element_at(ca, i) * F.element_at(cb, i) for i in range(1, dim + 1)]
-    )
+    def build():
+        ca = F.col(a) if isinstance(a, str) else a
+        cb = F.col(b) if isinstance(b, str) else b
+        return _balanced_sum(
+            [F.element_at(ca, i) * F.element_at(cb, i) for i in range(1, dim + 1)]
+        )
+
+    return _memo_fixed(("dot_fixed_long", a, b, dim), build, a, b)
 
 
 def dot_hof_long(a: Column | str, b: Column | str) -> Column:
@@ -129,31 +149,40 @@ def dot_hof_long(a: Column | str, b: Column | str) -> Column:
 def dist2_fixed_long(a: Column | str, b: Column | str, dim: int) -> Column:
     """EXACT integer squared L2 distance for a KNOWN dimension,
     unrolled with the balanced-tree combine (see ``dot_fixed_long``)."""
-    ca = F.col(a) if isinstance(a, str) else a
-    cb = F.col(b) if isinstance(b, str) else b
+    def build():
+        ca = F.col(a) if isinstance(a, str) else a
+        cb = F.col(b) if isinstance(b, str) else b
 
-    def term(i: int) -> Column:
-        d = F.element_at(ca, i) - F.element_at(cb, i)
-        return d * d
+        def term(i: int) -> Column:
+            d = F.element_at(ca, i) - F.element_at(cb, i)
+            return d * d
 
-    return _balanced_sum([term(i) for i in range(1, dim + 1)])
+        return _balanced_sum([term(i) for i in range(1, dim + 1)])
+
+    return _memo_fixed(("dist2_fixed_long", a, b, dim), build, a, b)
 
 
 def norm_fixed(a: Column | str, dim: int) -> Column:
     """L2 norm for a KNOWN dimension (unrolled; see ``dot_fixed``)."""
-    ca = F.col(a) if isinstance(a, str) else a
-    acc = F.lit(0.0)
-    for i in range(1, dim + 1):
-        x = F.element_at(ca, i).cast("double")
-        acc = acc + x * x
-    return F.sqrt(acc)
+    def build():
+        ca = F.col(a) if isinstance(a, str) else a
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            x = F.element_at(ca, i).cast("double")
+            acc = acc + x * x
+        return F.sqrt(acc)
+
+    return _memo_fixed(("norm_fixed", a, dim), build, a)
 
 
 def cosine_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
     """Cosine for a KNOWN dimension (unrolled; see ``dot_fixed``)."""
-    d = dot_fixed(a, b, dim)
-    denom = norm_fixed(a, dim) * norm_fixed(b, dim)
-    return F.when(denom > 0, d / denom).otherwise(F.lit(None))
+    def build():
+        d = dot_fixed(a, b, dim)
+        denom = norm_fixed(a, dim) * norm_fixed(b, dim)
+        return F.when(denom > 0, d / denom).otherwise(F.lit(None))
+
+    return _memo_fixed(("cosine_fixed", a, b, dim), build, a, b)
 
 
 def cosine_to_query(query_vec: list[float]):

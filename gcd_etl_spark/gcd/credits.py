@@ -109,8 +109,15 @@ def aggregate_story_credits(
     # same way the oracle's ORDER BY rid, nm, cid does — tid goes
     # LAST so it never outranks the name tie-break (credit_row_id is
     # only unique per source row, not per (row, type)).
-    agg = joined.groupBy("story_id").agg(
-        F.array_sort(
+    # All three expression groups below are pure name-bound trees
+    # (constants from CREDIT_TYPE_EXPANSION only) — memoized per
+    # gateway (round 13, functions/exprcache): ~0.45 s of py4j HOF
+    # construction per flagship build otherwise.
+    from gcd_etl_spark.functions.exprcache import cached
+
+    agg_col = cached(
+        ("credit_structs_agg",),
+        lambda: F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col("credit_row_id").alias("rid"),
@@ -119,32 +126,42 @@ def aggregate_story_credits(
                     F.col("credit_type_id").alias("tid"),
                 )
             )
-        ).alias("_structs")
+        ).alias("_structs"),
     )
+    agg = joined.groupBy("story_id").agg(agg_col)
 
-    # field -> credit_type_ids whose expansion contains it (data from
-    # the same CREDIT_TYPE_EXPANSION table the explode used)
-    field_tids = {
-        field: sorted(tid for tid, fields in CREDIT_TYPE_EXPANSION.items() if field in fields)
-        for field in ATOMIC_FIELDS
-    }
-    # two-step select so each field's filter runs once, not once per
-    # unzip (higher-order exprs are not CSE'd by Catalyst). NB: the
-    # lambda must take exactly one positional arg (PySpark introspects
-    # the signature), hence the closure factory.
-    def _tid_match(tids: list[int]):
-        return lambda x: x["tid"].isin(*tids)
+    def _filter_cols() -> list:
+        # field -> credit_type_ids whose expansion contains it (data
+        # from the same CREDIT_TYPE_EXPANSION table the explode used)
+        field_tids = {
+            field: sorted(
+                tid for tid, fields in CREDIT_TYPE_EXPANSION.items() if field in fields
+            )
+            for field in ATOMIC_FIELDS
+        }
 
-    filtered = agg.select(
-        "story_id",
-        *[
+        # two-step select so each field's filter runs once, not once
+        # per unzip (higher-order exprs are not CSE'd by Catalyst).
+        # NB: the lambda must take exactly one positional arg (PySpark
+        # introspects the signature), hence the closure factory.
+        def _tid_match(tids: list[int]):
+            return lambda x: x["tid"].isin(*tids)
+
+        return [
             F.filter(F.col("_structs"), _tid_match(field_tids[f])).alias(f"_f_{f}")
             for f in ATOMIC_FIELDS
-        ],
-    )
-    out_cols = [F.col("story_id")]
-    for field in ATOMIC_FIELDS:
-        s = F.col(f"_f_{field}")
-        out_cols.append(F.transform(s, lambda x: x["name"]).alias(f"credit_{field}"))
-        out_cols.append(F.transform(s, lambda x: x["cid"]).alias(f"credit_{field}_creator_id"))
-    return filtered.select(*out_cols)
+        ]
+
+    filtered = agg.select("story_id", *cached(("credit_filters",), _filter_cols))
+
+    def _out_cols() -> list:
+        out = [F.col("story_id")]
+        for field in ATOMIC_FIELDS:
+            s = F.col(f"_f_{field}")
+            out.append(F.transform(s, lambda x: x["name"]).alias(f"credit_{field}"))
+            out.append(
+                F.transform(s, lambda x: x["cid"]).alias(f"credit_{field}_creator_id")
+            )
+        return out
+
+    return filtered.select(*cached(("credit_out_cols",), _out_cols))

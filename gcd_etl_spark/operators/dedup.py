@@ -32,28 +32,13 @@ from gcd_etl_spark.functions.text import shingles, ws_tokens
 #: (standard (a*x + b) mod p construction; see Broder '97).
 _MERSENNE_P = (1 << 61) - 1
 
-#: Memo for CONSTRUCTED Column expression trees (round 13). Building
-#: the 32 minhash permutation aggregates + 8 band hashes costs ~0.5 s
-#: of driver-side py4j round trips PER CALL — paid once per
-#: micro-batch by the streaming gates and once per build by every
-#: bench rep, while the resulting Columns are pure unresolved
-#: expression trees, reusable across DataFrames (names bind at
-#: analysis). This caches EXPRESSIONS only — never data, never query
-#: results; every execution still computes from the parquet inputs.
-#: Keyed on the py4j gateway identity so a restarted JVM can never
-#: see another gateway's stale JavaObject handles.
-_EXPR_CACHE: dict = {}
-
-
-def _cached_exprs(key: tuple, builder):
-    """Return ``builder()`` memoized per (active py4j gateway, key)."""
-    from pyspark import SparkContext
-
-    sc = SparkContext._active_spark_context
-    full = (id(sc._gateway) if sc is not None else None,) + key
-    if full not in _EXPR_CACHE:
-        _EXPR_CACHE[full] = builder()
-    return _EXPR_CACHE[full]
+# Memo for CONSTRUCTED Column expression trees (round 13): building
+# the 32 minhash permutation aggregates + 8 band hashes costs ~0.5 s
+# of driver-side py4j round trips PER CALL — paid once per micro-batch
+# by the streaming gates and once per build by every bench rep.
+# Expressions only, never data/results; see functions/exprcache.py
+# (the shared engine-wide memo this family's cache grew into).
+from gcd_etl_spark.functions.exprcache import cached as _cached_exprs  # noqa: E402
 
 
 def normalized(col) -> F.Column:

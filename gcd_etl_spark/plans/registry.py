@@ -39,19 +39,26 @@ def serialize_array_cols(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    cols = []
-    for f in df.schema.fields:
-        if isinstance(f.dataType, T.ArrayType):
-            c = F.col(f.name)
-            cols.append(
-                F.concat(
-                    F.size(c).cast("string"),
-                    F.lit(":"),
-                    F.array_join(F.transform(c, lambda x: x.cast("string")), _SEP),
-                ).alias(f.name)
-            )
-        else:
-            cols.append(F.col(f.name))
+    from gcd_etl_spark.functions.exprcache import cached
+
+    def _ser(name: str):
+        # Pure name-keyed expression tree — memoized (round 13): the
+        # flagship's 19 serialized array columns alone cost ~0.9 s of
+        # py4j HOF construction per build.
+        def build():
+            c = F.col(name)
+            return F.concat(
+                F.size(c).cast("string"),
+                F.lit(":"),
+                F.array_join(F.transform(c, lambda x: x.cast("string")), _SEP),
+            ).alias(name)
+
+        return cached(("ser_arr", name), build)
+
+    cols = [
+        _ser(f.name) if isinstance(f.dataType, T.ArrayType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
     return df.select(cols)
 
 
