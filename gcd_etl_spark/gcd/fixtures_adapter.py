@@ -222,7 +222,15 @@ def gcd_tables_from_fixtures(spark: SparkSession, sf_dir: str) -> dict[str, Data
     ``sf_dir`` (never rewritten within a process); no data or results
     are cached — every execution re-reads the parquet. Keyed on the
     live SparkSession's JVM object so a stopped/recreated session can
-    never be served frames bound to a dead one."""
+    never be served frames bound to a dead one.
+
+    Returns a fresh SHALLOW COPY per call: callers REPLACE entries in
+    the returned dict (gcd_snapshot_from_dump swaps in dump-parsed
+    frames, the bucketed variant swaps in staged tables), and a
+    shared mutable dict would leak those swaps into every later
+    flagship build — exactly the cross-query plan contamination the
+    plan-fingerprint gate caught on this memo's first full-suite run.
+    The DataFrames themselves are immutable plans."""
     from gcd_etl_spark.functions.exprcache import cached
 
     def build():
@@ -233,8 +241,8 @@ def gcd_tables_from_fixtures(spark: SparkSession, sf_dir: str) -> dict[str, Data
         sqls = derivation_sql(SPARK, src)
         return {name: spark.sql(sqls[name]) for name in GCD_INPUT_TABLES}
 
-    return cached(
-        ("gcd_fixture_frames", id(spark._jsparkSession), sf_dir), build
+    return dict(
+        cached(("gcd_fixture_frames", id(spark._jsparkSession), sf_dir), build)
     )
 
 
