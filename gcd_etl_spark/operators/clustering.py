@@ -136,16 +136,23 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    init_rows: list | None = None,
 ) -> tuple[DataFrame, np.ndarray, list[float]]:
     """Fixed-budget Lloyd's: returns (final assignment DataFrame,
     learned k x dim centroids, per-iteration inertia history).
 
     Init = the k lowest-id vectors (deterministic, like the IVF
-    sample). Inertia is summed as exact decimals of the 6-dp-rounded
-    squared distances, so the history — and the monotone-descent
-    property the quality gate asserts — is reproducible bit-for-bit.
+    sample); ``init_rows`` lets a caller that already holds those rows
+    (e.g. the PQ training sample, whose head IS the k lowest-id rows)
+    skip the init collect job. Inertia is summed as exact decimals of
+    the 6-dp-rounded squared distances, so the history — and the
+    monotone-descent property the quality gate asserts — is
+    reproducible bit-for-bit.
     """
-    init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    if init_rows is None:
+        init_rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    else:
+        init_rows = init_rows[:k]
     cent = np.asarray([r[vec_col] for r in init_rows], dtype=np.float64)
     history: list[float] = []
     for _ in range(iters):

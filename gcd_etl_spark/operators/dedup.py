@@ -364,6 +364,11 @@ def connected_components(
     clusters converge in <5 rounds; at 100 TB swap the propagation for
     the large-star/small-star variant (same join primitives, provably
     O(log n) rounds) — the driver loop structure is unchanged.
+
+    Contract: ``nodes`` must cover every id appearing in ``pairs``
+    (every in-repo caller derives pairs FROM nodes) — the sum-based
+    convergence probe, like the label-diff probe before it, assumes
+    the node set is fixed across rounds.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -375,6 +380,19 @@ def connected_components(
     # once; rounds then reread a local shuffle file.
     edges = edges.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("_nid"), F.col(id_col).alias("label"))
+    # Convergence probe (round 13): under min-label propagation every
+    # node's label is NON-INCREASING (new = min(old, neighbors)), so
+    # the exact decimal sum of labels is strictly decreasing until the
+    # fixpoint and equal exactly AT it — sum-equality <=> no node
+    # changed, elementwise. One tiny aggregate per round replaces the
+    # old labels-diff join + limit-count probe, and because the sum is
+    # the round's FIRST action over the lazily-localCheckpoint'd
+    # label frame, it also materializes the lineage cut: one job per
+    # round instead of an eager-checkpoint job plus a probe job
+    # (guide §1.2). decimal(38,0) keeps the sum exact far beyond any
+    # realistic id mass (1e12 nodes x 1e12 max id < 1e25 << 1e38).
+    _dsum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(_dsum).collect()[0]["s"]
     changed = 1
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels._nid).select(
@@ -382,14 +400,10 @@ def connected_components(
         )
         new_labels = (
             labels.unionByName(prop).groupBy("_nid").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "_nid")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        ).localCheckpoint(eager=False)
+        new_sum = new_labels.agg(_dsum).collect()[0]["s"]
+        changed = int(new_sum != prev_sum)
+        prev_sum = new_sum
         labels = new_labels
         if changed == 0:
             break

@@ -403,6 +403,22 @@ def neardup_pairs_blas(
 # Trained coarse quantizer + true product quantization (IVF-PQ)
 # --------------------------------------------------------------------
 
+def train_sample(
+    corpus: DataFrame,
+    n_take: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """ONE bounded collect of the ``n_take`` lowest-id (id, vec) rows,
+    shared by the coarse-quantizer init and the PQ codebook sample
+    (round 13: the train path previously ran an emptiness probe, a
+    k-row init collect, and a 4096-row PQ collect as THREE separate
+    full-scan jobs over the same corpus — guide §1.2). Bounded by
+    construction: n_take = max(PQ_TRAIN_SAMPLE, width-ruled n_cells),
+    both O(sqrt(corpus)) or constant."""
+    return corpus.select(id_col, vec_col).orderBy(id_col).limit(n_take).collect()
+
+
 def train_coarse_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -410,6 +426,7 @@ def train_coarse_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    sample_rows: list | None = None,
 ) -> np.ndarray:
     """Lloyd-TRAINED coarse quantizer for the IVF family (round-9
     verdict item 4: the ``vec_id % 62`` modulo sample was not a
@@ -423,13 +440,28 @@ def train_coarse_centroids(
     Deterministic lowest-id init means a non-empty corpus ALWAYS
     yields at least one real centroid. Returns a (<=n_cells, dim)
     float64 matrix; (0, dim) for an empty corpus.
+
+    ``sample_rows`` (round 13): a caller that already collected the
+    lowest-id rows (``train_sample``, shared with the PQ codebook
+    sample) passes them here; init takes its head, and the previous
+    standalone emptiness-probe job and init collect job both fold
+    into that one collect. Values are bit-identical: the init rows
+    are the same k lowest-id vectors either way.
     """
     from gcd_etl_spark.operators.clustering import kmeans_fit
 
-    if not corpus.select(id_col).limit(1).collect():
+    if sample_rows is None:
+        sample_rows = train_sample(corpus, n_cells, id_col, vec_col)
+    if not sample_rows:
         return np.zeros((0, dim), dtype=np.float64)
     _, cent, _ = kmeans_fit(
-        corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+        corpus,
+        k=n_cells,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        init_rows=sample_rows,
     )
     return cent
 
@@ -492,20 +524,27 @@ def pq_train_codebooks(
     ks: int = PQ_KS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_rows: list | None = None,
 ) -> np.ndarray:
     """Train per-subspace PQ codebooks on coarse-assignment RESIDUALS
     (classic IVF-PQ: encode r = x - c_cell, shared codebooks across
     cells). Training sample = the PQ_TRAIN_SAMPLE lowest-id vectors
     (deterministic; a bounded driver-side collect by design — at
     100 TB you train the codebooks on a sample and let the cluster do
-    the encoding). Returns (m, ks', dsub) float64 with
-    ks' = min(ks, distinct residuals); ks'>=1 for non-empty input.
+    the encoding). ``sample_rows`` (round 13) reuses a caller-held
+    ``train_sample`` collect (>= PQ_TRAIN_SAMPLE rows requested) so
+    the coarse-quantizer init and this sample cost ONE job; the head
+    slice is the identical lowest-id row set. Returns (m, ks', dsub)
+    float64 with ks' = min(ks, distinct residuals); ks'>=1 for
+    non-empty input.
     """
     rows = (
         corpus.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(PQ_TRAIN_SAMPLE)
         .collect()
+        if sample_rows is None
+        else sample_rows[:PQ_TRAIN_SAMPLE]
     )
     if not rows or centroids.size == 0:
         dim = centroids.shape[1] if centroids.ndim == 2 else 0

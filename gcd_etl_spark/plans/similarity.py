@@ -504,7 +504,13 @@ def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
                 n_buckets=suggest_bucket_count_for(sf_dir, "embeddings"),
                 sort_cols=["cell"],
             )
-    cent = spark.table(cent_name).orderBy("cell_id").collect()
+    # tiny trained artifact: collect unsorted (one job), order
+    # driver-side on the unique key — a distributed orderBy of a
+    # <=n_cells-row table costs a global-sort exchange plus extra AQE
+    # jobs per probe (round 13, guide §1.2)
+    cent = sorted(
+        spark.table(cent_name).collect(), key=lambda r: r["cell_id"]
+    )
     centroids = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
     return spark.table(idx_name), centroids
 
@@ -586,12 +592,17 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table_spread(spark, sf_dir, "embeddings")
     # plain-scan count for the width rule (see sim_ann_ivfsq8_recall)
     n_cells = S.suggest_ivf_cells(read_table(spark, sf_dir, "embeddings").count())
-    centroids = S.train_coarse_centroids(emb, n_cells=n_cells, dim=EMB_DIM)
+    # ONE bounded collect feeds both the Lloyd init and the PQ sample
+    # (round 13, guide §1.2 — was three separate full-scan jobs)
+    sample = S.train_sample(emb, max(S.PQ_TRAIN_SAMPLE, n_cells))
+    centroids = S.train_coarse_centroids(
+        emb, n_cells=n_cells, dim=EMB_DIM, sample_rows=sample
+    )
     if centroids.size == 0:
         return spark.createDataFrame(
             [], "query_id long, n_exact bigint, recall_floor_ok int"
         )
-    codebooks = S.pq_train_codebooks(emb, centroids)
+    codebooks = S.pq_train_codebooks(emb, centroids, sample_rows=sample)
     index = S.pq_encode(emb, centroids, codebooks)
     ann = S.pq_adc_topk(
         index,
@@ -645,7 +656,11 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
         warehouse = _urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         for n in (codes_name, cent_name, book_name):
             _shutil.rmtree(_os.path.join(warehouse, n.lower()), ignore_errors=True)
-        centroids = S.train_coarse_centroids(emb, n_cells=n_cells, dim=EMB_DIM)
+        # one collect for Lloyd init + PQ sample (round 13, guide §1.2)
+        sample = S.train_sample(emb, max(S.PQ_TRAIN_SAMPLE, n_cells))
+        centroids = S.train_coarse_centroids(
+            emb, n_cells=n_cells, dim=EMB_DIM, sample_rows=sample
+        )
         if centroids.size == 0:
             spark.createDataFrame(
                 [], "cell_id int, centroid array<double>"
@@ -657,7 +672,7 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
                 [], "neighbor_id long, cell int, codes array<int>"
             ).write.mode("overwrite").saveAsTable(codes_name)
         else:
-            codebooks = S.pq_train_codebooks(emb, centroids)
+            codebooks = S.pq_train_codebooks(emb, centroids, sample_rows=sample)
             spark.createDataFrame(
                 [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
                 "cell_id int, centroid array<double>",
@@ -679,9 +694,15 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
                 n_buckets=suggest_bucket_count_for(sf_dir, "embeddings"),
                 sort_cols=["cell"],
             )
-    cent = spark.table(cent_name).orderBy("cell_id").collect()
+    # tiny trained artifacts: collect unsorted (one job each), order
+    # driver-side on the unique keys (round 13 — see ensure_ivfsq8_index)
+    cent = sorted(
+        spark.table(cent_name).collect(), key=lambda r: r["cell_id"]
+    )
     centroids = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
-    book_rows = spark.table(book_name).orderBy("m", "code").collect()
+    book_rows = sorted(
+        spark.table(book_name).collect(), key=lambda r: (r["m"], r["code"])
+    )
     if book_rows:
         m = 1 + max(r["m"] for r in book_rows)
         ks = len(book_rows) // m
@@ -769,14 +790,18 @@ def sim_ann_ivfpq_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = S.suggest_ivf_cells(
         read_table(spark, sf_dir, "embeddings").where(~is_delta).count()
     )
-    centroids = S.train_coarse_centroids(corpus, n_cells=n_cells, dim=EMB_DIM)
+    # one collect for Lloyd init + PQ sample (round 13, guide §1.2)
+    sample = S.train_sample(corpus, max(S.PQ_TRAIN_SAMPLE, n_cells))
+    centroids = S.train_coarse_centroids(
+        corpus, n_cells=n_cells, dim=EMB_DIM, sample_rows=sample
+    )
     if centroids.size == 0:
         return spark.createDataFrame(
             [],
             "query_id long, n_exact bigint, recall_floor_ok int, "
             "delta_reachable int",
         )
-    codebooks = S.pq_train_codebooks(corpus, centroids)
+    codebooks = S.pq_train_codebooks(corpus, centroids, sample_rows=sample)
 
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", _os.path.basename(sf_dir.rstrip("/")))
     name = f"ivfpq_cycle_codes_{tag}_c{n_cells}"
@@ -1399,7 +1424,11 @@ def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
                 n_buckets=suggest_bucket_count_for(sf_dir, "embeddings", floor=8),
                 sort_cols=["cell"],
             )
-    cent_rows = spark.table(cent_name).orderBy("cell_id").collect()
+    # tiny trained artifact: collect unsorted, order driver-side on
+    # the unique key (round 13 — see ensure_ivfsq8_index)
+    cent_rows = sorted(
+        spark.table(cent_name).collect(), key=lambda r: r["cell_id"]
+    )
     centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
     return spark.table(idx_name), centroids
 
