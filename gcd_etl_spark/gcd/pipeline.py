@@ -87,16 +87,30 @@ def collect_dict_maps(
     """Collect the 4 tiny dictionary dimensions to driver-side maps
     (reference GcdMetadata.java:58-86). A deliberate driver step —
     the decode itself stays codegen'd via a literal map expression.
-    Callers building the same snapshot repeatedly should cache the
-    result (4 tiny Spark jobs per build otherwise)."""
+    All four dimensions ride ONE tagged-union collect job (round 13:
+    four separate collect jobs per build, each a scheduler round trip,
+    for tables of a few dozen rows — guide §1.2); the per-table maps
+    are split back out driver-side, values unchanged."""
     out: dict[str, dict[int, str]] = {}
+    parts: list[DataFrame] = []
     for name, (key_col, val_col) in _DICT_TABLES.items():
         if name == "gcd_series_publication_type" and not flags.publication_type:
             out[name] = {}
             continue
-        out[name] = {
-            int(r[0]): r[1] for r in tables[name].select(key_col, val_col).collect()
-        }
+        out[name] = {}
+        parts.append(
+            tables[name].select(
+                F.lit(name).alias("_t"),
+                F.col(key_col).cast("long").alias("_k"),
+                F.col(val_col).cast("string").alias("_v"),
+            )
+        )
+    if parts:
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        for r in union.collect():
+            out[r["_t"]][int(r["_k"])] = r["_v"]
     return out
 
 
