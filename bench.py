@@ -487,6 +487,14 @@ def main() -> None:
     spark = get_spark(
         app_name="gcd_etl_spark_bench", extra_conf=_codegen_log_conf(log_path)
     )
+    # Self-describing parallelism (round-14 verdict item 2): the
+    # driver's scaling probe compares walls at two $SPARK_GRAFT_CPUS
+    # values but the JSON line never carried the EFFECTIVE core count,
+    # so the contract wasn't checkable from the artifact alone and the
+    # round-13 probe false-flagged suspect_cpus_ignored. Captured here,
+    # before any floor pass stops the session.
+    eff_cpus = spark.sparkContext.defaultParallelism
+    eff_master = spark.sparkContext.master
 
     # Detector liveness probe: a clean run legitimately writes an
     # EMPTY log (root level is warn), so "no markers" alone cannot
@@ -601,6 +609,8 @@ def main() -> None:
             "unit": "sec",
             "queries": lc_timings,
             "sf": sf,
+            "cpus": eff_cpus,
+            "master": eff_master,
             "codegen_fallbacks": lc_fallbacks,
             "codegen_fallback_detector": "ok" if detector_ok else "dead",
             "spill_bytes": lc_spills,
@@ -613,6 +623,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "cpus": eff_cpus,
+            "master": eff_master,
             "codegen_fallbacks": fallbacks,
             "codegen_fallback_detector": "ok" if detector_ok else "dead",
             "spill_bytes": spills,

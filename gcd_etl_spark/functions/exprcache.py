@@ -18,19 +18,49 @@ expression embeds anything data-derived (e.g. a collected decode map)
 MUST fold that data into the key, so the cache can only ever replay
 the exact expression the data implies — the data collection itself is
 never skipped.
+
+Round 14 (verdict item 6): the cache is BOUNDED. Keys fold in
+data-derived content (decode-map contents, sf_dir, run dates), so a
+long-lived driver cycling run-dates/datasets used to grow the dict
+without eviction, and entries for dead gateways were never dropped
+(only ignored). Now: LRU eviction past _MAX_ENTRIES, plus a sweep of
+other-gateway entries whenever the active gateway changes (a restarted
+JVM invalidates every old handle at once, so keeping them is pure
+leak).
 """
 
 from __future__ import annotations
 
-_CACHE: dict = {}
+from collections import OrderedDict
+
+_CACHE: OrderedDict = OrderedDict()
+#: Entry bound: the engine's distinct memoized expression families are
+#: a few dozen per (session, sf_dir, run-date) combination; 512 covers
+#: many concurrent combinations while keeping worst-case memory to a
+#: few hundred expression trees.
+_MAX_ENTRIES = 512
+_last_gateway: list = [None]
 
 
 def cached(key: tuple, builder):
-    """Return ``builder()`` memoized per (active py4j gateway, key)."""
+    """Return ``builder()`` memoized per (active py4j gateway, key),
+    LRU-bounded to ``_MAX_ENTRIES`` live entries."""
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    full = (id(sc._gateway) if sc is not None else None,) + key
-    if full not in _CACHE:
-        _CACHE[full] = builder()
-    return _CACHE[full]
+    gw = id(sc._gateway) if sc is not None else None
+    if gw != _last_gateway[0]:
+        # gateway changed (JVM restart): every other-gateway handle is
+        # dead weight — drop them all in one sweep
+        for k in [k for k in _CACHE if k[0] != gw]:
+            del _CACHE[k]
+        _last_gateway[0] = gw
+    full = (gw,) + key
+    if full in _CACHE:
+        _CACHE.move_to_end(full)
+        return _CACHE[full]
+    val = builder()
+    _CACHE[full] = val
+    while len(_CACHE) > _MAX_ENTRIES:
+        _CACHE.popitem(last=False)
+    return val

@@ -393,6 +393,7 @@ def connected_components(
     # realistic id mass (1e12 nodes x 1e12 max id < 1e25 << 1e38).
     _dsum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(_dsum).collect()[0]["s"]
+    nonempty = prev_sum is not None
     changed = 1
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels._nid).select(
@@ -402,6 +403,15 @@ def connected_components(
             labels.unionByName(prop).groupBy("_nid").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=False)
         new_sum = new_labels.agg(_dsum).collect()[0]["s"]
+        if new_sum is None and nonempty:
+            # Non-ANSI decimal SUM returns NULL on overflow; two NULL
+            # sums would compare equal and declare FALSE convergence
+            # silently. Unreachable at the documented 1e25 << 1e38
+            # bound, but keep the loud-failure contract (ADVICE r13).
+            raise RuntimeError(
+                "connected_components label-sum overflowed decimal(38,0); "
+                "convergence probe cannot be trusted"
+            )
         changed = int(new_sum != prev_sum)
         prev_sum = new_sum
         labels = new_labels

@@ -403,12 +403,22 @@ def neardup_pairs_blas(
 # Trained coarse quantizer + true product quantization (IVF-PQ)
 # --------------------------------------------------------------------
 
+class TrainSample(list):
+    """Collected (id, vec) rows plus the ``n_take`` they were collected
+    with. A short list alone cannot distinguish "small corpus" from
+    "caller under-requested"; carrying the request size lets the
+    consumers guard the documented bit-identical contract without a
+    redundant re-collect on legitimately small corpora (ADVICE r13)."""
+
+    n_requested: int = 0
+
+
 def train_sample(
     corpus: DataFrame,
     n_take: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> list:
+) -> TrainSample:
     """ONE bounded collect of the ``n_take`` lowest-id (id, vec) rows,
     shared by the coarse-quantizer init and the PQ codebook sample
     (round 13: the train path previously ran an emptiness probe, a
@@ -416,7 +426,25 @@ def train_sample(
     full-scan jobs over the same corpus — guide §1.2). Bounded by
     construction: n_take = max(PQ_TRAIN_SAMPLE, width-ruled n_cells),
     both O(sqrt(corpus)) or constant."""
-    return corpus.select(id_col, vec_col).orderBy(id_col).limit(n_take).collect()
+    out = TrainSample(
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_take).collect()
+    )
+    out.n_requested = n_take
+    return out
+
+
+def _sample_covers(sample_rows: list, needed: int) -> bool:
+    """True when ``sample_rows`` is guaranteed to contain the same
+    lowest-id head a fresh ``train_sample(corpus, needed)`` would
+    return: either it already holds >= needed rows, or it was
+    collected with a request >= needed (so a shorter result means the
+    corpus itself is that small). An untagged short list fails the
+    check and triggers a fresh collect — the guard for a future caller
+    passing an undersized hand-built sample (ADVICE r13)."""
+    return (
+        len(sample_rows) >= needed
+        or getattr(sample_rows, "n_requested", 0) >= needed
+    )
 
 
 def train_coarse_centroids(
@@ -450,7 +478,7 @@ def train_coarse_centroids(
     """
     from gcd_etl_spark.operators.clustering import kmeans_fit
 
-    if sample_rows is None:
+    if sample_rows is None or not _sample_covers(sample_rows, n_cells):
         sample_rows = train_sample(corpus, n_cells, id_col, vec_col)
     if not sample_rows:
         return np.zeros((0, dim), dtype=np.float64)
@@ -538,14 +566,9 @@ def pq_train_codebooks(
     float64 with ks' = min(ks, distinct residuals); ks'>=1 for
     non-empty input.
     """
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(PQ_TRAIN_SAMPLE)
-        .collect()
-        if sample_rows is None
-        else sample_rows[:PQ_TRAIN_SAMPLE]
-    )
+    if sample_rows is None or not _sample_covers(sample_rows, PQ_TRAIN_SAMPLE):
+        sample_rows = train_sample(corpus, PQ_TRAIN_SAMPLE, id_col, vec_col)
+    rows = sample_rows[:PQ_TRAIN_SAMPLE]
     if not rows or centroids.size == 0:
         dim = centroids.shape[1] if centroids.ndim == 2 else 0
         return np.zeros((m, 0, max(dim // m, 1)), dtype=np.float64)

@@ -1442,17 +1442,22 @@ def corpus_shuffle_shards_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing (the gcd_snapshot_nightly_overwrite read-back discipline
     applied to the loader artifact).
 
-    Scale shape: repartition BY the shard column (the write's own
-    distribution — one shuffle, same key the permutation already
-    sorts on), `sortWithinPartitions(shard, pos)` so every file is
-    loader-streamable in order, `maxRecordsPerFile` rotation for
-    bounded file sizes; readers of one epoch-shard touch exactly one
+    Scale shape: ONE exchange total (round 14, guide §2.4 — two
+    operations keyed the same way share one exchange): the
+    permutation's row_number window already hash-partitioned the data
+    BY shard, so the write reuses that distribution instead of paying
+    a second full-data `repartition("shard")` exchange; a local
+    `sortWithinPartitions(shard, pos)` keeps every file
+    loader-streamable in order (pos is row_number over the window's
+    (hv, doc_id) sort — semantically the same order, but not derivable
+    by the planner, and the dynamic-partition writer's own fallback
+    sort is not guaranteed stable), `maxRecordsPerFile` rotation
+    bounds file sizes; readers of one epoch-shard touch exactly one
     directory (partition pruning on shard)."""
     staged = shuffle_shards_staging_path(sf_dir)
     perm = corpus_shuffle_shards(spark, sf_dir)
     (
-        perm.repartition("shard")
-        .sortWithinPartitions("shard", "pos")
+        perm.sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", SHUFFLE_WRITE_MAX_RECORDS)
         .partitionBy("shard")

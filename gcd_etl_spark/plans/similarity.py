@@ -376,7 +376,38 @@ def sim_ann_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_bound(ann, exact)
 
 
-def _resolve_staged_cells(spark: SparkSession, prefix: str) -> int | None:
+#: Table property carrying the staging-time source row count, stamped
+#: on every width-ruled staged index so probe-path name resolution can
+#: re-apply the CURRENT width rule to it (round-14 verdict item 7: a
+#: rule change — e.g. an IVF_CELLS_FLOOR bump — over unchanged data
+#: must force a re-stage, not silently resolve to the stale width).
+STAGED_ROWS_PROP = "gcd.staging_rows"
+
+
+def _stamp_staged_rows(spark: SparkSession, name: str, n_rows: int) -> None:
+    """Record the staging-time source row count on the staged table
+    (catalog-only op; no data job)."""
+    spark.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES "
+        f"('{STAGED_ROWS_PROP}'='{int(n_rows)}')"
+    )
+
+
+def _staged_rows_prop(spark: SparkSession, name: str) -> int | None:
+    try:
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {name} ('{STAGED_ROWS_PROP}')"
+        ).collect()
+    except Exception:  # noqa: BLE001 — missing table/property -> re-count
+        return None
+    for r in rows:
+        v = r["value"]
+        if v is not None and str(v).isdigit():
+            return int(v)
+    return None
+
+
+def _resolve_staged_cells(spark: SparkSession, prefix: str, rule) -> int | None:
     """Cell count of an ALREADY-STAGED width-ruled index, parsed back
     from the catalog name instead of recomputed from a corpus count.
 
@@ -389,19 +420,34 @@ def _resolve_staged_cells(spark: SparkSession, prefix: str) -> int | None:
     table name (one full-scan metadata job per query — at 100 TB a
     file-listing + footer pass per probe; guide §1.2). Returns None
     when nothing matches (the builder then counts ONCE, at staging).
+
+    Round 14 (verdict item 7): a catalog name match alone guards DATA
+    drift (the fingerprint) but not RULE drift — after a width-rule
+    change over unchanged data the stale name would still resolve. The
+    staged table carries its staging-time source row count as a table
+    property; resolution re-applies the CURRENT ``rule`` to it and
+    only trusts a name whose suffix equals the rule's output. A
+    mismatch (or a legacy table with no stamp) returns None, sending
+    the caller down the count-once path, which re-stages under the
+    newly-ruled name and stamps the property.
     """
     import re as _re
 
     rows = spark.sql(f"SHOW TABLES LIKE '{prefix}c*'").collect()
     cells = [
-        int(m.group(1))
+        (int(m.group(1)), r["tableName"])
         for r in rows
         if (m := _re.fullmatch(_re.escape(prefix) + r"c(\d+)", r["tableName"]))
+    ]
+    verified = [
+        c
+        for c, name in cells
+        if (n := _staged_rows_prop(spark, name)) is not None and rule(n) == c
     ]
     # at most one per fingerprint in practice (the rule is a pure
     # function of the fingerprinted bytes); max() is a deterministic
     # tie-break if a foreign table ever matches the pattern
-    return max(cells) if cells else None
+    return max(verified) if verified else None
 
 
 def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
@@ -439,11 +485,13 @@ def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     # plain scan — was a full-table job per query just to re-derive a
     # value the staged name already records. The count now runs only
     # when staging.
-    n_cells = _resolve_staged_cells(spark, f"ivfsq8_index_{tag}_")
+    n_cells = _resolve_staged_cells(
+        spark, f"ivfsq8_index_{tag}_", S.suggest_ivf_cells
+    )
+    counted_rows = None
     if n_cells is None:
-        n_cells = S.suggest_ivf_cells(
-            read_table(spark, sf_dir, "embeddings").count()
-        )
+        counted_rows = read_table(spark, sf_dir, "embeddings").count()
+        n_cells = S.suggest_ivf_cells(counted_rows)
     tag = f"{tag}_c{n_cells}"
     idx_name = f"ivfsq8_index_{tag}"
     cent_name = f"ivfsq8_centroids_{tag}"
@@ -504,12 +552,19 @@ def ensure_ivfsq8_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
                 n_buckets=suggest_bucket_count_for(sf_dir, "embeddings"),
                 sort_cols=["cell"],
             )
+    if counted_rows is not None:
+        # counted this probe (fresh stage OR legacy unstamped table):
+        # stamp so every later probe resolves from the catalog alone
+        _stamp_staged_rows(spark, idx_name, counted_rows)
     # tiny trained artifact: collect unsorted (one job), order
     # driver-side on the unique key — a distributed orderBy of a
     # <=n_cells-row table costs a global-sort exchange plus extra AQE
     # jobs per probe (round 13, guide §1.2)
     cent = sorted(
-        spark.table(cent_name).collect(), key=lambda r: r["cell_id"]
+        spark.table(cent_name).collect(),
+        # nulls-first like the orderBy this replaced: a corrupted
+        # hand-written artifact sorts instead of raising (ADVICE r13)
+        key=lambda r: (r["cell_id"] is None, r["cell_id"]),
     )
     centroids = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
     return spark.table(idx_name), centroids
@@ -643,11 +698,13 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
     # and carry the config in the name so a differently-configured
     # index can never shadow this one (probe-path name resolution from
     # the catalog, count only at staging — see _resolve_staged_cells)
-    n_cells = _resolve_staged_cells(spark, f"ivfpq_codes_{tag}_")
+    n_cells = _resolve_staged_cells(
+        spark, f"ivfpq_codes_{tag}_", S.suggest_ivf_cells
+    )
+    counted_rows = None
     if n_cells is None:
-        n_cells = S.suggest_ivf_cells(
-            read_table(spark, sf_dir, "embeddings").count()
-        )
+        counted_rows = read_table(spark, sf_dir, "embeddings").count()
+        n_cells = S.suggest_ivf_cells(counted_rows)
     tag = f"{tag}_c{n_cells}"
     codes_name = f"ivfpq_codes_{tag}"
     cent_name = f"ivfpq_centroids_{tag}"
@@ -694,14 +751,20 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
                 n_buckets=suggest_bucket_count_for(sf_dir, "embeddings"),
                 sort_cols=["cell"],
             )
+    if counted_rows is not None:
+        _stamp_staged_rows(spark, codes_name, counted_rows)
     # tiny trained artifacts: collect unsorted (one job each), order
     # driver-side on the unique keys (round 13 — see ensure_ivfsq8_index)
     cent = sorted(
-        spark.table(cent_name).collect(), key=lambda r: r["cell_id"]
+        spark.table(cent_name).collect(),
+        # nulls-first like the orderBy this replaced: a corrupted
+        # hand-written artifact sorts instead of raising (ADVICE r13)
+        key=lambda r: (r["cell_id"] is None, r["cell_id"]),
     )
     centroids = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
     book_rows = sorted(
-        spark.table(book_name).collect(), key=lambda r: (r["m"], r["code"])
+        spark.table(book_name).collect(),
+        key=lambda r: (r["m"] is None, r["m"], r["code"] is None, r["code"]),
     )
     if book_rows:
         m = 1 + max(r["m"] for r in book_rows)
@@ -1374,13 +1437,15 @@ def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
     # optimization pass — see _resolve_staged_cells); only STAGING
     # counts, re-applying the target predicate (label odd —
     # _bitext_sides) on the PLAIN scan (round-13 review finding).
-    n_cells = _resolve_staged_cells(spark, f"bitext_tgt_idx_{tag}_")
+    n_cells = _resolve_staged_cells(spark, f"bitext_tgt_idx_{tag}_", bitext_cells)
+    counted_rows = None
     if n_cells is None:
-        n_cells = bitext_cells(
+        counted_rows = (
             read_table(spark, sf_dir, "embeddings")
             .where(F.col("label") % 2 == 1)
             .count()
         )
+        n_cells = bitext_cells(counted_rows)
     tag = f"{tag}_c{n_cells}"
     idx_name = f"bitext_tgt_idx_{tag}"
     cent_name = f"bitext_tgt_cent_{tag}"
@@ -1424,10 +1489,13 @@ def ensure_bitext_target_index(spark: SparkSession, sf_dir: str, b: DataFrame):
                 n_buckets=suggest_bucket_count_for(sf_dir, "embeddings", floor=8),
                 sort_cols=["cell"],
             )
+    if counted_rows is not None:
+        _stamp_staged_rows(spark, idx_name, counted_rows)
     # tiny trained artifact: collect unsorted, order driver-side on
     # the unique key (round 13 — see ensure_ivfsq8_index)
     cent_rows = sorted(
-        spark.table(cent_name).collect(), key=lambda r: r["cell_id"]
+        spark.table(cent_name).collect(),
+        key=lambda r: (r["cell_id"] is None, r["cell_id"]),
     )
     centroids = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
     return spark.table(idx_name), centroids
