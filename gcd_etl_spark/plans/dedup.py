@@ -574,25 +574,32 @@ def _crossdoc_gram_table(docs: DataFrame) -> DataFrame:
     with >= k tokens — the shared gram derivation for the full
     recompute (dedup_crossdoc_spans), the persisted gram-DF index
     build, and the nightly delta scorer, so the three can never
-    tokenize differently."""
+    tokenize differently.
+
+    The two HOF expression trees are memoized (round 14 — the C10
+    pattern): the gram-family cycle queries build this frame 3-4x per
+    run (corpus + per-night deltas), at ~0.12 s of py4j round trips
+    per construction; the Columns are pure unresolved trees reusable
+    across frames."""
     k = _CROSSDOC_K
-    d = docs.select(
-        "doc_id",
-        F.filter(
+
+    def build():
+        toks = F.filter(
             F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
-        ).alias("toks"),
-    )
-    return d.where(F.size("toks") >= k).select(
-        "doc_id",
-        F.explode(
+        ).alias("toks")
+        gram = F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("toks") - (k - 1)),
                 lambda i: F.concat_ws(
                     " ", *[F.element_at("toks", i + j) for j in range(k)]
                 ),
             )
-        ).alias("gram"),
-    )
+        ).alias("gram")
+        return toks, gram
+
+    toks, gram = D._cached_exprs(("crossdoc_gram", k), build)
+    d = docs.select("doc_id", toks)
+    return d.where(F.size("toks") >= k).select("doc_id", gram)
 
 
 @query("dedup_crossdoc_spans", oracle=_CROSSDOC_ORACLE)
@@ -1164,10 +1171,31 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     files_after = count_table_data_files(spark, dest)
 
     orig, comp = spark.table(name), spark.table(dest)
-    rows_match = (
-        comp.exceptAll(orig).limit(1).count() == 0
-        and orig.exceptAll(comp).limit(1).count() == 0
+    # ONE fused equivalence-probe job (round 14, guide §1.2): multiset
+    # equality + both compacted-table counts ride a single aggregation
+    # over a src-tagged union — previously FOUR eager jobs (two
+    # exceptAll emptiness probes, a count, a distinct count), each
+    # re-shuffling the band tables. Per-(row value) counts from both
+    # sides compare groupwise: all-equal <=> multiset equality, the
+    # exact check exceptAll gave.
+    cols = ["corpus_id", "band_idx", "band_hash"]
+    tagged = orig.select(*cols, F.lit(1).alias("_src")).unionByName(
+        comp.select(*cols, F.lit(2).alias("_src"))
     )
+    per = tagged.groupBy(*cols).agg(
+        F.count(F.when(F.col("_src") == 1, 1)).alias("_co"),
+        F.count(F.when(F.col("_src") == 2, 1)).alias("_cc"),
+    )
+    probe = per.agg(
+        F.sum("_cc").alias("n_rows"),
+        F.count_distinct(
+            F.when(F.col("_cc") > 0, F.col("band_hash"))
+        ).alias("n_bands"),
+        F.max(F.when(F.col("_co") != F.col("_cc"), 1).otherwise(0)).alias(
+            "mism"
+        ),
+    ).collect()[0]
+    rows_match = (probe["mism"] or 0) == 0
     agg_plan = (
         comp.groupBy("band_hash")
         .count()
@@ -1175,18 +1203,21 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .executedPlan()
         .toString()
     )
-    return spark.createDataFrame(
-        [
-            (
-                comp.count(),
-                comp.select("band_hash").distinct().count(),
-                int(rows_match),
-                int(files_after < files_before),
-                int("Exchange" not in agg_plan),
-            )
-        ],
-        "n_band_rows bigint, n_distinct_bands bigint, rows_match int, "
-        "files_reduced int, colocated_zero_exchange int",
+    # JVM-literal 1-row result (the _empty_seed lesson, guide §4): a
+    # local-data createDataFrame parallelizes one row into
+    # defaultParallelism PICKLED PYTHON partitions, so every
+    # materialization of the returned frame paid ~32 Python-worker
+    # round trips.
+    return spark.range(1).select(
+        F.lit(int(probe["n_rows"] or 0)).cast("bigint").alias("n_band_rows"),
+        F.lit(int(probe["n_bands"] or 0))
+        .cast("bigint")
+        .alias("n_distinct_bands"),
+        F.lit(int(rows_match)).cast("int").alias("rows_match"),
+        F.lit(int(files_after < files_before)).cast("int").alias("files_reduced"),
+        F.lit(int("Exchange" not in agg_plan))
+        .cast("int")
+        .alias("colocated_zero_exchange"),
     )
 
 

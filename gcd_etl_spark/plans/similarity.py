@@ -753,25 +753,45 @@ def ensure_ivfpq_index(spark: SparkSession, sf_dir: str, emb: DataFrame):
             )
     if counted_rows is not None:
         _stamp_staged_rows(spark, codes_name, counted_rows)
-    # tiny trained artifacts: collect unsorted (one job each), order
-    # driver-side on the unique keys (round 13 — see ensure_ivfsq8_index)
-    cent = sorted(
-        spark.table(cent_name).collect(),
-        # nulls-first like the orderBy this replaced: a corrupted
-        # hand-written artifact sorts instead of raising (ADVICE r13)
-        key=lambda r: (r["cell_id"] is None, r["cell_id"]),
+    # tiny trained artifacts: ONE tagged-union collect for both tables
+    # (round 14 — the C14 pattern applied to the probe path; was two
+    # collect jobs per probe), then driver-side sorts on the unique
+    # keys (round 13: a distributed orderBy of a <=2048-row table
+    # costs a global-sort exchange per probe). Nulls-first sort keys
+    # like the orderBy this replaced (ADVICE r13).
+    tagged = (
+        spark.table(cent_name)
+        .select(
+            F.lit(0).alias("_t"),
+            F.col("cell_id").cast("int").alias("_k1"),
+            F.lit(0).alias("_k2"),
+            F.col("centroid").alias("_vec"),
+        )
+        .unionByName(
+            spark.table(book_name).select(
+                F.lit(1).alias("_t"),
+                F.col("m").cast("int").alias("_k1"),
+                F.col("code").cast("int").alias("_k2"),
+                F.col("subvec").alias("_vec"),
+            )
+        )
+        .collect()
     )
-    centroids = np.asarray([r["centroid"] for r in cent], dtype=np.float64)
+    cent = sorted(
+        (r for r in tagged if r["_t"] == 0),
+        key=lambda r: (r["_k1"] is None, r["_k1"]),
+    )
+    centroids = np.asarray([r["_vec"] for r in cent], dtype=np.float64)
     book_rows = sorted(
-        spark.table(book_name).collect(),
-        key=lambda r: (r["m"] is None, r["m"], r["code"] is None, r["code"]),
+        (r for r in tagged if r["_t"] == 1),
+        key=lambda r: (r["_k1"] is None, r["_k1"], r["_k2"] is None, r["_k2"]),
     )
     if book_rows:
-        m = 1 + max(r["m"] for r in book_rows)
+        m = 1 + max(r["_k1"] for r in book_rows)
         ks = len(book_rows) // m
-        dsub = len(book_rows[0]["subvec"])
+        dsub = len(book_rows[0]["_vec"])
         codebooks = np.asarray(
-            [r["subvec"] for r in book_rows], dtype=np.float64
+            [r["_vec"] for r in book_rows], dtype=np.float64
         ).reshape(m, ks, dsub)
     else:
         codebooks = np.zeros((S.PQ_M, 0, 1), dtype=np.float64)
