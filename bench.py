@@ -125,43 +125,38 @@ LIFECYCLE = [
 #: Floors near the recorded base = ambient load; shifted floors = a
 #: real regression. Update these numbers when a recorded round
 #: becomes the new reference.
+# Round 14: refreshed to the r13 DRIVER bench (BENCH_r13.json — the
+# same additions-only refresh the r13 round made with the r12 driver
+# numbers, VERDICT r12 item 2 precedent). These values feed only the
+# internal floor-trigger below, never the driver's round-over-round
+# comparison; without the refresh the trigger could never arm again
+# (measured totals now sit ~35% under the stale r12 bases).
 RECORDED_BASE = {
     "sf": 0.1,
     "headline": {
-        "gcd_snapshot": 5.712, "snapshot_denorm": 2.139,
-        "q1_pricing_summary": 0.846, "join_left_fanout": 1.099,
-        "agg_rollup": 0.906, "window_topk_per_group": 0.498,
-        "sort_limit_topk": 0.156, "dedup_exact": 0.377,
-        "dedup_minhash_lsh": 2.286, "sim_bruteforce_topk": 1.867,
-        "text_token_stats": 0.307, "win_session": 0.564,
+        "gcd_snapshot": 3.388, "snapshot_denorm": 1.931,
+        "q1_pricing_summary": 0.802, "join_left_fanout": 1.083,
+        "agg_rollup": 0.774, "window_topk_per_group": 0.531,
+        "sort_limit_topk": 0.165, "dedup_exact": 0.433,
+        "dedup_minhash_lsh": 1.933, "sim_bruteforce_topk": 0.697,
+        "text_token_stats": 0.285, "win_session": 0.594,
     },
     "lifecycle": {
-        "dedup_keep_canonical": 3.489, "dedup_delta_vs_corpus": 1.455,
-        "dedup_crossdoc_delta": 1.088, "dedup_gram_index_update_cycle": 2.748,
-        "dedup_gram_index_merge": 1.747, "dedup_index_compaction": 3.16,
-        "dedup_index_append_cycle": 4.406,
-        "dedup_semantic_delta_vs_corpus_capped": 1.796,
-        "quality_bigram_nll_delta": 0.426,
-        "stream_quality_gate": 4.107,
-        "stream_semantic_dedup_gate_capped": 5.721,
-        "stream_dedup_against_corpus": 6.377,
-        "stream_sessions_timeout": 14.111,
-        # IVF-family bases re-recorded after the round-13 width rule
-        # (r12 numbers measured the FIXED 16/4 quantizer; at sf0.1 the
-        # rule stages c64/p16 — ANN — and p32 — bitext — so probe
-        # density is 4x and the walls legitimately shifted +15-25%
-        # beyond the ~+10% box drift the unchanged rows showed that
-        # day). Values are the fresh-JVM floor minima the r13 floor
-        # pass recorded (index_append 9.02, bitext 11.805) / the
-        # in-process min-of-2 for the two rows the mover cap skipped
-        # (recall 5.241, persisted 3.124). The trade is documented in
-        # BASELINE.md round 13: recall@10 0.42 -> 0.58 at 1x and
-        # HOLDING 0.58-0.64 to 32x where fixed 16/4 breaches the 0.3
-        # floor at 8x.
-        "sim_ann_ivfpq_recall": 5.241,
-        "sim_ann_ivfpq_persisted": 3.124, "sim_ann_ivfpq_index_append": 9.02,
-        "sim_bitext_margin_mined": 11.805,
-        "corpus_shuffle_shards_write": 1.997, "corpus_dsir_delta": 0.465,
+        "dedup_keep_canonical": 3.458, "dedup_delta_vs_corpus": 1.374,
+        "dedup_crossdoc_delta": 1.196,
+        "dedup_gram_index_update_cycle": 2.965,
+        "dedup_gram_index_merge": 1.962, "dedup_index_compaction": 2.49,
+        "dedup_index_append_cycle": 2.93,
+        "dedup_semantic_delta_vs_corpus_capped": 1.618,
+        "quality_bigram_nll_delta": 0.516,
+        "stream_quality_gate": 3.573,
+        "stream_semantic_dedup_gate_capped": 4.89,
+        "stream_dedup_against_corpus": 4.237,
+        "stream_sessions_timeout": 7.588,
+        "sim_ann_ivfpq_recall": 3.677,
+        "sim_ann_ivfpq_persisted": 1.645, "sim_ann_ivfpq_index_append": 5.828,
+        "sim_bitext_margin_mined": 2.321,
+        "corpus_shuffle_shards_write": 2.165, "corpus_dsir_delta": 0.593,
     },
 }
 FLOOR_TRIGGER_PCT = 15
